@@ -1,0 +1,142 @@
+"""Engine configuration for the TPU-native TSDF reconstruction stack.
+
+The reference engine (disinfect-slam) hard-codes its capacities:
+  - hash table: 2^21 buckets x 2 entries (utils/tsdf/voxel_hash.cuh:13-25)
+  - voxel pool: 2^18 blocks x 8^3 voxels   (utils/tsdf/voxel_mem.cuh:11-20)
+  - carve threshold 0.9                    (utils/tsdf/voxel_tsdf.cu:485)
+  - weight clamp 40                        (utils/tsdf/voxel_tsdf.cu:192)
+
+Here every capacity is a config knob so the same jitted program scales from
+tiny CPU test volumes to full-chip HBM-resident volumes.  All shapes derived
+from this config are static, keeping XLA happy (one compilation per config).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+
+@dataclasses.dataclass(frozen=True)
+class TSDFConfig:
+    """Static configuration of a TSDF volume.
+
+    Coordinates: world points are mapped to an integer voxel grid
+    (pos_world / voxel_size, rounded), voxels are grouped into 8^3 blocks
+    (block coord = voxel coord >> 3), and blocks live in a spatial hash.
+    """
+
+    # --- metric parameters (reference: TSDFGrid ctor voxel_tsdf.cu:309) ---
+    voxel_size: float = 0.01
+    truncation: float = 0.06
+
+    # --- capacities (all powers of two) ---
+    # log2 number of hash buckets (reference: 21)
+    num_buckets_log2: int = 18
+    # log2 entries per bucket (reference: 1 -> 2 entries)
+    entries_per_bucket_log2: int = 1
+    # log2 number of voxel blocks in the pool (reference: 18)
+    num_blocks_log2: int = 16
+    # log2 of block side length (reference: 3 -> 8^3 = 512 voxels)
+    block_len_log2: int = 3
+
+    # --- batch-insert machinery (TPU replacement for bucket spin locks) ---
+    # linear probe window per lookup/insert
+    max_probe: int = 16
+    # unique candidate blocks considered for allocation per frame
+    max_candidates: int = 16384
+    # claim rounds for conflict resolution; unresolved candidates are
+    # dropped for this frame (mirrors the reference's fail-open lock retry,
+    # voxel_hash.cu:83-89)
+    insert_rounds: int = 3
+    # compacted winner capacity per insert round (pool rows reset per frame)
+    max_new_per_round: int = 4096
+
+    # --- per-frame working set ---
+    # max visible blocks gathered for fusion / carving per frame
+    max_visible: int = 16384
+
+    # --- fusion constants (voxel_tsdf.cu:174-202, 485) ---
+    max_weight: float = 40.0
+    carve_threshold: float = 0.9
+
+    # --- coordinate packing for dedup keys ---
+    # bits per axis when packing a block coord into one int32; block coords
+    # must lie in [-2^(bits-1), 2^(bits-1)).  10 bits => +/-512 blocks =>
+    # +/-40.9 m extent at 1 cm voxels, +/-16.4 m at 4 mm.
+    coord_bits: int = 10
+
+    # ------------------------------------------------------------------
+    @property
+    def block_len(self) -> int:
+        return 1 << self.block_len_log2
+
+    @property
+    def block_volume(self) -> int:
+        return 1 << (3 * self.block_len_log2)
+
+    @property
+    def num_buckets(self) -> int:
+        return 1 << self.num_buckets_log2
+
+    @property
+    def entries_per_bucket(self) -> int:
+        return 1 << self.entries_per_bucket_log2
+
+    @property
+    def num_entries(self) -> int:
+        return 1 << (self.num_buckets_log2 + self.entries_per_bucket_log2)
+
+    @property
+    def entry_mask(self) -> int:
+        return self.num_entries - 1
+
+    @property
+    def bucket_mask(self) -> int:
+        return self.num_buckets - 1
+
+    @property
+    def num_blocks(self) -> int:
+        return 1 << self.num_blocks_log2
+
+    @property
+    def coord_min(self) -> int:
+        return -(1 << (self.coord_bits - 1))
+
+    @property
+    def coord_max(self) -> int:
+        return (1 << (self.coord_bits - 1)) - 1
+
+    def refine_iters(self, step_size: float) -> int:
+        """Static iteration count for raycast binary refinement.
+
+        The reference refines while the squared endpoint gap (in voxels)
+        exceeds 0.1 (voxel_tsdf.cu:265); the gap quarters per iteration.
+        """
+        gap_sq = (step_size / self.voxel_size) ** 2
+        iters = 0
+        while gap_sq > 0.1 and iters < 16:
+            gap_sq /= 4.0
+            iters += 1
+        return max(iters, 1)
+
+    def validate(self) -> None:
+        assert self.truncation > self.voxel_size
+        assert 3 * self.coord_bits <= 30, "packed block coord must fit int32"
+        assert self.max_probe >= self.entries_per_bucket
+        assert self.num_blocks <= self.num_entries
+
+
+# Small config for unit tests / CPU interpretation.
+TINY = TSDFConfig(
+    num_buckets_log2=8,
+    num_blocks_log2=8,
+    max_probe=8,
+    max_candidates=512,
+    max_visible=256,
+    max_new_per_round=256,
+)
+
+# Default single-chip config mirroring the reference's offline example
+# (examples/tsdf/offline.cc:90 uses voxel 0.01 m, truncation 0.06 m).
+DEFAULT = TSDFConfig()

@@ -1,0 +1,101 @@
+"""The TSDF volume as one functional pytree of HBM-resident arrays.
+
+This fuses the reference's three mutable GPU structures into immutable
+JAX state threaded through jitted steps:
+  - VoxelMemPool   (utils/tsdf/voxel_mem.cuh:95-174): SoA payload arrays +
+    free-list heap with an atomic counter -> `tsdf/weight/rgb/prob` arrays
+    plus a `heap` stack and scalar `num_free`.
+  - VoxelHashTable (utils/tsdf/voxel_hash.cuh:47-183): bucketed entries
+    with spin locks and chained overflow -> flat `entry_pos`/`entry_block`
+    arrays probed linearly; conflicts are resolved by deterministic
+    scatter claims instead of locks (see ops/hash.py).
+  - VoxelBlock metadata (voxel_mem.cuh:73-93).
+
+Entry states in `entry_block`: >= 0 pool index, EMPTY (-1) never used,
+TOMBSTONE (-2) deleted (probe continues past it, like the reference's
+list splice keeping chains intact, voxel_hash.cu:122-171).
+
+Payload semantics (voxel_types.cu):
+  - unallocated reads return tsdf=+1, rgb=0, weight=0, prob=0
+  - freshly acquired blocks reset to tsdf=-1, weight=0, prob=0.5
+    (voxel_mem.cu:43-51); rgb is left stale, exactly like the reference
+    (weight 0 makes the first fusion overwrite it).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from flax import struct
+
+from ..config import TSDFConfig
+
+EMPTY = -1
+TOMBSTONE = -2
+
+# Default payload values for unallocated voxels (VoxelTSDF()/VoxelSEGM()
+# default ctors, voxel_types.cu:8-12).
+DEFAULT_TSDF = 1.0
+DEFAULT_PROB = 0.0
+
+# Reset values on block acquisition (voxel_mem.cu:43-51).
+RESET_TSDF = -1.0
+RESET_PROB = 0.5
+
+
+@struct.dataclass
+class TSDFVolume:
+    """Functional TSDF volume state."""
+
+    # --- spatial hash (E entries) ---
+    entry_pos: jnp.ndarray  # int32 [E, 3] block coordinate
+    entry_block: jnp.ndarray  # int32 [E]  pool idx / EMPTY / TOMBSTONE
+
+    # --- block pool free list (B blocks) ---
+    heap: jnp.ndarray  # int32 [B] stack of free pool indices
+    num_free: jnp.ndarray  # int32 [] stack top (= number of free blocks)
+
+    # --- voxel payloads, SoA (B blocks x 512 voxels) ---
+    tsdf: jnp.ndarray  # f32 [B, V]
+    weight: jnp.ndarray  # f32 [B, V] integral-valued, clamped to max_weight
+    rgb: jnp.ndarray  # f32 [B, V, 3] integral-valued in [0, 255]
+    prob: jnp.ndarray  # f32 [B, V] high-touch probability
+
+    cfg: TSDFConfig = struct.field(pytree_node=False)
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def create(cls, cfg: TSDFConfig) -> "TSDFVolume":
+        cfg.validate()
+        e, b, v = cfg.num_entries, cfg.num_blocks, cfg.block_volume
+        return cls(
+            entry_pos=jnp.zeros((e, 3), jnp.int32),
+            entry_block=jnp.full((e,), EMPTY, jnp.int32),
+            # Stack pops from the top: heap[num_free - 1] first, matching
+            # AquireBlock's atomicSub order (voxel_mem.cu:37-42).
+            heap=jnp.arange(b, dtype=jnp.int32),
+            num_free=jnp.asarray(b, jnp.int32),
+            tsdf=jnp.full((b, v), DEFAULT_TSDF, jnp.float32),
+            weight=jnp.zeros((b, v), jnp.float32),
+            rgb=jnp.zeros((b, v, 3), jnp.float32),
+            prob=jnp.full((b, v), DEFAULT_PROB, jnp.float32),
+            cfg=cfg,
+        )
+
+    @property
+    def num_active_blocks(self) -> jnp.ndarray:
+        """NumActiveBlock equivalent (voxel_hash.cu:207)."""
+        return jnp.asarray(self.cfg.num_blocks, jnp.int32) - self.num_free
+
+    def nbytes(self) -> int:
+        total = 0
+        for f in (
+            self.entry_pos,
+            self.entry_block,
+            self.heap,
+            self.tsdf,
+            self.weight,
+            self.rgb,
+            self.prob,
+        ):
+            total += f.size * f.dtype.itemsize
+        return total

@@ -1,0 +1,127 @@
+"""Voxel export: full-volume and bounding-box gathers + the binary dump.
+
+Rework of TSDFGrid::GatherValid / GatherVoxels / GatherBlock
+(voxel_tsdf.cu:399-472) and the VoxelSpatialTSDF record
+(voxel_types.cuh:48-57).  Compaction is cumsum + drop-scatter; the only
+host transfer is the final (optional) device_get of the fixed-capacity
+result, replacing the reference's per-call cudaMalloc + D2H + sync.
+
+The on-disk dump layout is bit-compatible with the reference's
+/tmp/data.bin consumer (TSDF2Mesh): little-endian float32 records of
+(x, y, z, tsdf) in world metres (offline.cc:184-190).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import voxel as vx
+from ..core.geometry import SE3, CameraParams
+from ..core.state import TSDFVolume
+from .integrate import VisibleSet, compact_mask
+
+
+class BoundingCube(NamedTuple):
+    """Axis-aligned bounds in world metres (voxel_tsdf.cuh:12-27)."""
+
+    xmin: float
+    xmax: float
+    ymin: float
+    ymax: float
+    zmin: float
+    zmax: float
+
+
+class SpatialTSDF(NamedTuple):
+    """Fixed-capacity export: [max_visible * 512] records + live count."""
+
+    position: jnp.ndarray  # f32 [N, 3] world metres
+    tsdf: jnp.ndarray  # f32 [N]
+    weight: jnp.ndarray  # f32 [N]
+    prob: jnp.ndarray  # f32 [N]
+    mask: jnp.ndarray  # bool [N]
+    count: jnp.ndarray  # i32 [] valid records
+
+
+def _download(vol: TSDFVolume, vis: VisibleSet) -> SpatialTSDF:
+    """download_tsdf_kernel rework (voxel_tsdf.cu:34-46): expand visible
+    blocks to per-voxel world positions + payloads."""
+    cfg = vol.cfg
+    bv = cfg.block_volume
+    offs = vx.index_to_offset(jnp.arange(bv, dtype=jnp.int32), cfg)
+    pos_grid = vx.block_to_point(vis.block_pos, cfg)[:, None, :] + offs[None, :, :]
+    pos_world = pos_grid.astype(jnp.float32) * cfg.voxel_size
+
+    pool = jnp.clip(vis.pool_idx, 0, cfg.num_blocks - 1)
+    tsdf = vol.tsdf[pool]
+    weight = vol.weight[pool]
+    prob = vol.prob[pool]
+    mask = jnp.broadcast_to(vis.mask[:, None], tsdf.shape)
+    return SpatialTSDF(
+        position=pos_world.reshape(-1, 3),
+        tsdf=tsdf.reshape(-1),
+        weight=weight.reshape(-1),
+        prob=prob.reshape(-1),
+        mask=mask.reshape(-1),
+        count=vis.count * bv,
+    )
+
+
+def gather_valid(vol: TSDFVolume) -> SpatialTSDF:
+    """All live blocks (GatherValid, voxel_tsdf.cu:399-425)."""
+    live = vol.entry_block >= 0
+    vis = compact_mask(vol, live)
+    return _download(vol, vis)
+
+
+def gather_voxels(vol: TSDFVolume, volume: BoundingCube) -> SpatialTSDF:
+    """Blocks fully inside a world-space bbox (GatherVoxels +
+    check_bound_kernel, voxel_tsdf.cu:14-25, 427-454).
+
+    Bounds are scaled to grid coords with the same truncating cast the
+    reference uses (BoundingCube::Scale<short>)."""
+    cfg = vol.cfg
+    scale = 1.0 / cfg.voxel_size
+    g = [int(v * scale) for v in volume]  # truncation toward zero, like (short)
+    xmin, xmax, ymin, ymax, zmin, zmax = g
+    bl = cfg.block_len
+
+    first = vx.block_to_point(vol.entry_pos, cfg)  # [E, 3]
+    inside = (
+        (vol.entry_block >= 0)
+        & (first[:, 0] >= xmin)
+        & (first[:, 1] >= ymin)
+        & (first[:, 2] >= zmin)
+        & (first[:, 0] + bl - 1 <= xmax)
+        & (first[:, 1] + bl - 1 <= ymax)
+        & (first[:, 2] + bl - 1 <= zmax)
+    )
+    vis = compact_mask(vol, inside)
+    return _download(vol, vis)
+
+
+def to_numpy_records(st: SpatialTSDF) -> np.ndarray:
+    """Compact to a [count, 4] float32 (x, y, z, tsdf) array on host."""
+    n = int(st.count)
+    mask = np.asarray(st.mask)
+    pos = np.asarray(st.position)[mask][:n]
+    tsdf = np.asarray(st.tsdf)[mask][:n]
+    return np.concatenate([pos, tsdf[:, None]], axis=1).astype("<f4")
+
+
+def dump_spatial_tsdf(st: SpatialTSDF, path: str) -> int:
+    """Write the VoxelSpatialTSDF binary (offline.cc:184-190 format).
+
+    Returns the number of records written."""
+    rec = to_numpy_records(st)
+    rec.tofile(path)
+    return rec.shape[0]
+
+
+def load_spatial_tsdf(path: str) -> np.ndarray:
+    """Read a VoxelSpatialTSDF binary -> [N, 4] float32."""
+    raw = np.fromfile(path, dtype="<f4")
+    return raw.reshape(-1, 4)

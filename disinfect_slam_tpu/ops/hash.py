@@ -1,0 +1,276 @@
+"""Lock-free batched spatial hashing on TPU.
+
+The reference mutates its hash table from inside CUDA kernels using
+per-bucket spin locks (`atomicExch`, voxel_hash.cu:58-171); lock losers
+silently drop their allocation and retry next frame.  On TPU there are no
+device-side locks, so allocation is redesigned as a *batched functional
+insert*:
+
+  1. every candidate probes a fixed window of slots (existence check +
+     first-free-slot search) — pure vectorized gathers;
+  2. candidates wanting a free slot claim it with a deterministic
+     scatter-max of their batch index; exactly one winner per slot;
+  3. winners pop pool blocks off the free heap via a prefix-sum rank and
+     reset their payload rows;
+  4. losers retry in the next claim round against the updated table; after
+     `insert_rounds` rounds the rest are dropped for this frame — the same
+     fail-open semantics as the reference's lock retry, but deterministic.
+
+The hash function is kept bit-identical to the reference
+(voxel_hash.cu:31-35): h = (x*73856093 ^ y*19349669 ^ z*83492791) & mask,
+evaluated in wrapping int32 arithmetic.
+
+Deletion writes a TOMBSTONE so probe chains stay intact (the functional
+analogue of the reference's list splice on Delete, voxel_hash.cu:122-171).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import TSDFConfig
+from ..core.state import EMPTY, RESET_PROB, RESET_TSDF, TOMBSTONE, TSDFVolume
+
+_P1 = jnp.int32(73856093)
+_P2 = jnp.int32(19349669)
+_P3 = jnp.int32(83492791)
+
+
+def hash_block(block: jnp.ndarray, cfg: TSDFConfig) -> jnp.ndarray:
+    """Block coord [..., 3] int32 -> bucket index [...].
+
+    int32 multiply wraps (two's complement) so the bit pattern matches the
+    reference's uint32 arithmetic; the final mask keeps it non-negative.
+    """
+    x = block[..., 0] * _P1
+    y = block[..., 1] * _P2
+    z = block[..., 2] * _P3
+    return (x ^ y ^ z) & cfg.bucket_mask
+
+
+def probe_slots(block: jnp.ndarray, cfg: TSDFConfig) -> jnp.ndarray:
+    """Probe window [..., max_probe] of entry indices for a block coord.
+
+    Probing starts at the bucket's first entry and walks linearly with
+    wraparound — the open-addressing replacement for the reference's
+    2-entry bucket + chained overflow list.
+    """
+    base = hash_block(block, cfg) << cfg.entries_per_bucket_log2
+    offs = jnp.arange(cfg.max_probe, dtype=jnp.int32)
+    return (base[..., None] + offs) & cfg.entry_mask
+
+
+def lookup(vol: TSDFVolume, block: jnp.ndarray) -> jnp.ndarray:
+    """Batched retrieve: block coords [N, 3] -> pool indices [N] (-1 miss).
+
+    Functional analogue of VoxelHashTable::RetrieveMutable
+    (voxel_hash.cuh:124-161): probe the window, return the pool index of
+    the matching live entry.
+    """
+    cfg = vol.cfg
+    slots = probe_slots(block, cfg)  # [N, K]
+    epos = vol.entry_pos[slots]  # [N, K, 3]
+    eblk = vol.entry_block[slots]  # [N, K]
+    match = (eblk >= 0) & jnp.all(epos == block[..., None, :], axis=-1)
+    found = jnp.any(match, axis=-1)
+    first = jnp.argmax(match, axis=-1)
+    blk = jnp.take_along_axis(eblk, first[..., None], axis=-1)[..., 0]
+    return jnp.where(found, blk, EMPTY)
+
+
+def lookup_entry(vol: TSDFVolume, block: jnp.ndarray) -> jnp.ndarray:
+    """Like lookup() but returns the *entry* index [N] (-1 miss)."""
+    cfg = vol.cfg
+    slots = probe_slots(block, cfg)
+    epos = vol.entry_pos[slots]
+    eblk = vol.entry_block[slots]
+    match = (eblk >= 0) & jnp.all(epos == block[..., None, :], axis=-1)
+    found = jnp.any(match, axis=-1)
+    first = jnp.argmax(match, axis=-1)
+    slot = jnp.take_along_axis(slots, first[..., None], axis=-1)[..., 0]
+    return jnp.where(found, slot, EMPTY)
+
+
+def _claim_round(
+    vol: TSDFVolume, block: jnp.ndarray, pending: jnp.ndarray
+) -> Tuple[TSDFVolume, jnp.ndarray]:
+    """One existence-check + claim + allocate round over [M] candidates."""
+    cfg = vol.cfg
+    m = block.shape[0]
+    num_entries = cfg.num_entries
+
+    slots = probe_slots(block, cfg)  # [M, K]
+    epos = vol.entry_pos[slots]
+    eblk = vol.entry_block[slots]
+
+    # Existence: a live entry with our coord anywhere in the window.
+    exists = jnp.any((eblk >= 0) & jnp.all(epos == block[:, None, :], axis=-1), axis=-1)
+    pending = pending & ~exists
+
+    # First free (empty or tombstone) slot in the window.
+    free = eblk < 0
+    has_free = jnp.any(free, axis=-1)
+    first_free = jnp.argmax(free, axis=-1)
+    target = jnp.take_along_axis(slots, first_free[:, None], axis=-1)[:, 0]
+
+    want = pending & has_free
+    cand_id = jnp.arange(m, dtype=jnp.int32)
+    # Deterministic conflict resolution: max candidate id wins the slot.
+    claim_slot = jnp.where(want, target, num_entries)  # OOB -> dropped
+    claims = (
+        jnp.full((num_entries,), -1, jnp.int32)
+        .at[claim_slot]
+        .max(cand_id, mode="drop")
+    )
+    won = want & (claims[target] == cand_id)
+
+    # Pool acquisition: winner i takes heap[num_free - 1 - rank_i]
+    # (stack pop order of AquireBlock, voxel_mem.cu:37-42).
+    rank = jnp.cumsum(won.astype(jnp.int32)) - 1
+    heap_idx = vol.num_free - 1 - rank
+    can_alloc = won & (heap_idx >= 0)
+    pool_idx = vol.heap[jnp.clip(heap_idx, 0, cfg.num_blocks - 1)]
+
+    # Write entries (scatter, unique slots by construction).
+    wslot = jnp.where(can_alloc, target, num_entries)
+    entry_block = vol.entry_block.at[wslot].set(pool_idx, mode="drop")
+    entry_pos = vol.entry_pos.at[wslot].set(block, mode="drop")
+    n_alloc = jnp.sum(can_alloc.astype(jnp.int32))
+    num_free = vol.num_free - n_alloc
+
+    # Reset payload rows of acquired blocks (voxel_mem.cu:43-51).  Compact
+    # winners into a small buffer first so the scatter touches at most
+    # max_new_per_round rows instead of M.
+    w = cfg.max_new_per_round
+    crank = jnp.where(can_alloc & (rank < w), rank, w)
+    compact = (
+        jnp.full((w,), cfg.num_blocks, jnp.int32).at[crank].set(pool_idx, mode="drop")
+    )
+    v = cfg.block_volume
+    tsdf = vol.tsdf.at[compact].set(
+        jnp.full((w, v), RESET_TSDF, jnp.float32), mode="drop"
+    )
+    weight = vol.weight.at[compact].set(jnp.zeros((w, v), jnp.float32), mode="drop")
+    prob = vol.prob.at[compact].set(
+        jnp.full((w, v), RESET_PROB, jnp.float32), mode="drop"
+    )
+
+    vol = vol.replace(
+        entry_pos=entry_pos,
+        entry_block=entry_block,
+        num_free=num_free,
+        tsdf=tsdf,
+        weight=weight,
+        prob=prob,
+    )
+    pending = pending & ~can_alloc
+    return vol, pending
+
+
+def insert(
+    vol: TSDFVolume, block: jnp.ndarray, valid: jnp.ndarray
+) -> Tuple[TSDFVolume, jnp.ndarray]:
+    """Batch-insert block coords [M, 3] where valid [M].
+
+    Returns (volume, dropped_mask). Candidates unresolved after
+    cfg.insert_rounds claim rounds are dropped (fail-open, like the
+    reference's lock-miss retry-next-frame, voxel_hash.cu:83-89).
+    """
+    pending = valid
+    for _ in range(vol.cfg.insert_rounds):
+        vol, pending = _claim_round(vol, block, pending)
+    return vol, pending
+
+
+def delete_entries(
+    vol: TSDFVolume, entry_idx: jnp.ndarray, valid: jnp.ndarray
+) -> TSDFVolume:
+    """Batch-delete by entry index [N]; releases pool blocks to the heap.
+
+    Functional analogue of VoxelHashTable::Delete (voxel_hash.cu:122-171):
+    instead of list splicing, the entry becomes a TOMBSTONE that probes
+    walk through. ReleaseBlock pushes the pool idx back on the stack
+    (voxel_mem.cu:57-61).
+    """
+    cfg = vol.cfg
+    num_entries = cfg.num_entries
+    safe_idx = jnp.clip(entry_idx, 0, num_entries - 1)
+    blk = vol.entry_block[safe_idx]
+    valid = valid & (entry_idx >= 0) & (blk >= 0)
+
+    wslot = jnp.where(valid, safe_idx, num_entries)
+    entry_block = vol.entry_block.at[wslot].set(TOMBSTONE, mode="drop")
+
+    rank = jnp.cumsum(valid.astype(jnp.int32)) - 1
+    heap_pos = jnp.where(valid, vol.num_free + rank, cfg.num_blocks)
+    heap = vol.heap.at[heap_pos].set(blk, mode="drop")
+    num_free = vol.num_free + jnp.sum(valid.astype(jnp.int32))
+    return vol.replace(entry_block=entry_block, heap=heap, num_free=num_free)
+
+
+def read_voxels(
+    vol: TSDFVolume, point: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Read (tsdf, rgb, weight, prob) at integer voxel coords [N, 3].
+
+    Misses return the default voxel payloads (VoxelTSDF()=+1 etc.,
+    voxel_types.cu:8-12), matching Retrieve's default-on-miss
+    (voxel_hash.cuh:104-112).
+    """
+    from ..core import voxel as vx
+    from ..core.state import DEFAULT_PROB, DEFAULT_TSDF
+
+    cfg = vol.cfg
+    blk_coord = vx.point_to_block(point, cfg)
+    pool = lookup(vol, blk_coord)  # [N]
+    hit = pool >= 0
+    pool_safe = jnp.where(hit, pool, 0)
+    vidx = vx.offset_to_index(vx.point_to_offset(point, cfg), cfg)
+    tsdf = jnp.where(hit, vol.tsdf[pool_safe, vidx], DEFAULT_TSDF)
+    rgb = jnp.where(hit[:, None], vol.rgb[pool_safe, vidx], 0.0)
+    weight = jnp.where(hit, vol.weight[pool_safe, vidx], 0.0)
+    prob = jnp.where(hit, vol.prob[pool_safe, vidx], DEFAULT_PROB)
+    return tsdf, rgb, weight, prob
+
+
+def read_tsdf(vol: TSDFVolume, point: jnp.ndarray) -> jnp.ndarray:
+    """TSDF-only read at integer voxel coords [..., 3] (hot raycast path)."""
+    from ..core import voxel as vx
+    from ..core.state import DEFAULT_TSDF
+
+    cfg = vol.cfg
+    blk_coord = vx.point_to_block(point, cfg)
+    pool = lookup(vol, blk_coord)
+    hit = pool >= 0
+    pool_safe = jnp.where(hit, pool, 0)
+    vidx = vx.offset_to_index(vx.point_to_offset(point, cfg), cfg)
+    return jnp.where(hit, vol.tsdf[pool_safe, vidx], DEFAULT_TSDF)
+
+
+def trilinear_tsdf(vol: TSDFVolume, point: jnp.ndarray) -> jnp.ndarray:
+    """Trilinearly interpolated TSDF at fractional voxel coords [N, 3].
+
+    Mirrors RetrieveTSDF (voxel_hash.cu:173-200) including its corner
+    weighting: alpha = ceil-corner - point, corner i uses floor when the
+    corresponding bit is set.
+    """
+    pl = jnp.floor(point)
+    alpha = pl + 1.0 - point  # = ph - point
+    vals = []
+    for i in range(8):
+        cx = pl[..., 0] if (i >> 2) & 1 else pl[..., 0] + 1.0
+        cy = pl[..., 1] if (i >> 1) & 1 else pl[..., 1] + 1.0
+        cz = pl[..., 2] if (i >> 0) & 1 else pl[..., 2] + 1.0
+        corner = jnp.stack([cx, cy, cz], axis=-1).astype(jnp.int32)
+        vals.append(read_tsdf(vol, corner))
+    ax, ay, az = alpha[..., 0], alpha[..., 1], alpha[..., 2]
+    t00 = vals[0b000] * az + vals[0b001] * (1 - az)
+    t01 = vals[0b010] * az + vals[0b011] * (1 - az)
+    t10 = vals[0b100] * az + vals[0b101] * (1 - az)
+    t11 = vals[0b110] * az + vals[0b111] * (1 - az)
+    t0 = t00 * ay + t01 * (1 - ay)
+    t1 = t10 * ay + t11 * (1 - ay)
+    return t0 * ax + t1 * (1 - ax)

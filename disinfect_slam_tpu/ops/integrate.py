@@ -1,0 +1,383 @@
+"""Per-frame TSDF integration as one functional, jit-compiled step.
+
+TPU-native rework of TSDFGrid::Integrate (voxel_tsdf.cu:347-375) and its
+kernel pipeline:
+
+  reference (CUDA)                          here (XLA/JAX)
+  ---------------------------------------   ---------------------------------
+  block_allocate_kernel: per-pixel DDA +    candidate generation (vectorized
+    per-thread locked hash Allocate           DDA) -> packed unique -> batched
+    (voxel_tsdf.cu:104-147)                   lock-free insert (ops/hash.py)
+  check_visibility_kernel over all           frustum mask over all entries
+    entries (voxel_tsdf.cu:82-93)             (any-corner test)
+  prefix_sum + gather_visible_blocks +       cumsum + drop-scatter compaction;
+    D2H count + stream sync                   the count STAYS ON DEVICE (kills
+    (voxel_tsdf.cu:456-472)                   the per-frame sync at :469)
+  tsdf_integrate_kernel, 8^3 threads per     fused elementwise update over
+    visible block (voxel_tsdf.cu:149-205)     [max_visible, 512] voxel rows
+  space_carving_kernel min-reduce + Delete   row min + batched tombstone delete
+    (voxel_tsdf.cu:207-230)
+
+Fusion math is kept formula-identical for golden parity:
+  sdf    = depth_to_range * (depth - z_cam)             (voxel_tsdf.cu:174)
+  tsdf   = min(1, sdf / truncation)   if sdf > -trunc   (:175-176)
+  w_new  = (1 - depth / max_depth) * 4                  (:182)
+  tsdf' := (tsdf*w_old + tsdf_new*w_new) / (w_old+w_new)(:191)
+  w'    := min(round(w_old + w_new), 40)                (:192)
+  rgb'  := round((rgb*w_old + rgb_new*w_new) / w_c)     (:189-194)
+  p'    := geometric-mean log-odds fusion of ht/lt      (:196-202)
+  carve block if min |tsdf| >= 0.9 over its 512 voxels  (:207-230, :485)
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import TSDFConfig
+from ..core import voxel as vx
+from ..core.geometry import SE3, CameraParams
+from ..core.state import TSDFVolume
+from . import hash as h
+
+
+class FrameInput(NamedTuple):
+    """One RGB-D(+semantics) frame staged for fusion.
+
+    Mirrors TSDFSystemInput (modules/tsdf_module.h:16-30): missing ht/lt
+    default to all-ones (tsdf_module.cc:32-33).
+    """
+
+    rgb: jnp.ndarray  # f32 [H, W, 3] in [0, 255]
+    depth: jnp.ndarray  # f32 [H, W] metres (0 = invalid)
+    ht: jnp.ndarray  # f32 [H, W] high-touch probability
+    lt: jnp.ndarray  # f32 [H, W] low-touch probability
+
+
+def depth_to_range(cam: CameraParams) -> jnp.ndarray:
+    """Per-pixel depth->range conversion factors [H, W].
+
+    |K^-1 (u, v, 1)| as computed in block_allocate_kernel
+    (voxel_tsdf.cu:117-120); constant per intrinsics so it is hoisted out
+    of the per-frame path here instead of being rewritten every frame.
+    """
+    u = jnp.arange(cam.img_w, dtype=jnp.float32)
+    v = jnp.arange(cam.img_h, dtype=jnp.float32)
+    uu, vv = jnp.meshgrid(u, v)  # [H, W]
+    ones = jnp.ones_like(uu)
+    pos_cam = cam.intrinsics_inv.project(jnp.stack([uu, vv, ones], axis=-1))
+    return jnp.linalg.norm(pos_cam, axis=-1)
+
+
+def _project_visible(
+    pos_grid: jnp.ndarray, cam_T_world: SE3, cam: CameraParams, voxel_size: float
+) -> jnp.ndarray:
+    """is_voxel_visible (voxel_tsdf.cu:48-57) over voxel coords [..., 3]."""
+    pos_world = pos_grid.astype(jnp.float32) * voxel_size
+    pos_cam = cam_T_world.apply(pos_world)
+    pih = cam.intrinsics.project(pos_cam)
+    z = pih[..., 2]
+    u = pih[..., 0] / z
+    v = pih[..., 1] / z
+    return (
+        (u >= 0)
+        & (u <= cam.img_w - 1)
+        & (v >= 0)
+        & (v <= cam.img_h - 1)
+        & (z >= 0)
+    )
+
+
+def block_visibility(
+    block_pos: jnp.ndarray,
+    cam_T_world: SE3,
+    cam: CameraParams,
+    cfg: TSDFConfig,
+    full: bool,
+) -> jnp.ndarray:
+    """is_block_visible<Full> (voxel_tsdf.cu:59-80) over block coords [..., 3].
+
+    full=True: all 8 corners visible (allocation gate); full=False: any
+    corner visible (per-frame visibility sweep).
+    """
+    base = vx.block_to_point(block_pos, cfg)
+    bl = cfg.block_len - 1
+    acc = None
+    for i in range(8):
+        corner = base + jnp.array(
+            [(i >> 0) & 1, (i >> 1) & 1, (i >> 2) & 1], jnp.int32
+        ) * bl
+        vis = _project_visible(corner, cam_T_world, cam, cfg.voxel_size)
+        if acc is None:
+            acc = vis
+        else:
+            acc = (acc & vis) if full else (acc | vis)
+    return acc
+
+
+# ----------------------------------------------------------------------
+# Stage 1: candidate block generation (block_allocate_kernel rework)
+# ----------------------------------------------------------------------
+def _dda_steps(cfg: TSDFConfig) -> int:
+    """Static bound on per-pixel DDA samples: the ray spans 2*truncation,
+    stepped in BLOCK_LEN-voxel units (voxel_tsdf.cu:136-138)."""
+    return int(math.ceil(2.0 * cfg.truncation / (cfg.voxel_size * cfg.block_len))) + 1
+
+
+def generate_candidates(
+    frame_depth: jnp.ndarray,
+    d2r: jnp.ndarray,
+    cam: CameraParams,
+    cam_T_world: SE3,
+    world_T_cam: SE3,
+    max_depth: float,
+    cfg: TSDFConfig,
+) -> jnp.ndarray:
+    """Per-pixel DDA along the camera ray over [-trunc, +trunc] around the
+    surface sample, emitting packed candidate block keys [H*W*S]
+    (sentinel-keyed where invalid).  Mirrors voxel_tsdf.cu:104-147."""
+    hgt, wid = frame_depth.shape
+    u = jnp.arange(wid, dtype=jnp.float32)
+    v = jnp.arange(hgt, dtype=jnp.float32)
+    uu, vv = jnp.meshgrid(u, v)
+    pos_cam = cam.intrinsics_inv.project(
+        jnp.stack([uu, vv, jnp.ones_like(uu)], axis=-1)
+    )  # [H, W, 3] at depth 1
+
+    depth = frame_depth
+    valid = (depth > 0) & (depth <= max_depth)
+
+    pos_world = world_T_cam.apply(pos_cam * depth[..., None])
+    ray_dir_world = world_T_cam.rotate(pos_cam / d2r[..., None])
+    ray_start = pos_world - ray_dir_world * cfg.truncation
+
+    inv_vs = 1.0 / cfg.voxel_size
+    ray_start_grid = ray_start * inv_vs
+    ray_grid = ray_dir_world * (2.0 * cfg.truncation * inv_vs)
+
+    # per-pixel step count (voxel_tsdf.cu:136-138)
+    n_steps = jnp.ceil(
+        jnp.max(jnp.abs(ray_grid), axis=-1) / cfg.block_len
+    ).astype(jnp.int32)
+    step_vec = ray_grid / jnp.maximum(n_steps.astype(jnp.float32), 1.0)[..., None]
+
+    s_max = _dda_steps(cfg)
+    keys = []
+    for i in range(s_max):
+        pos = ray_start_grid + step_vec * float(i)
+        pt = jnp.round(pos).astype(jnp.int32)
+        blk = vx.point_to_block(pt, cfg)
+        ok = (
+            valid
+            & (i <= n_steps)
+            & vx.in_coord_range(blk, cfg)
+            & block_visibility(blk, cam_T_world, cam, cfg, full=True)
+        )
+        key = jnp.where(ok, vx.pack_block_coord(blk, cfg), vx.sentinel_key(cfg))
+        keys.append(key.reshape(-1))
+    return jnp.concatenate(keys)
+
+
+def allocate_blocks(
+    vol: TSDFVolume,
+    frame_depth: jnp.ndarray,
+    d2r: jnp.ndarray,
+    cam: CameraParams,
+    cam_T_world: SE3,
+    max_depth: float,
+) -> TSDFVolume:
+    """Dedup candidates and batch-insert them (Allocate, voxel_tsdf.cu:377-386)."""
+    cfg = vol.cfg
+    world_T_cam = cam_T_world.inverse()
+    keys = generate_candidates(
+        frame_depth, d2r, cam, cam_T_world, world_T_cam, max_depth, cfg
+    )
+    sent = vx.sentinel_key(cfg)
+    uniq = jnp.unique(keys, size=cfg.max_candidates, fill_value=sent)
+    valid = uniq < sent
+    coords = vx.unpack_block_coord(uniq, cfg)
+    vol, _dropped = h.insert(vol, coords, valid)
+    return vol
+
+
+# ----------------------------------------------------------------------
+# Stage 2: visibility sweep + on-device compaction (GatherVisible rework)
+# ----------------------------------------------------------------------
+class VisibleSet(NamedTuple):
+    """Compacted visible blocks; count stays on device (no host sync)."""
+
+    entry_idx: jnp.ndarray  # i32 [V] hash entry index (pad: num_entries)
+    block_pos: jnp.ndarray  # i32 [V, 3]
+    pool_idx: jnp.ndarray  # i32 [V] (pad: num_blocks)
+    mask: jnp.ndarray  # bool [V]
+    count: jnp.ndarray  # i32 []
+
+
+def compact_mask(vol: TSDFVolume, mask: jnp.ndarray) -> VisibleSet:
+    """Stream-compact masked entries into a fixed [max_visible] set.
+
+    Replaces prefix_sum + gather_visible_blocks_kernel + the D2H count
+    readback (voxel_tsdf.cu:456-472) with cumsum + drop-mode scatter.
+    """
+    cfg = vol.cfg
+    vcap = cfg.max_visible
+    rank = jnp.cumsum(mask.astype(jnp.int32)) - 1
+    slot = jnp.where(mask & (rank < vcap), rank, vcap)
+    src = jnp.arange(cfg.num_entries, dtype=jnp.int32)
+    entry_idx = (
+        jnp.full((vcap,), cfg.num_entries, jnp.int32).at[slot].set(src, mode="drop")
+    )
+    count = jnp.minimum(jnp.sum(mask.astype(jnp.int32)), vcap)
+    vmask = jnp.arange(vcap) < count
+    safe = jnp.clip(entry_idx, 0, cfg.num_entries - 1)
+    block_pos = jnp.where(vmask[:, None], vol.entry_pos[safe], 0)
+    pool_idx = jnp.where(vmask, vol.entry_block[safe], cfg.num_blocks)
+    return VisibleSet(entry_idx, block_pos, pool_idx, vmask, count)
+
+
+def gather_visible(
+    vol: TSDFVolume, cam: CameraParams, cam_T_world: SE3
+) -> VisibleSet:
+    """check_visibility_kernel (voxel_tsdf.cu:82-93): any-corner frustum
+    test over every live entry, then compaction."""
+    cfg = vol.cfg
+    live = vol.entry_block >= 0
+    vis = block_visibility(vol.entry_pos, cam_T_world, cam, cfg, full=False)
+    return compact_mask(vol, live & vis)
+
+
+# ----------------------------------------------------------------------
+# Stage 3: fusion (tsdf_integrate_kernel rework)
+# ----------------------------------------------------------------------
+def fuse_visible(
+    vol: TSDFVolume,
+    vis: VisibleSet,
+    frame: FrameInput,
+    d2r: jnp.ndarray,
+    cam: CameraParams,
+    cam_T_world: SE3,
+    max_depth: float,
+) -> TSDFVolume:
+    """Weighted running-average fusion over [max_visible, 512] voxels.
+
+    Formula-identical to tsdf_integrate_kernel (voxel_tsdf.cu:149-205).
+    """
+    cfg = vol.cfg
+    vcap, bv = cfg.max_visible, cfg.block_volume
+
+    # absolute voxel coords of every voxel in every visible block
+    offs = vx.index_to_offset(jnp.arange(bv, dtype=jnp.int32), cfg)  # [512, 3]
+    pos_grid = vx.block_to_point(vis.block_pos, cfg)[:, None, :] + offs[None, :, :]
+
+    pos_world = pos_grid.astype(jnp.float32) * cfg.voxel_size
+    pos_cam = cam_T_world.apply(pos_world)
+    pih = cam.intrinsics.project(pos_cam)  # [V, 512, 3]
+    z = pih[..., 2]
+    u = jnp.round(pih[..., 0] / z).astype(jnp.int32)
+    v = jnp.round(pih[..., 1] / z).astype(jnp.int32)
+    in_img = (u >= 0) & (u < cam.img_w) & (v >= 0) & (v < cam.img_h)
+    us = jnp.clip(u, 0, cam.img_w - 1)
+    vs = jnp.clip(v, 0, cam.img_h - 1)
+
+    depth = frame.depth[vs, us]
+    depth_ok = (depth > 0) & (depth <= max_depth)
+    sdf = d2r[vs, us] * (depth - z)
+    sdf_ok = sdf > -cfg.truncation
+    update = vis.mask[:, None] & in_img & depth_ok & sdf_ok
+
+    tsdf_new = jnp.minimum(1.0, sdf / cfg.truncation)
+    w_new = (1.0 - depth / max_depth) * 4.0
+
+    pool = jnp.clip(vis.pool_idx, 0, cfg.num_blocks - 1)  # [V]
+    tsdf_old = vol.tsdf[pool]  # [V, 512]
+    w_old = vol.weight[pool]
+    rgb_old = vol.rgb[pool]  # [V, 512, 3]
+    prob_old = vol.prob[pool]
+
+    w_comb = w_old + w_new
+    w_safe = jnp.where(w_comb == 0, 1.0, w_comb)
+    tsdf_upd = (tsdf_old * w_old + tsdf_new * w_new) / w_safe
+    rgb_new = frame.rgb[vs, us]  # [V, 512, 3]
+    rgb_upd = jnp.round(
+        (rgb_old * w_old[..., None] + rgb_new * w_new[..., None]) / w_safe[..., None]
+    )
+    w_upd = jnp.minimum(jnp.round(w_comb), cfg.max_weight)
+    # log-space geometric fusion of ht/lt (voxel_tsdf.cu:196-202)
+    ht = frame.ht[vs, us]
+    lt = frame.lt[vs, us]
+    positive = jnp.exp((w_old * jnp.log(prob_old) + w_new * jnp.log(ht)) / w_safe)
+    negative = jnp.exp(
+        (w_old * jnp.log(1.0 - prob_old) + w_new * jnp.log(lt)) / w_safe
+    )
+    prob_upd = positive / (positive + negative)
+
+    tsdf_w = jnp.where(update, tsdf_upd, tsdf_old)
+    w_w = jnp.where(update, w_upd, w_old)
+    rgb_w = jnp.where(update[..., None], rgb_upd, rgb_old)
+    prob_w = jnp.where(update, prob_upd, prob_old)
+
+    # scatter rows back (padded rows drop via OOB index)
+    wpool = jnp.where(vis.mask, vis.pool_idx, cfg.num_blocks)
+    return vol.replace(
+        tsdf=vol.tsdf.at[wpool].set(tsdf_w, mode="drop"),
+        weight=vol.weight.at[wpool].set(w_w, mode="drop"),
+        rgb=vol.rgb.at[wpool].set(rgb_w, mode="drop"),
+        prob=vol.prob.at[wpool].set(prob_w, mode="drop"),
+    )
+
+
+# ----------------------------------------------------------------------
+# Stage 4: space carving (space_carving_kernel rework)
+# ----------------------------------------------------------------------
+def space_carve(vol: TSDFVolume, vis: VisibleSet) -> TSDFVolume:
+    """Delete visible blocks whose min |tsdf| >= carve threshold
+    (voxel_tsdf.cu:207-230, threshold 0.9 at :485)."""
+    cfg = vol.cfg
+    pool = jnp.clip(vis.pool_idx, 0, cfg.num_blocks - 1)
+    min_abs = jnp.min(jnp.abs(vol.tsdf[pool]), axis=-1)
+    doomed = vis.mask & (min_abs >= cfg.carve_threshold)
+    return h.delete_entries(vol, vis.entry_idx, doomed)
+
+
+# ----------------------------------------------------------------------
+# Full per-frame step
+# ----------------------------------------------------------------------
+def integrate(
+    vol: TSDFVolume,
+    frame: FrameInput,
+    cam: CameraParams,
+    cam_T_world: SE3,
+    max_depth: float,
+) -> TSDFVolume:
+    """One frame of semantic TSDF fusion (TSDFGrid::Integrate,
+    voxel_tsdf.cu:347-375). Pure function of (volume, frame, pose); jit it
+    with donate_argnums=0 to update the volume in place in HBM."""
+    d2r = depth_to_range(cam)
+    vol = allocate_blocks(vol, frame.depth, d2r, cam, cam_T_world, max_depth)
+    vis = gather_visible(vol, cam, cam_T_world)
+    vol = fuse_visible(vol, vis, frame, d2r, cam, cam_T_world, max_depth)
+    vol = space_carve(vol, vis)
+    return vol
+
+
+@partial(jax.jit, static_argnums=(2, 4), donate_argnums=(0,))
+def integrate_jit(
+    vol: TSDFVolume,
+    frame: FrameInput,
+    cam_size: Tuple[int, int],
+    cam_intr: jnp.ndarray,
+    max_depth: float,
+    cam_T_world_mat: jnp.ndarray,
+) -> TSDFVolume:
+    """Convenience jitted entry: intrinsics as (fx, fy, cx, cy) array,
+    pose as a 4x4 matrix, image size static."""
+    from ..core.geometry import CameraIntrinsics
+
+    intr = CameraIntrinsics.create(cam_intr[0], cam_intr[1], cam_intr[2], cam_intr[3])
+    cam = CameraParams.create(intr, cam_size[0], cam_size[1])
+    pose = SE3.from_matrix(cam_T_world_mat)
+    return integrate(vol, frame, cam, pose, max_depth)
