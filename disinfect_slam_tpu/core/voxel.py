@@ -86,3 +86,13 @@ def in_coord_range(block: jnp.ndarray, cfg: TSDFConfig) -> jnp.ndarray:
 # Sentinel pack key: larger than any valid key, sorts last.
 def sentinel_key(cfg: TSDFConfig) -> int:
     return 1 << (3 * cfg.coord_bits)
+
+
+def round_half_away(x: jnp.ndarray) -> jnp.ndarray:
+    """CUDA roundf semantics: round half away from zero.
+
+    jnp.round is half-to-even; the reference rounds voxel projections and
+    fused rgb/weights with roundf (e.g. voxel_tsdf.cu:165-166, 192-194),
+    so exact-parity goldens need this variant.
+    """
+    return jnp.where(x >= 0, jnp.floor(x + 0.5), jnp.ceil(x - 0.5))

@@ -1,0 +1,127 @@
+"""High-touch / low-touch semantic segmentation in JAX (flax.linen).
+
+Replaces the reference's TorchScript inference engine
+(segmentation/inference.{h,cc}).  The reference ships no model weights
+(the .pt is external); its *contract* is what matters and is preserved:
+
+  - input: RGB image resized to 640x352, normalized to [0, 1]
+    (inference.cc:8-9, 50)
+  - output: a 2-channel probability map — channel 0 = high-touch (ht),
+    channel 1 = low-touch (lt) — returned as two float32 maps resized to
+    640x360, or uint8 maps scaled by 255 (inference.cc:46-69)
+
+The network is a TPU-first design rather than a port: a compact U-Net
+over NHWC bfloat16 with MXU-friendly channel widths (multiples of 128 in
+the trunk), strided-conv downsampling and resize-conv upsampling, all
+shapes static so XLA fuses the whole forward into a handful of
+convolution kernels.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# reference contract (inference.cc:49-50, 25)
+INFER_W, INFER_H = 640, 352
+OUTPUT_W, OUTPUT_H = 640, 360
+
+
+class ConvBlock(nn.Module):
+    features: int
+    stride: int = 1
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(
+            self.features, (3, 3), strides=(self.stride, self.stride),
+            padding="SAME", use_bias=False, dtype=self.dtype,
+        )(x)
+        x = nn.GroupNorm(num_groups=min(32, self.features), dtype=self.dtype)(x)
+        return nn.silu(x)
+
+
+class UNetSeg(nn.Module):
+    """Encoder-decoder segmentation net with skip connections.
+
+    widths are chosen so deep-stage channel dims are MXU-tile friendly
+    (128/256) while the full-res stages stay cheap.
+    """
+
+    widths: Sequence[int] = (32, 64, 128, 256)
+    num_classes: int = 2
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        # x: f32 [N, H, W, 3] in [0, 1]
+        x = x.astype(self.dtype)
+        skips = []
+        for i, w in enumerate(self.widths):
+            x = ConvBlock(w, stride=1 if i == 0 else 2, dtype=self.dtype)(x)
+            x = ConvBlock(w, dtype=self.dtype)(x)
+            skips.append(x)
+        # bottleneck
+        x = ConvBlock(self.widths[-1], stride=2, dtype=self.dtype)(x)
+        x = ConvBlock(self.widths[-1], dtype=self.dtype)(x)
+        # decoder
+        for w, skip in zip(reversed(self.widths), reversed(skips)):
+            n, h, w_, c = skip.shape
+            x = jax.image.resize(x, (n, h, w_, x.shape[-1]), "nearest")
+            x = nn.Conv(w, (3, 3), padding="SAME", use_bias=False, dtype=self.dtype)(x)
+            x = nn.GroupNorm(num_groups=min(32, w), dtype=self.dtype)(x)
+            x = nn.silu(x)
+            x = jnp.concatenate([x, skip], axis=-1)
+            x = ConvBlock(w, dtype=self.dtype)(x)
+        logits = nn.Conv(self.num_classes, (1, 1), dtype=jnp.float32)(x)
+        return logits  # [N, H, W, 2]
+
+
+def create_model(widths=(32, 64, 128, 256), dtype=jnp.bfloat16) -> UNetSeg:
+    return UNetSeg(widths=widths, dtype=dtype)
+
+
+def init_params(model: UNetSeg, rng, h: int = INFER_H, w: int = INFER_W):
+    return model.init(rng, jnp.zeros((1, h, w, 3), jnp.float32))
+
+
+class InferenceEngine:
+    """API parity with segmentation::inference_engine (inference.h:11-22).
+
+    infer_one(rgb, ret_uint8) -> [ht_map, lt_map], each resized to
+    640x360 like float_tensor_to_float_mat (inference.cc:25).
+    """
+
+    def __init__(self, model: UNetSeg, params, out_size: Tuple[int, int] = (OUTPUT_H, OUTPUT_W)):
+        self.model = model
+        self.params = params
+        self.out_h, self.out_w = out_size
+
+        @jax.jit
+        def _forward(params, img):
+            # img: f32 [H, W, 3] in [0, 255] at arbitrary size
+            x = jax.image.resize(img, (INFER_H, INFER_W, 3), "linear") / 255.0
+            logits = self.model.apply(params, x[None])[0]  # [h, w, 2]
+            probs = jax.nn.sigmoid(logits)
+            probs = jax.image.resize(
+                probs, (self.out_h, self.out_w, 2), "linear"
+            )
+            return probs
+
+        self._forward = _forward
+
+    def infer_one(self, rgb_img: np.ndarray, ret_uint8: bool = False):
+        probs = np.asarray(
+            self._forward(self.params, jnp.asarray(rgb_img, jnp.float32))
+        )
+        ht, lt = probs[..., 0], probs[..., 1]
+        if ret_uint8:
+            ht = np.clip(ht * 255, 0, 255).astype(np.uint8)
+            lt = np.clip(lt * 255, 0, 255).astype(np.uint8)
+        return [ht, lt]

@@ -169,7 +169,7 @@ def generate_candidates(
     keys = []
     for i in range(s_max):
         pos = ray_start_grid + step_vec * float(i)
-        pt = jnp.round(pos).astype(jnp.int32)
+        pt = vx.round_half_away(pos).astype(jnp.int32)
         blk = vx.point_to_block(pt, cfg)
         ok = (
             valid
@@ -277,8 +277,8 @@ def fuse_visible(
     pos_cam = cam_T_world.apply(pos_world)
     pih = cam.intrinsics.project(pos_cam)  # [V, 512, 3]
     z = pih[..., 2]
-    u = jnp.round(pih[..., 0] / z).astype(jnp.int32)
-    v = jnp.round(pih[..., 1] / z).astype(jnp.int32)
+    u = vx.round_half_away(pih[..., 0] / z).astype(jnp.int32)
+    v = vx.round_half_away(pih[..., 1] / z).astype(jnp.int32)
     in_img = (u >= 0) & (u < cam.img_w) & (v >= 0) & (v < cam.img_h)
     us = jnp.clip(u, 0, cam.img_w - 1)
     vs = jnp.clip(v, 0, cam.img_h - 1)
@@ -302,10 +302,10 @@ def fuse_visible(
     w_safe = jnp.where(w_comb == 0, 1.0, w_comb)
     tsdf_upd = (tsdf_old * w_old + tsdf_new * w_new) / w_safe
     rgb_new = frame.rgb[vs, us]  # [V, 512, 3]
-    rgb_upd = jnp.round(
+    rgb_upd = vx.round_half_away(
         (rgb_old * w_old[..., None] + rgb_new * w_new[..., None]) / w_safe[..., None]
     )
-    w_upd = jnp.minimum(jnp.round(w_comb), cfg.max_weight)
+    w_upd = jnp.minimum(vx.round_half_away(w_comb), cfg.max_weight)
     # log-space geometric fusion of ht/lt (voxel_tsdf.cu:196-202)
     ht = frame.ht[vs, us]
     lt = frame.lt[vs, us]

@@ -36,7 +36,9 @@ class RaycastResult(NamedTuple):
 
 def _read_tsdf_flat(vol: TSDFVolume, pos_grid: jnp.ndarray) -> jnp.ndarray:
     """TSDF at rounded fractional grid positions [N, 3] (miss -> +1)."""
-    pt = jnp.round(pos_grid).astype(jnp.int32)
+    from ..core.voxel import round_half_away
+
+    pt = round_half_away(pos_grid).astype(jnp.int32)
     return h.read_tsdf(vol, pt)
 
 
@@ -111,7 +113,8 @@ def raycast(
         lo = jnp.where(neg[:, None], lo, mid)
         mid = (lo + hi) * 0.5
 
-    final_grid = jnp.round(mid).astype(jnp.int32)
+    from ..core.voxel import round_half_away as _rha
+    final_grid = _rha(mid).astype(jnp.int32)
     _, rgb, _, prob = h.read_voxels(vol, final_grid)
 
     # central-difference normal (voxel_tsdf.cu:280-291)

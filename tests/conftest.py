@@ -6,4 +6,6 @@ import os
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU even when the session exports JAX_PLATFORMS=axon (tests must
+# not grab the tunneled TPU chip).
+os.environ["JAX_PLATFORMS"] = "cpu"

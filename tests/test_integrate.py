@@ -1,0 +1,177 @@
+"""Golden-parity tests of the integration pipeline vs the numpy oracle
+(tests/oracle.py, a direct transcription of voxel_tsdf.cu semantics)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from disinfect_slam_tpu.config import TSDFConfig
+from disinfect_slam_tpu.core.geometry import SE3, CameraIntrinsics, CameraParams
+from disinfect_slam_tpu.core.state import TSDFVolume
+from disinfect_slam_tpu.ops import hash as h
+from disinfect_slam_tpu.ops.integrate import FrameInput, integrate
+
+from .oracle import OracleVolume
+from .scenes import checker_rgb, look_at, render_sphere, render_wall
+
+# Small but non-trivial test configuration.
+CFG = TSDFConfig(
+    voxel_size=0.05,
+    truncation=0.15,
+    num_buckets_log2=12,
+    num_blocks_log2=10,
+    max_probe=16,
+    max_candidates=2048,
+    max_visible=1024,
+    max_new_per_round=512,
+    insert_rounds=4,
+)
+
+W, H = 64, 48
+# deliberately non-centered intrinsics + tilted scenes: keeps voxel
+# projections away from exact half-pixel boundaries where f32-vs-f64
+# rounding flips would make oracle comparison ill-posed
+K = (52.7, 53.3, 31.71, 23.43)
+MAX_DEPTH = 4.0
+WALL_POSE = None  # set below
+
+
+def make_frame(depth, rgb=None, ht=None, lt=None):
+    if rgb is None:
+        rgb = checker_rgb(W, H)
+    if ht is None:
+        ht = np.full((H, W), 0.5, np.float32)
+    if lt is None:
+        lt = np.full((H, W), 0.5, np.float32)
+    return FrameInput(
+        rgb=jnp.asarray(rgb),
+        depth=jnp.asarray(depth),
+        ht=jnp.asarray(ht),
+        lt=jnp.asarray(lt),
+    )
+
+
+def run_ours(frames_poses, cfg=CFG):
+    vol = TSDFVolume.create(cfg)
+    intr = CameraIntrinsics.create(*K)
+    cam = CameraParams.create(intr, H, W)
+    step = jax.jit(lambda v, f, p: integrate(v, f, cam, p, MAX_DEPTH), donate_argnums=0)
+    for frame, pose in frames_poses:
+        vol = step(vol, frame, SE3.from_matrix(pose))
+    return vol
+
+
+def run_oracle(frames_poses, cfg=CFG):
+    ovol = OracleVolume(cfg.voxel_size, cfg.truncation)
+    for frame, pose in frames_poses:
+        ovol.integrate(
+            np.asarray(frame.rgb),
+            np.asarray(frame.depth),
+            np.asarray(frame.ht),
+            np.asarray(frame.lt),
+            MAX_DEPTH,
+            K,
+            pose,
+        )
+    return ovol
+
+
+def compare(vol, ovol, tsdf_atol=2e-3):
+    """Compare every voxel of every oracle block against the TPU volume."""
+    coords = np.array(sorted(ovol.blocks.keys()), np.int32)
+    pool = np.asarray(h.lookup(vol, jnp.asarray(coords)))
+    missing = (pool < 0).sum()
+    assert missing == 0, f"{missing}/{len(coords)} oracle blocks missing"
+
+    ours_tsdf = np.asarray(vol.tsdf)[pool]  # [B, 512]
+    ours_w = np.asarray(vol.weight)[pool]
+    ours_rgb = np.asarray(vol.rgb)[pool]
+    ours_p = np.asarray(vol.prob)[pool]
+    o_tsdf = np.stack([ovol.blocks[tuple(c)]["tsdf"] for c in coords])
+    o_w = np.stack([ovol.blocks[tuple(c)]["weight"] for c in coords])
+    o_rgb = np.stack([ovol.blocks[tuple(c)]["rgb"] for c in coords])
+    o_p = np.stack([ovol.blocks[tuple(c)]["prob"] for c in coords])
+
+    # weights are integral -> must match exactly almost everywhere; a tiny
+    # fraction of voxels may sample a different pixel when the projection
+    # sits at an f32-vs-f64 rounding boundary
+    w_mismatch = (ours_w != o_w).mean()
+    assert w_mismatch < 0.005, f"weight mismatch rate {w_mismatch}"
+    same_w = ours_w == o_w
+    tsdf_l1 = np.abs(ours_tsdf - o_tsdf)[same_w].mean()
+    assert tsdf_l1 < tsdf_atol, f"tsdf L1 {tsdf_l1}"
+    rgb_flip = (np.abs(ours_rgb - o_rgb)[same_w].max(-1) > 1.0).mean()
+    assert rgb_flip < 0.005, f"rgb mismatch rate {rgb_flip}"
+    p_l1 = np.abs(ours_p - o_p)[same_w].mean()
+    assert p_l1 < 1e-3, f"prob L1 {p_l1}"
+
+    # no extra live blocks beyond the oracle's
+    n_ours = int(vol.num_active_blocks)
+    assert n_ours == len(coords), (n_ours, len(coords))
+
+
+def test_single_wall_frame_matches_oracle():
+    pose = look_at((0.033, -0.041, 0.017), (0.11, 0.07, 2.0131))
+    depth = render_wall(W, H, K, pose, wall_z=2.0131)
+    frames = [(make_frame(depth), pose)]
+    vol = run_ours(frames)
+    ovol = run_oracle(frames)
+    assert len(ovol.blocks) > 10
+    compare(vol, ovol)
+
+
+def test_multi_frame_sphere_matches_oracle():
+    frames = []
+    for i, ang in enumerate([0.0, 0.15, -0.12]):
+        eye = np.array([np.sin(ang) * 2.5 + 0.013, 0.1 * i - 0.027, -2.5 * np.cos(ang) + 1.0])
+        pose = look_at(eye, (0.013, -0.021, 1.007))
+        depth = render_sphere(W, H, K, pose, center=(0.013, -0.021, 1.007), radius=0.613)
+        ht = np.full((H, W), 0.7, np.float32)
+        lt = np.full((H, W), 0.4, np.float32)
+        frames.append((make_frame(depth, ht=ht, lt=lt), pose))
+    vol = run_ours(frames)
+    ovol = run_oracle(frames)
+    assert len(ovol.blocks) > 10
+    compare(vol, ovol)
+
+
+def test_carving_removes_empty_blocks():
+    """A wall moving away: blocks allocated in front of the old surface
+    must be carved once fully observed as empty-ish (min |tsdf| >= 0.9)."""
+    pose = look_at((0.021, -0.017, 0.009), (0.05, 0.08, 2.0))
+    d1 = render_wall(W, H, K, pose, wall_z=1.0137)
+    d2 = render_wall(W, H, K, pose, wall_z=3.0219)
+    frames = [(make_frame(d1), pose)] + [(make_frame(d2), pose)] * 8
+    vol = run_ours(frames)
+    ovol = run_oracle(frames)
+    compare(vol, ovol, tsdf_atol=5e-3)
+
+
+def test_default_ht_lt_keeps_prob_half():
+    """ht = lt = 1 (the TSDFSystem default for missing masks,
+    tsdf_module.cc:32-33) must keep probability at 0.5."""
+    pose = look_at((0.01, 0.02, -0.01), (0.04, -0.03, 2.0))
+    depth = render_wall(W, H, K, pose, wall_z=2.0131)
+    ones = np.ones((H, W), np.float32)
+    frames = [(make_frame(depth, ht=ones, lt=ones), pose)] * 2
+    vol = run_ours(frames)
+    live = np.asarray(vol.entry_block) >= 0
+    pool = np.asarray(vol.entry_block)[live]
+    w = np.asarray(vol.weight)[pool]
+    p = np.asarray(vol.prob)[pool]
+    np.testing.assert_allclose(p[w > 0], 0.5, atol=1e-5)
+
+
+def test_integrate_jit_stable_shapes():
+    """Two frames with different content must reuse one compiled program."""
+    pose = look_at((0.01, 0.02, -0.01), (0.04, -0.03, 2.0))
+    intr = CameraIntrinsics.create(*K)
+    cam = CameraParams.create(intr, H, W)
+    step = jax.jit(lambda v, f, p: integrate(v, f, cam, p, MAX_DEPTH), donate_argnums=0)
+    vol = TSDFVolume.create(CFG)
+    d1 = render_wall(W, H, K, pose, wall_z=2.0131)
+    d2 = render_wall(W, H, K, pose, wall_z=2.5217)
+    vol = step(vol, make_frame(d1), SE3.from_matrix(pose))
+    vol = step(vol, make_frame(d2), SE3.from_matrix(pose))
+    assert step._cache_size() == 1
