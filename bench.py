@@ -1,0 +1,142 @@
+#!/usr/bin/env python
+"""Benchmark: end-to-end semantic TSDF fusion throughput.
+
+Replays a synthetic 640x480 RGB-D orbit (the TUM rgbd_1-like workload of
+BASELINE.md) through the jitted integrate step at 4 mm voxels and prints
+ONE JSON line:
+
+  {"metric": "tsdf_fusion_fps", "value": N, "unit": "frames/s",
+   "vs_baseline": N / 60.0}
+
+vs_baseline is against the driver-set north star of 60 FPS
+(/root/repo/BASELINE.json); the reference itself publishes no numbers.
+
+Extra stage latencies (raycast, query) are reported on stderr so the
+JSON contract stays clean.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+# Run on whatever platform the driver provides (TPU via axon, else CPU).
+
+
+def make_orbit_frames(n_frames, w, h, K):
+    """Synthetic room scene: a sphere + floor + back wall, camera orbit."""
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tests"))
+    from scenes import checker_rgb, look_at, render_sphere, render_wall
+
+    frames = []
+    rgb = checker_rgb(w, h)
+    for i in range(n_frames):
+        ang = 0.25 * np.sin(2 * np.pi * i / n_frames)
+        eye = (np.sin(ang) * 1.9 + 0.013, -0.021 + 0.03 * np.sin(i * 0.4), -1.9 * np.cos(ang) + 1.0)
+        pose = look_at(eye, (0.013, -0.021, 1.007))
+        d_sphere = render_sphere(w, h, K, pose, center=(0.013, -0.021, 1.007), radius=0.413)
+        d_wall = render_wall(w, h, K, pose, wall_z=2.213)
+        depth = np.where(d_sphere > 0, d_sphere, d_wall).astype(np.float32)
+        ht = (0.5 + 0.4 * (d_sphere > 0)).astype(np.float32)
+        lt = (1.0 - ht).astype(np.float32)
+        frames.append((pose.astype(np.float32), rgb, depth, ht, lt))
+    return frames
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from disinfect_slam_tpu.config import TSDFConfig
+    from disinfect_slam_tpu.core.geometry import SE3, CameraIntrinsics, CameraParams
+    from disinfect_slam_tpu.core.state import TSDFVolume
+    from disinfect_slam_tpu.ops.integrate import FrameInput, integrate
+    from disinfect_slam_tpu.ops.raycast import raycast
+
+    platform = jax.devices()[0].platform
+    on_accel = platform not in ("cpu",)
+
+    w, h = (640, 480) if on_accel else (160, 120)
+    K = (525.1, 525.3, 319.6, 239.7) if on_accel else (131.3, 131.3, 79.9, 59.9)
+    n_frames = 60 if on_accel else 6
+
+    # north-star config: 4 mm voxels (BASELINE.md)
+    cfg = TSDFConfig(
+        voxel_size=0.004,
+        truncation=0.024,
+        num_buckets_log2=19 if on_accel else 14,
+        num_blocks_log2=17 if on_accel else 12,
+        max_candidates=32768 if on_accel else 8192,
+        max_visible=32768 if on_accel else 4096,
+        max_new_per_round=8192 if on_accel else 2048,
+        max_probe=16,
+    )
+    max_depth = 4.0
+
+    intr = CameraIntrinsics.create(*K)
+    cam = CameraParams.create(intr, h, w)
+    step = jax.jit(
+        lambda v, f, p: integrate(v, f, cam, p, max_depth), donate_argnums=0
+    )
+    rc = jax.jit(lambda v, p: raycast(v, cam, p, max_depth))
+
+    frames = make_orbit_frames(n_frames, w, h, K)
+
+    def to_frame(f):
+        pose, rgb, depth, ht, lt = f
+        return (
+            FrameInput(
+                rgb=jnp.asarray(rgb),
+                depth=jnp.asarray(depth),
+                ht=jnp.asarray(ht),
+                lt=jnp.asarray(lt),
+            ),
+            SE3.from_matrix(pose),
+        )
+
+    vol = TSDFVolume.create(cfg)
+
+    # warmup / compile
+    fr, pose = to_frame(frames[0])
+    vol = step(vol, fr, pose)
+    jax.block_until_ready(vol.tsdf)
+
+    t0 = time.perf_counter()
+    for f in frames[1:]:
+        fr, pose = to_frame(f)
+        vol = step(vol, fr, pose)
+    jax.block_until_ready(vol.tsdf)
+    dt = time.perf_counter() - t0
+    fps = (len(frames) - 1) / dt
+
+    # secondary: raycast latency
+    r = rc(vol, to_frame(frames[0])[1])
+    jax.block_until_ready(r.rgba)
+    t0 = time.perf_counter()
+    for i in range(5):
+        r = rc(vol, to_frame(frames[i])[1])
+    jax.block_until_ready(r.rgba)
+    ray_ms = (time.perf_counter() - t0) / 5 * 1e3
+
+    print(
+        f"[bench] platform={platform} img={w}x{h} voxel={cfg.voxel_size} "
+        f"frames={n_frames} active_blocks={int(vol.num_active_blocks)} "
+        f"integrate_fps={fps:.2f} raycast_ms={ray_ms:.2f}",
+        file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "tsdf_fusion_fps",
+                "value": round(fps, 2),
+                "unit": "frames/s",
+                "vs_baseline": round(fps / 60.0, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -65,10 +65,12 @@ def _mat_to_quat(m):
         s = jnp.sqrt(jnp.maximum(1.0 + m22 - m00 - m11, 1e-12)) * 2.0
         return jnp.stack([(m10 - m01) / s, (m02 + m20) / s, (m12 + m21) / s, 0.25 * s])
 
+    # idx indexes [trace, m00, m11, m22]; when t <= 0 the max is one of
+    # the diagonal entries so idx directly selects case_x/y/z
     idx = jnp.argmax(jnp.stack([t, m00, m11, m22]))
-    branch = jnp.where(t > 0.0, 0, idx + 1)
+    branch = jnp.where(t > 0.0, 0, jnp.clip(idx, 1, 3))
     return jax.lax.switch(
-        jnp.minimum(branch, 3).astype(jnp.int32),
+        branch.astype(jnp.int32),
         [case_w, case_x, case_y, case_z],
     )
 

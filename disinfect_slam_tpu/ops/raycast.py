@@ -17,6 +17,7 @@ both uint8 [H, W, 4]; misses are (0, 0, 0, 0).
 
 from __future__ import annotations
 
+import math
 from typing import NamedTuple, Tuple
 
 import jax
@@ -72,7 +73,7 @@ def raycast(
     step_grid = ray_dir_world * (step_size / cfg.voxel_size)
 
     origin_grid = world_T_cam.t / cfg.voxel_size  # [3]
-    max_step = int(jnp.ceil(max_depth / step_size))
+    max_step = int(math.ceil(max_depth / step_size))
 
     tsdf0 = _read_tsdf_flat(vol, jnp.broadcast_to(origin_grid, (n_pix, 3)))
 

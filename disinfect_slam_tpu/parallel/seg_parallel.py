@@ -29,9 +29,13 @@ from ..models.segmentation import UNetSeg
 from ..models.train import TrainState, bce_loss
 
 
-def make_mesh_2d(n_devices: Optional[int] = None, data: int = 0) -> Mesh:
+def make_mesh_2d(n_devices: Optional[int] = None, data: int = 0, devices=None) -> Mesh:
     """Mesh over (data, model); default splits devices as evenly as possible."""
-    devs = jax.devices() if n_devices is None else jax.devices()[:n_devices]
+    if devices is None:
+        devices = jax.devices() if n_devices is None else jax.devices()[:n_devices]
+    elif n_devices is not None:
+        devices = devices[:n_devices]
+    devs = list(devices)
     n = len(devs)
     if data <= 0:
         data = 1

@@ -61,8 +61,8 @@ def owner_of(block: jnp.ndarray, n_devices: int) -> jnp.ndarray:
     return jnp.abs(mix) % n_devices
 
 
-def make_mesh(n_devices: Optional[int] = None, axis: str = "shard") -> Mesh:
-    devs = jax.devices()
+def make_mesh(n_devices: Optional[int] = None, axis: str = "shard", devices=None) -> Mesh:
+    devs = list(jax.devices() if devices is None else devices)
     if n_devices is not None:
         devs = devs[:n_devices]
     return Mesh(np.array(devs), (axis,))

@@ -1,0 +1,77 @@
+"""Mesh extraction tests: sphere isosurface geometry + weld/export."""
+
+import os
+
+import numpy as np
+import pytest
+
+from disinfect_slam_tpu.ops.mesh import (
+    compact_mesh,
+    extract_mesh,
+    merge_vertices,
+    save_obj,
+)
+
+from .scenes import look_at, render_sphere
+from .test_integrate import CFG, H, K, MAX_DEPTH, W, make_frame
+from .test_raycast import fuse_frames
+
+CENTER = np.array([0.013, -0.021, 1.007])
+RADIUS = 0.613
+
+
+@pytest.fixture(scope="module")
+def sphere_vol():
+    frames = []
+    for i, ang in enumerate(np.linspace(0, 2 * np.pi, 8, endpoint=False)):
+        eye = CENTER + np.array([np.sin(ang) * 2.5, 0.05, -np.cos(ang) * 2.5])
+        pose = look_at(eye, CENTER)
+        depth = render_sphere(W, H, K, pose, center=CENTER, radius=RADIUS)
+        frames.append((make_frame(depth), pose))
+    vol, _ = fuse_frames(frames)
+    return vol
+
+
+def test_sphere_mesh_radius(sphere_vol):
+    mesh = extract_mesh(sphere_vol, max_tris=1 << 17)
+    tris = compact_mesh(mesh)
+    assert tris.shape[0] > 500
+    centroids = tris.mean(axis=1)
+    r = np.linalg.norm(centroids - CENTER, axis=-1)
+    # vertices lie on the sphere within ~1.5 voxels
+    assert abs(np.median(r) - RADIUS) < 1.5 * CFG.voxel_size
+    assert np.percentile(np.abs(r - RADIUS), 90) < 3 * CFG.voxel_size
+
+
+def test_mesh_triangles_nondegenerate(sphere_vol):
+    tris = compact_mesh(extract_mesh(sphere_vol, max_tris=1 << 17))
+    e1 = tris[:, 1] - tris[:, 0]
+    e2 = tris[:, 2] - tris[:, 0]
+    area = 0.5 * np.linalg.norm(np.cross(e1, e2), axis=-1)
+    assert (area > 0).mean() > 0.99
+
+
+def test_mesh_normals_outward(sphere_vol):
+    """Winding consistency: triangle normals should point away from the
+    sphere center (tsdf > 0 outside)."""
+    tris = compact_mesh(extract_mesh(sphere_vol, max_tris=1 << 17))
+    e1 = tris[:, 1] - tris[:, 0]
+    e2 = tris[:, 2] - tris[:, 0]
+    n = np.cross(e1, e2)
+    nn = n / np.maximum(np.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
+    outward = (tris.mean(1) - CENTER)
+    outward /= np.maximum(np.linalg.norm(outward, axis=-1, keepdims=True), 1e-12)
+    agree = (np.sum(nn * outward, axis=-1) > 0).mean()
+    assert agree > 0.9, agree
+
+
+def test_merge_vertices_and_obj(tmp_path, sphere_vol):
+    tris = compact_mesh(extract_mesh(sphere_vol, max_tris=1 << 17))
+    verts, faces = merge_vertices(tris)
+    assert len(verts) < tris.shape[0] * 3  # welding actually merged
+    assert faces.max() < len(verts)
+    path = os.path.join(tmp_path, "mesh.obj")
+    save_obj(path, verts, faces)
+    txt = open(path).read().splitlines()
+    assert sum(1 for l in txt if l.startswith("v ")) == len(verts)
+    assert sum(1 for l in txt if l.startswith("f ")) == len(faces)
