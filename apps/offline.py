@@ -1,0 +1,154 @@
+#!/usr/bin/env python
+"""Offline TSDF replay — the benchmark entry point (API parity with
+examples/tsdf/offline.cc).
+
+Replays a logged dataset (trajectory.txt + {id}_rgb/_depth[/_ht/_no_ht]
+PNGs, or a TUM RGB-D sequence) through the TSDF engine with the same
+parameters as the reference example (voxel 0.01 m, truncation 0.06 m,
+offline.cc:90), reports per-stage latencies, and can dump the fused
+volume (/tmp/data.bin semantics) and render orbit views headlessly.
+
+Usage:
+  python apps/offline.py --logdir DATA --config configs/cam.yaml \
+      [--tum] [--voxel 0.01] [--trunc 0.06] [--max-depth 10] \
+      [--save /tmp/data.bin] [--render-dir out/] [--mesh out.obj]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--logdir", required=True, help="dataset directory")
+    ap.add_argument("--config", help="camera YAML (Camera.fx..., depthmap_factor)")
+    ap.add_argument("--tum", action="store_true", help="TUM RGB-D layout")
+    ap.add_argument("--voxel", type=float, default=0.01)
+    ap.add_argument("--trunc", type=float, default=0.06)
+    ap.add_argument("--max-depth", type=float, default=10.0)
+    ap.add_argument("--max-frames", type=int, default=0)
+    ap.add_argument("--save", help="dump VoxelSpatialTSDF binary here")
+    ap.add_argument("--mesh", help="extract + save OBJ mesh here")
+    ap.add_argument("--render-dir", help="write raycast PNGs here")
+    ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    ap.add_argument("--debug", action="store_true")
+    args = ap.parse_args()
+
+    import logging
+
+    logging.basicConfig(level=logging.DEBUG if args.debug else logging.INFO)
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from disinfect_slam_tpu.config import TSDFConfig
+    from disinfect_slam_tpu.io.config_reader import (
+        get_depth_factor,
+        get_extrinsics,
+        get_intrinsics,
+        load_yaml,
+    )
+    from disinfect_slam_tpu.io.dataset import LoggedReplay, TUMReplay
+    from disinfect_slam_tpu.ops.gather import dump_spatial_tsdf
+    from disinfect_slam_tpu.systems.tsdf_grid import TSDFGrid
+    from disinfect_slam_tpu.utils.timing import StageTimer
+
+    if args.config:
+        cfg_yaml = load_yaml(args.config)
+        intrinsics = get_intrinsics(cfg_yaml)
+        depth_factor = get_depth_factor(cfg_yaml)
+        extrinsics = get_extrinsics(cfg_yaml)
+    else:
+        # TUM freiburg1 defaults (configs/TUM_RGBD_rgbd_1.yaml)
+        intrinsics = (517.3, 516.5, 318.6, 255.3)
+        depth_factor = 5000.0
+        extrinsics = np.eye(4, dtype=np.float32)
+
+    if args.tum:
+        replay = TUMReplay(args.logdir, depth_factor)
+    else:
+        replay = LoggedReplay(args.logdir, depth_factor, extrinsics)
+    print(f"[offline] {len(replay)} frames")
+
+    grid = TSDFGrid(args.voxel, args.trunc)
+    timer = StageTimer()
+
+    n = 0
+    last_pose = np.eye(4, dtype=np.float32)
+    for frame in replay:
+        with timer.span("integrate"):
+            grid.integrate(
+                frame.rgb,
+                frame.depth,
+                frame.ht,
+                frame.lt,
+                args.max_depth,
+                intrinsics,
+                frame.cam_T_world,
+            )
+        last_pose = frame.cam_T_world
+        n += 1
+        if n % 25 == 0:
+            grid.block_until_ready()
+            print(
+                f"[offline] frame {n}: integrate {timer.mean_ms('integrate'):.1f} ms "
+                f"({1e3 / max(timer.mean_ms('integrate'), 1e-6):.1f} FPS), "
+                f"{grid.num_active_blocks()} active blocks"
+            )
+        if args.max_frames and n >= args.max_frames:
+            break
+    grid.block_until_ready()
+    total_ms = timer.mean_ms("integrate")
+    print(
+        f"[offline] done: {n} frames, integrate {total_ms:.2f} ms/frame "
+        f"({1e3 / max(total_ms, 1e-6):.1f} FPS), {grid.num_active_blocks()} blocks"
+    )
+
+    if args.save:
+        with timer.span("gather"):
+            st = grid.gather_valid()
+            cnt = dump_spatial_tsdf(st, args.save)
+        print(f"[offline] saved {cnt} voxels to {args.save} "
+              f"({timer.mean_ms('gather'):.1f} ms)")
+
+    if args.mesh:
+        from disinfect_slam_tpu.ops.mesh import (
+            compact_mesh,
+            extract_mesh,
+            merge_vertices,
+            save_obj,
+        )
+
+        with timer.span("mesh"):
+            tris = compact_mesh(extract_mesh(grid.volume))
+            verts, faces = merge_vertices(tris)
+        save_obj(args.mesh, verts, faces)
+        print(f"[offline] mesh: {len(verts)} verts, {len(faces)} faces "
+              f"-> {args.mesh} ({timer.mean_ms('mesh'):.1f} ms)")
+
+    if args.render_dir:
+        from disinfect_slam_tpu.viz.headless import render_to_png
+
+        h, w = 360, 640
+        with timer.span("render"):
+            paths = render_to_png(
+                grid,
+                args.render_dir,
+                last_pose,
+                (intrinsics, h, w),
+                max_depth=args.max_depth,
+                prefix="final",
+            )
+        print(f"[offline] rendered {paths} ({timer.mean_ms('render'):.1f} ms)")
+
+
+if __name__ == "__main__":
+    main()
