@@ -1,0 +1,149 @@
+#!/usr/bin/env python
+"""Online semantic reconstruction pipeline (examples/tsdf/online.cc parity).
+
+Three concurrent streams, like the reference's thread layout
+(online.cc:23-70):
+  - pose stream:  a pose source (replayed trajectory or external SLAM
+    bridge) registers timestamped poses into the pose manager
+  - depth stream: RGB-D frames -> (optional) segmentation -> enqueue into
+    the async TSDFSystem, borrowing the nearest pose by timestamp
+  - main thread:  periodic headless renders + stats
+
+Without real cameras this app runs from a logged dataset directory (the
+same layout `apps/offline.py` replays) but through the full asynchronous
+system stack — the closest TPU-host equivalent of the live pipeline.
+"""
+
+import argparse
+import os
+import sys
+import threading
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--logdir", required=True)
+    ap.add_argument("--config", help="camera YAML")
+    ap.add_argument("--voxel", type=float, default=0.05)
+    ap.add_argument("--trunc", type=float, default=0.2)
+    ap.add_argument("--max-depth", type=float, default=4.0)
+    ap.add_argument("--fps", type=float, default=30.0, help="playback rate")
+    ap.add_argument("--segment", action="store_true", help="run ht/lt segmentation")
+    ap.add_argument("--seg-ckpt", help="segmentation checkpoint (msgpack)")
+    ap.add_argument("--render-dir")
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from disinfect_slam_tpu.io.config_reader import (
+        get_depth_factor,
+        get_intrinsics,
+        load_yaml,
+    )
+    from disinfect_slam_tpu.io.dataset import LoggedReplay
+    from disinfect_slam_tpu.systems.disinf_system import DISINFSystem
+
+    if args.config:
+        cfg_yaml = load_yaml(args.config)
+        intrinsics = get_intrinsics(cfg_yaml)
+        depth_factor = get_depth_factor(cfg_yaml)
+    else:
+        intrinsics = (517.3, 516.5, 318.6, 255.3)
+        depth_factor = 5000.0
+
+    segmenter = None
+    if args.segment:
+        from disinfect_slam_tpu.models.segmentation import InferenceEngine, create_model
+        from disinfect_slam_tpu.models.train import load_params
+
+        model = create_model()
+        if args.seg_ckpt:
+            params = load_params(args.seg_ckpt, model)
+        else:
+            params = model.init(jax.random.PRNGKey(0), np.zeros((1, 352, 640, 3), np.float32))
+            print("[online] WARNING: no --seg-ckpt, using random weights")
+        engine = InferenceEngine(model, params)
+
+        def segmenter(rgb):
+            ht, lt = engine.infer_one(rgb)
+            h, w = rgb.shape[:2]
+            import cv2
+
+            return (
+                cv2.resize(ht, (w, h)),
+                cv2.resize(lt, (w, h)),
+            )
+
+    replay = LoggedReplay(args.logdir, depth_factor)
+    print(f"[online] {len(replay)} frames @ {args.fps} fps playback")
+
+    with DISINFSystem(
+        intrinsics,
+        depth_factor=1.0,  # replay loader already scales depth
+        voxel_size=args.voxel,
+        truncation=args.trunc,
+        max_depth=args.max_depth,
+        segmenter=segmenter,
+        half_scale=False,
+    ) as system:
+        period = 1.0 / args.fps
+        t_start = time.perf_counter()
+
+        def pose_thread():
+            # plays the trajectory as the "SLAM" stream, slightly ahead
+            for i, (fid, pose) in enumerate(replay.entries):
+                system.feed_pose(int(i * 1000 * period), pose)
+                time.sleep(period * 0.5)
+
+        tp = threading.Thread(target=pose_thread, daemon=True)
+        tp.start()
+
+        n = 0
+        for i, frame in enumerate(replay):
+            system.feed_rgbd_frame(frame.rgb, frame.depth, int(i * 1000 * period))
+            n += 1
+            if n % 30 == 0:
+                depth_q = system.tsdf.queue_depth()
+                print(
+                    f"[online] {n} frames, queue depth {depth_q}, "
+                    f"{system.tsdf.tsdf.num_active_blocks()} blocks"
+                )
+            # pace playback
+            t_next = t_start + (i + 1) * period
+            dt = t_next - time.perf_counter()
+            if dt > 0:
+                time.sleep(dt)
+        tp.join()
+        system.tsdf.flush()
+        wall = time.perf_counter() - t_start
+        print(
+            f"[online] done: {n} frames in {wall:.1f} s "
+            f"({n / wall:.1f} FPS sustained), "
+            f"{system.tsdf.tsdf.num_active_blocks()} active blocks"
+        )
+
+        if args.render_dir:
+            from disinfect_slam_tpu.viz.headless import render_to_png
+
+            last_pose = replay.entries[-1][1]
+            render_to_png(
+                system.tsdf.tsdf,
+                args.render_dir,
+                last_pose,
+                (intrinsics, 360, 640),
+                max_depth=args.max_depth,
+            )
+            print(f"[online] rendered final view to {args.render_dir}")
+
+
+if __name__ == "__main__":
+    main()

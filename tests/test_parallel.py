@@ -1,0 +1,120 @@
+"""Multi-chip tests on the 8-device virtual CPU mesh: sharded TSDF
+integrate equivalence vs single-chip, dp/tp segmentation training."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from disinfect_slam_tpu.config import TSDFConfig
+from disinfect_slam_tpu.core.geometry import SE3, CameraIntrinsics, CameraParams
+from disinfect_slam_tpu.core.state import TSDFVolume
+from disinfect_slam_tpu.ops import hash as h
+from disinfect_slam_tpu.ops.integrate import FrameInput, integrate
+from disinfect_slam_tpu.parallel.sharding import (
+    DistributedTSDF,
+    make_mesh,
+    owner_of,
+    shard_config,
+)
+
+from .scenes import look_at, render_wall
+from .test_integrate import CFG, H, K, MAX_DEPTH, W, make_frame
+
+
+def test_owner_uniformity():
+    rng = np.random.default_rng(0)
+    blocks = jnp.asarray(rng.integers(-300, 300, (20000, 3)), jnp.int32)
+    owners = np.asarray(owner_of(blocks, 8))
+    counts = np.bincount(owners, minlength=8)
+    assert counts.min() > 0.8 * counts.mean()
+
+
+def test_sharded_integrate_matches_single_chip():
+    mesh = make_mesh(8)
+    dist = DistributedTSDF(CFG, mesh)
+
+    pose_np = look_at((0.033, -0.041, 0.017), (0.11, 0.07, 2.0131))
+    depth = render_wall(W, H, K, pose_np, wall_z=2.0131)
+    frame, _ = (make_frame(depth), None)
+    dist.integrate(frame, K, pose_np, MAX_DEPTH)
+
+    # single-chip reference
+    vol = TSDFVolume.create(CFG)
+    intr = CameraIntrinsics.create(*K)
+    cam = CameraParams.create(intr, H, W)
+    vol = jax.jit(lambda v, f, p: integrate(v, f, cam, p, MAX_DEPTH))(
+        vol, frame, SE3.from_matrix(pose_np)
+    )
+
+    assert dist.num_active_blocks() == int(vol.num_active_blocks)
+
+    # voxel-level equality: export both and compare sorted records
+    rec_d = dist.gather_all_tsdf()
+    from disinfect_slam_tpu.ops.gather import gather_valid, to_numpy_records
+
+    rec_s = to_numpy_records(gather_valid(vol))
+    assert rec_d.shape == rec_s.shape
+
+    def sort(r):
+        idx = np.lexsort((r[:, 2], r[:, 1], r[:, 0]))
+        return r[idx]
+
+    np.testing.assert_allclose(sort(rec_d), sort(rec_s), atol=1e-5)
+
+
+def test_sharded_multi_frame_with_carving():
+    mesh = make_mesh(4)
+    dist = DistributedTSDF(CFG, mesh)
+    pose_np = look_at((0.021, -0.017, 0.009), (0.05, 0.08, 2.0))
+    d1 = render_wall(W, H, K, pose_np, wall_z=1.0137)
+    d2 = render_wall(W, H, K, pose_np, wall_z=3.0219)
+    frames = [make_frame(d1)] + [make_frame(d2)] * 6
+
+    vol = TSDFVolume.create(CFG)
+    intr = CameraIntrinsics.create(*K)
+    cam = CameraParams.create(intr, H, W)
+    step = jax.jit(lambda v, f, p: integrate(v, f, cam, p, MAX_DEPTH), donate_argnums=0)
+    for f in frames:
+        dist.integrate(f, K, pose_np, MAX_DEPTH)
+        vol = step(vol, f, SE3.from_matrix(pose_np))
+    assert dist.num_active_blocks() == int(vol.num_active_blocks)
+
+
+def test_seg_sharded_train_step():
+    import optax
+
+    from disinfect_slam_tpu.models.segmentation import create_model
+    from disinfect_slam_tpu.models.train import TrainState
+    from disinfect_slam_tpu.parallel.seg_parallel import (
+        make_mesh_2d,
+        make_sharded_infer,
+        make_sharded_train_step,
+        shard_params,
+    )
+
+    mesh = make_mesh_2d(8)
+    assert mesh.devices.size == 8
+    model = create_model(widths=(8, 16, 32, 64))
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+    params = shard_params(params, mesh)
+    tx = optax.adamw(1e-3)
+    state = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+    step = make_sharded_train_step(model, tx, mesh)
+    images = jnp.ones((8, 32, 32, 3)) * 0.5
+    labels = jnp.zeros((8, 32, 32, 2))
+    s2, l1 = step(state, images, labels)
+    s3, l2 = step(s2, images, labels)
+    assert float(l2) < float(l1)
+    # sharded inference path compiles + runs
+    infer = make_sharded_infer(model, mesh)
+    probs = infer(s3.params, images)
+    assert probs.shape == (8, 32, 32, 2)
+
+
+def test_shard_config_capacity_split():
+    sub = shard_config(CFG, 8)
+    assert sub.num_blocks * 8 == CFG.num_blocks
+    assert sub.num_buckets * 8 == CFG.num_buckets
