@@ -77,46 +77,49 @@ def main():
 
     intr = CameraIntrinsics.create(*K)
     cam = CameraParams.create(intr, h, w)
+    # pose conversion happens INSIDE the jit: per-frame host work must be
+    # one dispatch, not dozens of eager ops over the device link
     step = jax.jit(
-        lambda v, f, p: integrate(v, f, cam, p, max_depth), donate_argnums=0
+        lambda v, f, m: integrate(v, f, cam, SE3.from_matrix(m), max_depth),
+        donate_argnums=0,
     )
-    rc = jax.jit(lambda v, p: raycast(v, cam, p, max_depth))
+    rc = jax.jit(lambda v, m: raycast(v, cam, SE3.from_matrix(m), max_depth))
 
     frames = make_orbit_frames(n_frames, w, h, K)
 
-    def to_frame(f):
+    def stage(f):
         pose, rgb, depth, ht, lt = f
         return (
             FrameInput(
-                rgb=jnp.asarray(rgb),
-                depth=jnp.asarray(depth),
-                ht=jnp.asarray(ht),
-                lt=jnp.asarray(lt),
+                rgb=jax.device_put(rgb),
+                depth=jax.device_put(depth),
+                ht=jax.device_put(ht),
+                lt=jax.device_put(lt),
             ),
-            SE3.from_matrix(pose),
+            jax.device_put(pose),
         )
 
+    staged = [stage(f) for f in frames]
     vol = TSDFVolume.create(cfg)
 
     # warmup / compile
-    fr, pose = to_frame(frames[0])
+    fr, pose = staged[0]
     vol = step(vol, fr, pose)
     jax.block_until_ready(vol.tsdf)
 
     t0 = time.perf_counter()
-    for f in frames[1:]:
-        fr, pose = to_frame(f)
+    for fr, pose in staged[1:]:
         vol = step(vol, fr, pose)
     jax.block_until_ready(vol.tsdf)
     dt = time.perf_counter() - t0
     fps = (len(frames) - 1) / dt
 
     # secondary: raycast latency
-    r = rc(vol, to_frame(frames[0])[1])
+    r = rc(vol, staged[0][1])
     jax.block_until_ready(r.rgba)
     t0 = time.perf_counter()
     for i in range(5):
-        r = rc(vol, to_frame(frames[i])[1])
+        r = rc(vol, staged[i][1])
     jax.block_until_ready(r.rgba)
     ray_ms = (time.perf_counter() - t0) / 5 * 1e3
 

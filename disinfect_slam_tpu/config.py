@@ -66,6 +66,19 @@ class TSDFConfig:
     # +/-40.9 m extent at 1 cm voxels, +/-16.4 m at 4 mm.
     coord_bits: int = 10
 
+    # --- spatial index backend ---
+    # "hash":  open-addressing spatial hash (reference-parity semantics,
+    #          unbounded coordinates up to coord_bits)
+    # "dense": dense block->pool table, one gather per lookup.  TPU
+    #          gathers are descriptor-bound, so collapsing the 16-slot
+    #          probe into a single load is the single biggest speedup;
+    #          costs 4 B per grid cell of HBM and bounds the scene to
+    #          2^grid_log2 blocks per axis.
+    backend: str = "dense"
+    # dense grid side length in blocks (log2); 8 -> 256^3 cells = 67 MB,
+    # 256 blocks * 8 voxels * 4 mm = +/-4.1 m from the origin
+    grid_log2: int = 8
+
     # ------------------------------------------------------------------
     @property
     def block_len(self) -> int:
@@ -85,6 +98,9 @@ class TSDFConfig:
 
     @property
     def num_entries(self) -> int:
+        # dense backend: the pool IS the entry list (slot i <-> pool i)
+        if self.backend == "dense":
+            return 1 << self.num_blocks_log2
         return 1 << (self.num_buckets_log2 + self.entries_per_bucket_log2)
 
     @property
@@ -120,11 +136,23 @@ class TSDFConfig:
             iters += 1
         return max(iters, 1)
 
+    @property
+    def grid_side(self) -> int:
+        return 1 << self.grid_log2
+
+    @property
+    def grid_cells(self) -> int:
+        return 1 << (3 * self.grid_log2)
+
     def validate(self) -> None:
         assert self.truncation > self.voxel_size
         assert 3 * self.coord_bits <= 30, "packed block coord must fit int32"
-        assert self.max_probe >= self.entries_per_bucket
-        assert self.num_blocks <= self.num_entries
+        assert self.backend in ("hash", "dense")
+        if self.backend == "hash":
+            assert self.max_probe >= self.entries_per_bucket
+            assert self.num_blocks <= self.num_entries
+        else:
+            assert self.grid_log2 <= self.coord_bits
 
 
 # Small config for unit tests / CPU interpretation.
@@ -135,6 +163,16 @@ TINY = TSDFConfig(
     max_candidates=512,
     max_visible=256,
     max_new_per_round=256,
+    backend="hash",
+)
+
+TINY_DENSE = TSDFConfig(
+    num_blocks_log2=8,
+    max_candidates=512,
+    max_visible=256,
+    max_new_per_round=256,
+    backend="dense",
+    grid_log2=5,
 )
 
 # Default single-chip config mirroring the reference's offline example

@@ -46,9 +46,14 @@ RESET_PROB = 0.5
 class TSDFVolume:
     """Functional TSDF volume state."""
 
-    # --- spatial hash (E entries) ---
+    # --- spatial index (E entries) ---
+    # hash backend: E = num_entries, open-addressed probe slots.
+    # dense backend: E = num_blocks, entry i <-> pool slot i, plus a dense
+    # block_table mapping grid cell -> pool idx for O(1) lookup (TPU
+    # gathers are descriptor-bound; one load beats a 16-slot probe).
     entry_pos: jnp.ndarray  # int32 [E, 3] block coordinate
     entry_block: jnp.ndarray  # int32 [E]  pool idx / EMPTY / TOMBSTONE
+    block_table: jnp.ndarray  # int32 [G^3] (dense) or [1] placeholder (hash)
 
     # --- block pool free list (B blocks) ---
     heap: jnp.ndarray  # int32 [B] stack of free pool indices
@@ -67,9 +72,11 @@ class TSDFVolume:
     def create(cls, cfg: TSDFConfig) -> "TSDFVolume":
         cfg.validate()
         e, b, v = cfg.num_entries, cfg.num_blocks, cfg.block_volume
+        table_size = cfg.grid_cells if cfg.backend == "dense" else 1
         return cls(
             entry_pos=jnp.zeros((e, 3), jnp.int32),
             entry_block=jnp.full((e,), EMPTY, jnp.int32),
+            block_table=jnp.full((table_size,), EMPTY, jnp.int32),
             # Stack pops from the top: heap[num_free - 1] first, matching
             # AquireBlock's atomicSub order (voxel_mem.cu:37-42).
             heap=jnp.arange(b, dtype=jnp.int32),
@@ -91,6 +98,7 @@ class TSDFVolume:
         for f in (
             self.entry_pos,
             self.entry_block,
+            self.block_table,
             self.heap,
             self.tsdf,
             self.weight,

@@ -63,6 +63,112 @@ def probe_slots(block: jnp.ndarray, cfg: TSDFConfig) -> jnp.ndarray:
     return (base[..., None] + offs) & cfg.entry_mask
 
 
+# ----------------------------------------------------------------------
+# dense backend: block_table[grid_cell] -> pool idx; entry i == pool i
+# ----------------------------------------------------------------------
+def table_index(block: jnp.ndarray, cfg: TSDFConfig):
+    """Block coord [..., 3] -> (cell index [...], in-range mask [...])."""
+    g = cfg.grid_side
+    half = g >> 1
+    p = block + half
+    in_range = jnp.all((p >= 0) & (p < g), axis=-1)
+    ps = jnp.clip(p, 0, g - 1)
+    idx = (ps[..., 0] << (2 * cfg.grid_log2)) | (ps[..., 1] << cfg.grid_log2) | ps[..., 2]
+    return idx, in_range
+
+
+def _lookup_dense(vol: TSDFVolume, block: jnp.ndarray) -> jnp.ndarray:
+    idx, in_range = table_index(block, vol.cfg)
+    pool = vol.block_table[idx]
+    return jnp.where(in_range, pool, EMPTY)
+
+
+def _insert_dense(
+    vol: TSDFVolume, block: jnp.ndarray, valid: jnp.ndarray
+) -> Tuple[TSDFVolume, jnp.ndarray]:
+    """Single-pass dense insert: no probe conflicts exist (one cell per
+    coord); duplicate candidates resolve by a scatter-max claim."""
+    cfg = vol.cfg
+    m = block.shape[0]
+    idx, in_range = table_index(block, cfg)
+    exists = vol.block_table[idx] >= 0
+    pending = valid & in_range & ~exists
+
+    cand_id = jnp.arange(m, dtype=jnp.int32)
+    claim_slot = jnp.where(pending, idx, cfg.grid_cells)
+    claims = (
+        jnp.full((cfg.grid_cells,), -1, jnp.int32)
+        .at[claim_slot]
+        .max(cand_id, mode="drop")
+    )
+    won = pending & (claims[idx] == cand_id)
+
+    rank = jnp.cumsum(won.astype(jnp.int32)) - 1
+    heap_idx = vol.num_free - 1 - rank
+    ok = won & (heap_idx >= 0)
+    pool_idx = vol.heap[jnp.clip(heap_idx, 0, cfg.num_blocks - 1)]
+
+    block_table = vol.block_table.at[jnp.where(ok, idx, cfg.grid_cells)].set(
+        pool_idx, mode="drop"
+    )
+    wslot = jnp.where(ok, pool_idx, cfg.num_blocks)
+    entry_block = vol.entry_block.at[wslot].set(pool_idx, mode="drop")
+    entry_pos = vol.entry_pos.at[wslot].set(block, mode="drop")
+    num_free = vol.num_free - jnp.sum(ok.astype(jnp.int32))
+
+    # payload reset (voxel_mem.cu:43-51) via compacted winner rows
+    w = cfg.max_new_per_round
+    crank = jnp.where(ok & (rank < w), rank, w)
+    compact = (
+        jnp.full((w,), cfg.num_blocks, jnp.int32).at[crank].set(pool_idx, mode="drop")
+    )
+    v = cfg.block_volume
+    tsdf = vol.tsdf.at[compact].set(jnp.full((w, v), RESET_TSDF, jnp.float32), mode="drop")
+    weight = vol.weight.at[compact].set(jnp.zeros((w, v), jnp.float32), mode="drop")
+    prob = vol.prob.at[compact].set(jnp.full((w, v), RESET_PROB, jnp.float32), mode="drop")
+
+    vol = vol.replace(
+        block_table=block_table,
+        entry_pos=entry_pos,
+        entry_block=entry_block,
+        num_free=num_free,
+        tsdf=tsdf,
+        weight=weight,
+        prob=prob,
+    )
+    dropped = valid & in_range & ~exists & ~ok
+    return vol, dropped
+
+
+def _delete_entries_dense(
+    vol: TSDFVolume, entry_idx: jnp.ndarray, valid: jnp.ndarray
+) -> TSDFVolume:
+    cfg = vol.cfg
+    safe_idx = jnp.clip(entry_idx, 0, cfg.num_blocks - 1)
+    blk = vol.entry_block[safe_idx]
+    valid = valid & (entry_idx >= 0) & (blk >= 0)
+
+    # clear the dense cell for the stored coordinate
+    pos = vol.entry_pos[safe_idx]
+    cell, _ = table_index(pos, cfg)
+    block_table = vol.block_table.at[jnp.where(valid, cell, cfg.grid_cells)].set(
+        EMPTY, mode="drop"
+    )
+    entry_block = vol.entry_block.at[jnp.where(valid, safe_idx, cfg.num_blocks)].set(
+        EMPTY, mode="drop"
+    )
+    rank = jnp.cumsum(valid.astype(jnp.int32)) - 1
+    heap_pos = jnp.where(valid, vol.num_free + rank, cfg.num_blocks)
+    heap = vol.heap.at[heap_pos].set(blk, mode="drop")
+    num_free = vol.num_free + jnp.sum(valid.astype(jnp.int32))
+    return vol.replace(
+        block_table=block_table,
+        entry_block=entry_block,
+        heap=heap,
+        num_free=num_free,
+    )
+
+
 def lookup(vol: TSDFVolume, block: jnp.ndarray) -> jnp.ndarray:
     """Batched retrieve: block coords [N, 3] -> pool indices [N] (-1 miss).
 
@@ -71,6 +177,8 @@ def lookup(vol: TSDFVolume, block: jnp.ndarray) -> jnp.ndarray:
     the matching live entry.
     """
     cfg = vol.cfg
+    if cfg.backend == "dense":
+        return _lookup_dense(vol, block)
     slots = probe_slots(block, cfg)  # [N, K]
     epos = vol.entry_pos[slots]  # [N, K, 3]
     eblk = vol.entry_block[slots]  # [N, K]
@@ -84,6 +192,8 @@ def lookup(vol: TSDFVolume, block: jnp.ndarray) -> jnp.ndarray:
 def lookup_entry(vol: TSDFVolume, block: jnp.ndarray) -> jnp.ndarray:
     """Like lookup() but returns the *entry* index [N] (-1 miss)."""
     cfg = vol.cfg
+    if cfg.backend == "dense":
+        return _lookup_dense(vol, block)  # entry idx == pool idx
     slots = probe_slots(block, cfg)
     epos = vol.entry_pos[slots]
     eblk = vol.entry_block[slots]
@@ -179,6 +289,8 @@ def insert(
     cfg.insert_rounds claim rounds are dropped (fail-open, like the
     reference's lock-miss retry-next-frame, voxel_hash.cu:83-89).
     """
+    if vol.cfg.backend == "dense":
+        return _insert_dense(vol, block, valid)
     pending = valid
     for _ in range(vol.cfg.insert_rounds):
         vol, pending = _claim_round(vol, block, pending)
@@ -196,6 +308,8 @@ def delete_entries(
     (voxel_mem.cu:57-61).
     """
     cfg = vol.cfg
+    if cfg.backend == "dense":
+        return _delete_entries_dense(vol, entry_idx, valid)
     num_entries = cfg.num_entries
     safe_idx = jnp.clip(entry_idx, 0, num_entries - 1)
     blk = vol.entry_block[safe_idx]

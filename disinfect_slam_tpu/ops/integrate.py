@@ -283,9 +283,28 @@ def fuse_visible(
     us = jnp.clip(u, 0, cam.img_w - 1)
     vs = jnp.clip(v, 0, cam.img_h - 1)
 
-    depth = frame.depth[vs, us]
+    # One stacked gather for all per-pixel channels: TPU gathers are
+    # descriptor-bound, so sampling (depth, d2r, rgb, ht, lt) as a single
+    # [H, W, 7] image costs ~1/5 of five separate gathers.
+    stacked = jnp.concatenate(
+        [
+            frame.depth[..., None],
+            d2r[..., None],
+            frame.rgb,
+            frame.ht[..., None],
+            frame.lt[..., None],
+        ],
+        axis=-1,
+    )
+    samp = stacked[vs, us]  # [V, 512, 7]
+    depth = samp[..., 0]
+    d2r_s = samp[..., 1]
+    rgb_new = samp[..., 2:5]
+    ht = samp[..., 5]
+    lt = samp[..., 6]
+
     depth_ok = (depth > 0) & (depth <= max_depth)
-    sdf = d2r[vs, us] * (depth - z)
+    sdf = d2r_s * (depth - z)
     sdf_ok = sdf > -cfg.truncation
     update = vis.mask[:, None] & in_img & depth_ok & sdf_ok
 
@@ -301,14 +320,11 @@ def fuse_visible(
     w_comb = w_old + w_new
     w_safe = jnp.where(w_comb == 0, 1.0, w_comb)
     tsdf_upd = (tsdf_old * w_old + tsdf_new * w_new) / w_safe
-    rgb_new = frame.rgb[vs, us]  # [V, 512, 3]
     rgb_upd = vx.round_half_away(
         (rgb_old * w_old[..., None] + rgb_new * w_new[..., None]) / w_safe[..., None]
     )
     w_upd = jnp.minimum(vx.round_half_away(w_comb), cfg.max_weight)
     # log-space geometric fusion of ht/lt (voxel_tsdf.cu:196-202)
-    ht = frame.ht[vs, us]
-    lt = frame.lt[vs, us]
     positive = jnp.exp((w_old * jnp.log(prob_old) + w_new * jnp.log(ht)) / w_safe)
     negative = jnp.exp(
         (w_old * jnp.log(1.0 - prob_old) + w_new * jnp.log(lt)) / w_safe

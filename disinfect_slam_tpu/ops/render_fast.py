@@ -1,0 +1,160 @@
+"""Fast TSDF rendering by surface splatting (TPU-native alternative to
+ray marching).
+
+The parity raycaster (ops/raycast.py) reproduces ray_cast_kernel
+semantics exactly, but per-step hash lookups are gather-bound on TPU.
+This renderer inverts the data flow: instead of each pixel pulling voxels,
+surface-band voxels *push* themselves into a z-buffer with scatter-min —
+the same access pattern class as fusion, which TPUs handle well:
+
+  1. visible blocks -> project all voxels to pixels (elementwise)
+  2. voxels in the surface band (|tsdf| < band, weight > 0) scatter-min
+     their quantized camera depth into a per-pixel z-buffer
+  3. winners (depth == z-buffer at their pixel) scatter packed payload
+     (rgb, ht probability) with a deterministic tie-break
+  4. normals come from screen-space depth gradients (no volume reads),
+     shaded with the same diffusivity + semantic-overlay formulas as the
+     reference (voxel_tsdf.cu:292-299)
+
+Output images match the reference's rgba/normal conventions; geometry
+differs from exact ray marching by < 1 voxel (no trilinear refinement).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core import voxel as vx
+from ..core.geometry import SE3, CameraParams
+from ..core.state import TSDFVolume
+from .integrate import gather_visible
+from .raycast import RaycastResult
+
+_BIG = jnp.int32(2**30)
+
+
+def splat_render(
+    vol: TSDFVolume,
+    cam: CameraParams,
+    cam_T_world: SE3,
+    max_depth: float,
+    band: float = 0.75,
+) -> RaycastResult:
+    """Render rgba + normal-shaded views by splatting surface voxels.
+
+    band: surface band half-width in tsdf units (voxels with
+    |tsdf| < band * (voxel_size / truncation) * splat_width are kept;
+    practically |tsdf| below ~1 voxel of distance).
+    """
+    cfg = vol.cfg
+    hgt, wid = cam.img_h, cam.img_w
+    n_pix = hgt * wid
+
+    vis = gather_visible(vol, cam, cam_T_world)
+    vcap, bv = cfg.max_visible, cfg.block_volume
+
+    offs = vx.index_to_offset(jnp.arange(bv, dtype=jnp.int32), cfg)
+    pos_grid = vx.block_to_point(vis.block_pos, cfg)[:, None, :] + offs[None, :, :]
+    pos_world = pos_grid.astype(jnp.float32) * cfg.voxel_size
+    pos_cam = cam_T_world.apply(pos_world)  # [V, 512, 3]
+    z = pos_cam[..., 2]
+    pih = cam.intrinsics.project(pos_cam)
+    u = vx.round_half_away(pih[..., 0] / z).astype(jnp.int32)
+    v = vx.round_half_away(pih[..., 1] / z).astype(jnp.int32)
+    in_img = (u >= 0) & (u < wid) & (v >= 0) & (v < hgt) & (z > 0) & (z <= max_depth)
+
+    pool = jnp.clip(vis.pool_idx, 0, cfg.num_blocks - 1)
+    tsdf = vol.tsdf[pool]
+    weight = vol.weight[pool]
+
+    # surface band: within ~`band` voxels of the zero crossing
+    band_tsdf = band * cfg.voxel_size / cfg.truncation
+    surf = (
+        vis.mask[:, None]
+        & in_img
+        & (weight > 0)
+        & (jnp.abs(tsdf) < band_tsdf)
+    ).reshape(-1)
+
+    # 2x2 pixel footprint per voxel: voxel screen footprints near 1 px
+    # leave holes with point splats, so each voxel covers the four pixels
+    # around its projection
+    uf = (pih[..., 0] / z).reshape(-1)
+    vf = (pih[..., 1] / z).reshape(-1)
+    u0 = jnp.floor(uf).astype(jnp.int32)
+    v0 = jnp.floor(vf).astype(jnp.int32)
+    pix4 = []
+    for du in (0, 1):
+        for dv in (0, 1):
+            uu_ = u0 + du
+            vv_ = v0 + dv
+            ok = surf & (uu_ >= 0) & (uu_ < wid) & (vv_ >= 0) & (vv_ < hgt)
+            pix4.append(jnp.where(ok, vv_ * wid + uu_, n_pix))
+    pix = jnp.concatenate(pix4)  # [4N]
+
+    # pass 1: z-buffer via scatter-min of quantized depth
+    depth_q1 = jnp.clip((z * 4096.0), 0, float(2**29)).astype(jnp.int32).reshape(-1)
+    depth_q = jnp.tile(depth_q1, 4)
+    zbuf = jnp.full((n_pix,), _BIG, jnp.int32).at[pix].min(depth_q, mode="drop")
+
+    # pass 2: winners scatter packed payload; ties broken by max packed
+    # value (deterministic)
+    won = (pix < n_pix) & (depth_q == zbuf[jnp.clip(pix, 0, n_pix - 1)])
+    rgb = vol.rgb[pool].reshape(-1, 3)
+    prob = vol.prob[pool].reshape(-1)
+    # pack as uint32 (prob in the top byte would flip the int32 sign)
+    r8 = jnp.clip(rgb[:, 0], 0, 255).astype(jnp.uint32)
+    g8 = jnp.clip(rgb[:, 1], 0, 255).astype(jnp.uint32)
+    b8 = jnp.clip(rgb[:, 2], 0, 255).astype(jnp.uint32)
+    p8 = jnp.clip(prob * 255.0, 0, 255).astype(jnp.uint32)
+    packed = jnp.tile((p8 << 24) | (r8 << 16) | (g8 << 8) | b8, 4)
+    wpix = jnp.where(won, pix, n_pix)
+    pbuf = jnp.zeros((n_pix,), jnp.uint32).at[wpix].max(packed, mode="drop")
+
+    hit = (zbuf < _BIG).reshape(hgt, wid)
+    depth_img = jnp.where(hit, zbuf.reshape(hgt, wid).astype(jnp.float32) / 4096.0, 0.0)
+
+    # screen-space normals from depth gradients (camera space)
+    uu = jnp.arange(wid, dtype=jnp.float32)
+    vv = jnp.arange(hgt, dtype=jnp.float32)
+    ug, vg = jnp.meshgrid(uu, vv)
+    dirs = cam.intrinsics_inv.project(jnp.stack([ug, vg, jnp.ones_like(ug)], -1))
+    pts = dirs * depth_img[..., None]  # camera-space points
+    dx = jnp.roll(pts, -1, axis=1) - pts
+    dy = jnp.roll(pts, -1, axis=0) - pts
+    n_cam = jnp.cross(dx, dy)
+    nn = jnp.linalg.norm(n_cam, axis=-1, keepdims=True)
+    n_cam = n_cam / jnp.where(nn == 0, 1.0, nn)
+    ray_dir = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+    # diffusivity = max(dot(normal, -ray), 0) (voxel_tsdf.cu:292)
+    diffusivity = jnp.abs(jnp.sum(n_cam * ray_dir, axis=-1))
+
+    pb = pbuf.reshape(hgt, wid)
+    prob_i = ((pb >> 24) & 0xFF).astype(jnp.float32) / 255.0
+    r = ((pb >> 16) & 0xFF).astype(jnp.float32)
+    g = ((pb >> 8) & 0xFF).astype(jnp.float32)
+    b = (pb & 0xFF).astype(jnp.float32)
+
+    # semantic overlay (voxel_tsdf.cu:293-299)
+    alpha = jnp.maximum(prob_i - 0.5, 0.0) / 0.5
+    rr = alpha * 255.0 + (1.0 - alpha) * r
+    gg = (1.0 - alpha) * g
+    bb = (1.0 - alpha) * b
+    a255 = jnp.full((hgt, wid), 255.0)
+    rgba = jnp.stack([rr, gg, bb, a255], axis=-1)
+
+    shade = diffusivity * 255.0
+    nr = alpha * 255.0 + (1.0 - alpha) * shade
+    ng = (1.0 - alpha) * shade
+    normal = jnp.stack([nr, ng, ng, a255], axis=-1)
+
+    hitf = hit[..., None].astype(jnp.float32)
+    return RaycastResult(
+        rgba=(rgba * hitf).astype(jnp.uint8),
+        normal=(normal * hitf).astype(jnp.uint8),
+        depth=depth_img,
+        hit=hit,
+    )

@@ -69,13 +69,15 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = "shard", devices=None
 
 
 def shard_config(cfg: TSDFConfig, n_devices: int) -> TSDFConfig:
-    """Per-device sub-volume config: capacities divided by the shard count."""
+    """Per-device sub-volume config: pool capacity divided by the shard
+    count.  The dense block table keeps its full spatial extent on every
+    shard (ownership scatters blocks across all of space); only the hash
+    bucket count shrinks with the pool."""
     shrink = max(int(np.log2(n_devices)), 0)
-    return dataclasses.replace(
-        cfg,
-        num_buckets_log2=cfg.num_buckets_log2 - shrink,
-        num_blocks_log2=cfg.num_blocks_log2 - shrink,
-    )
+    kwargs = dict(num_blocks_log2=cfg.num_blocks_log2 - shrink)
+    if cfg.backend == "hash":
+        kwargs["num_buckets_log2"] = cfg.num_buckets_log2 - shrink
+    return dataclasses.replace(cfg, **kwargs)
 
 
 class DistributedTSDF:

@@ -15,7 +15,7 @@ from disinfect_slam_tpu.ops.integrate import FrameInput, integrate
 from .oracle import OracleVolume
 from .scenes import checker_rgb, look_at, render_sphere, render_wall
 
-# Small but non-trivial test configuration.
+# Small but non-trivial test configurations (both index backends).
 CFG = TSDFConfig(
     voxel_size=0.05,
     truncation=0.15,
@@ -26,7 +26,19 @@ CFG = TSDFConfig(
     max_visible=1024,
     max_new_per_round=512,
     insert_rounds=4,
+    backend="hash",
 )
+CFG_DENSE = TSDFConfig(
+    voxel_size=0.05,
+    truncation=0.15,
+    num_blocks_log2=10,
+    max_candidates=2048,
+    max_visible=1024,
+    max_new_per_round=512,
+    backend="dense",
+    grid_log2=6,
+)
+BOTH = pytest.mark.parametrize("cfg", [CFG, CFG_DENSE], ids=["hash", "dense"])
 
 W, H = 64, 48
 # deliberately non-centered intrinsics + tilted scenes: keeps voxel
@@ -111,17 +123,19 @@ def compare(vol, ovol, tsdf_atol=2e-3):
     assert n_ours == len(coords), (n_ours, len(coords))
 
 
-def test_single_wall_frame_matches_oracle():
+@BOTH
+def test_single_wall_frame_matches_oracle(cfg):
     pose = look_at((0.033, -0.041, 0.017), (0.11, 0.07, 2.0131))
     depth = render_wall(W, H, K, pose, wall_z=2.0131)
     frames = [(make_frame(depth), pose)]
-    vol = run_ours(frames)
-    ovol = run_oracle(frames)
+    vol = run_ours(frames, cfg)
+    ovol = run_oracle(frames, cfg)
     assert len(ovol.blocks) > 10
     compare(vol, ovol)
 
 
-def test_multi_frame_sphere_matches_oracle():
+@BOTH
+def test_multi_frame_sphere_matches_oracle(cfg):
     frames = []
     for i, ang in enumerate([0.0, 0.15, -0.12]):
         eye = np.array([np.sin(ang) * 2.5 + 0.013, 0.1 * i - 0.027, -2.5 * np.cos(ang) + 1.0])
@@ -130,21 +144,22 @@ def test_multi_frame_sphere_matches_oracle():
         ht = np.full((H, W), 0.7, np.float32)
         lt = np.full((H, W), 0.4, np.float32)
         frames.append((make_frame(depth, ht=ht, lt=lt), pose))
-    vol = run_ours(frames)
-    ovol = run_oracle(frames)
+    vol = run_ours(frames, cfg)
+    ovol = run_oracle(frames, cfg)
     assert len(ovol.blocks) > 10
     compare(vol, ovol)
 
 
-def test_carving_removes_empty_blocks():
+@BOTH
+def test_carving_removes_empty_blocks(cfg):
     """A wall moving away: blocks allocated in front of the old surface
     must be carved once fully observed as empty-ish (min |tsdf| >= 0.9)."""
     pose = look_at((0.021, -0.017, 0.009), (0.05, 0.08, 2.0))
     d1 = render_wall(W, H, K, pose, wall_z=1.0137)
     d2 = render_wall(W, H, K, pose, wall_z=3.0219)
     frames = [(make_frame(d1), pose)] + [(make_frame(d2), pose)] * 8
-    vol = run_ours(frames)
-    ovol = run_oracle(frames)
+    vol = run_ours(frames, cfg)
+    ovol = run_oracle(frames, cfg)
     compare(vol, ovol, tsdf_atol=5e-3)
 
 

@@ -118,3 +118,27 @@ def test_shard_config_capacity_split():
     sub = shard_config(CFG, 8)
     assert sub.num_blocks * 8 == CFG.num_blocks
     assert sub.num_buckets * 8 == CFG.num_buckets
+    from .test_integrate import CFG_DENSE
+
+    subd = shard_config(CFG_DENSE, 8)
+    assert subd.num_blocks * 8 == CFG_DENSE.num_blocks
+    assert subd.grid_cells == CFG_DENSE.grid_cells  # full extent kept
+
+
+def test_sharded_dense_matches_single_chip():
+    from .test_integrate import CFG_DENSE
+
+    mesh = make_mesh(4)
+    dist = DistributedTSDF(CFG_DENSE, mesh)
+    pose_np = look_at((0.033, -0.041, 0.017), (0.11, 0.07, 2.0131))
+    depth = render_wall(W, H, K, pose_np, wall_z=2.0131)
+    frame = make_frame(depth)
+    dist.integrate(frame, K, pose_np, MAX_DEPTH)
+
+    vol = TSDFVolume.create(CFG_DENSE)
+    intr = CameraIntrinsics.create(*K)
+    cam = CameraParams.create(intr, H, W)
+    vol = jax.jit(lambda v, f, p: integrate(v, f, cam, p, MAX_DEPTH))(
+        vol, frame, SE3.from_matrix(pose_np)
+    )
+    assert dist.num_active_blocks() == int(vol.num_active_blocks)
