@@ -57,6 +57,10 @@ class TSDFGrid:
             self._raycast_impl,
             static_argnames=("img_h", "img_w", "max_depth"),
         )
+        self._splat = jax.jit(
+            self._splat_impl,
+            static_argnames=("img_h", "img_w", "max_depth"),
+        )
         self._gather_valid = jax.jit(gather_ops.gather_valid)
         # functional state guard for concurrent host threads
         self._lock = threading.Lock()
@@ -73,6 +77,14 @@ class TSDFGrid:
         intrinsics = CameraIntrinsics.create(intr[0], intr[1], intr[2], intr[3])
         cam = CameraParams.create(intrinsics, img_h, img_w)
         return raycast_ops.raycast(vol, cam, SE3.from_matrix(pose_mat), max_depth)
+
+    @staticmethod
+    def _splat_impl(vol, intr, pose_mat, img_h, img_w, max_depth):
+        from ..ops.render_fast import splat_render
+
+        intrinsics = CameraIntrinsics.create(intr[0], intr[1], intr[2], intr[3])
+        cam = CameraParams.create(intrinsics, img_h, img_w)
+        return splat_render(vol, cam, SE3.from_matrix(pose_mat), max_depth)
 
     # ------------------------------------------------------------------
     def integrate(
@@ -110,13 +122,17 @@ class TSDFGrid:
         max_depth: float,
         virtual_cam: Tuple[Tuple[float, float, float, float], int, int],
         cam_T_world: np.ndarray,
+        renderer: str = "raycast",
     ) -> raycast_ops.RaycastResult:
         """TSDFGrid::RayCast (voxel_tsdf.cu:490-506). virtual_cam =
-        ((fx, fy, cx, cy), img_h, img_w)."""
+        ((fx, fy, cx, cy), img_h, img_w).  renderer="splat" selects the
+        scatter-based fast path (same image conventions, no per-step
+        volume lookups — see ops/render_fast.py)."""
         intr, img_h, img_w = virtual_cam
         with self._lock:
             vol = self.volume
-        return self._raycast(
+        fn = self._splat if renderer == "splat" else self._raycast
+        return fn(
             vol,
             jnp.asarray(intr, jnp.float32),
             jnp.asarray(cam_T_world, jnp.float32),
