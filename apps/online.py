@@ -41,6 +41,9 @@ def main():
 
     import jax
 
+    from disinfect_slam_tpu.utils.cache import enable as _cache
+
+    _cache()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
 

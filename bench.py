@@ -49,6 +49,15 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # persistent compile cache: the full-scale integrate program takes
+    # minutes to build via the remote compiler; cache it across runs
+    try:
+        cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass
+
     from disinfect_slam_tpu.config import TSDFConfig
     from disinfect_slam_tpu.core.geometry import SE3, CameraIntrinsics, CameraParams
     from disinfect_slam_tpu.core.state import TSDFVolume
