@@ -123,7 +123,10 @@ def main():
     dt = time.perf_counter() - t0
     fps = (len(frames) - 1) / dt
 
-    # secondary: raycast latency
+    # secondary: render latencies (parity raycaster + splat fast path)
+    from disinfect_slam_tpu.ops.render_fast import splat_render
+
+    sp = jax.jit(lambda v, m: splat_render(v, cam, SE3.from_matrix(m), max_depth))
     r = rc(vol, staged[0][1])
     jax.block_until_ready(r.rgba)
     t0 = time.perf_counter()
@@ -132,10 +135,18 @@ def main():
     jax.block_until_ready(r.rgba)
     ray_ms = (time.perf_counter() - t0) / 5 * 1e3
 
+    s = sp(vol, staged[0][1])
+    jax.block_until_ready(s.rgba)
+    t0 = time.perf_counter()
+    for i in range(5):
+        s = sp(vol, staged[i][1])
+    jax.block_until_ready(s.rgba)
+    splat_ms = (time.perf_counter() - t0) / 5 * 1e3
+
     print(
         f"[bench] platform={platform} img={w}x{h} voxel={cfg.voxel_size} "
         f"frames={n_frames} active_blocks={int(vol.num_active_blocks)} "
-        f"integrate_fps={fps:.2f} raycast_ms={ray_ms:.2f}",
+        f"integrate_fps={fps:.2f} raycast_ms={ray_ms:.2f} splat_ms={splat_ms:.2f}",
         file=sys.stderr,
     )
     print(

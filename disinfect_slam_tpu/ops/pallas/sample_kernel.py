@@ -1,0 +1,186 @@
+"""Pallas TPU kernel: per-block image patch sampling for TSDF fusion.
+
+The fusion stage needs, for every voxel of every visible block, the
+stacked frame channels at its projected pixel — ~16.7M random image
+samples per frame at 640x480/4mm.  XLA lowers that to an elementwise
+gather, which on TPU is descriptor-bound (~140M samples/s -> ~120 ms).
+
+This kernel exploits the structure TPUs love: the 512 voxels of one
+block project into a small contiguous image patch.  Per visible block:
+
+  1. DMA the block's (PH, PW, C) patch from the HBM image into VMEM
+     (bulk copy: ~40 KB, amortized over 512 samples);
+  2. select each voxel's pixel with two MXU matmuls instead of gathers:
+       A   = onehot_v [512, PH] @ patch [PH, PW*C]      (row select)
+       out = (A * onehot_wc [512, PW*C]) @ G [PW*C, C]  (column select)
+     where onehot_* are built from iota compares in-register and G is a
+     static 0/1 channel-collector matrix.  Each output element receives
+     exactly one product term, so the selection is numerically exact in
+     f32 (no accumulation error).
+
+Out-of-patch voxels (blocks whose screen footprint exceeds the static
+patch, i.e. very close to the camera) are flagged invalid and must be
+handled by the caller (they skip fusion for the frame).
+
+Layout notes: voxels ride the sublane dim (512 = 4 x 128-row f32 tiles),
+patch pixels the lane dim; PH/PW*C are padded to tile boundaries by
+Mosaic automatically.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# patch extent in pixels; a block (8 voxels across, diagonal ~14 voxels)
+# fits while fx * 8 * voxel_size * sqrt(3) / z <= PH, i.e. z >= ~0.5 m at
+# 4 mm voxels with fx=525
+DEFAULT_PH = 24
+DEFAULT_PW = 32
+
+
+def _selector_matrix(pw: int, c: int) -> np.ndarray:
+    """Static [PW*C, C] collector: G[w*C + cc, c'] = (cc == c')."""
+    g = np.zeros((pw * c, c), np.float32)
+    for w in range(pw):
+        for cc in range(c):
+            g[w * c + cc, cc] = 1.0
+    return g
+
+
+def _sample_kernel(
+    # scalar prefetch
+    u0_ref,  # [V] i32 patch origin x per block
+    v0_ref,  # [V] i32 patch origin y per block
+    # array inputs
+    img_ref,  # [H, W*C] f32 in ANY/HBM (flattened channels)
+    lu_ref,  # [TB, 512] i32 in-patch... absolute pixel x per voxel
+    lv_ref,  # [TB, 512] i32 absolute pixel y per voxel
+    g_ref,  # [PW*C, C] f32 static selector
+    # outputs
+    out_ref,  # [TB, 512, C] f32 samples
+    valid_ref,  # [TB, 512] f32 1.0 where sample is in-patch
+    # scratch
+    patch_ref,  # [TB, PH, PW*C] f32
+    sems,  # DMA semaphores [TB]
+    *,
+    tb: int,
+    ph: int,
+    pw: int,
+    c: int,
+    img_h: int,
+    img_w: int,
+):
+    i = pl.program_id(0)
+
+    # start all patch DMAs for this tile
+    for b in range(tb):
+        u0 = u0_ref[i * tb + b]
+        v0 = v0_ref[i * tb + b]
+        cp = pltpu.make_async_copy(
+            img_ref.at[pl.ds(v0, ph), pl.ds(u0 * c, pw * c)],
+            patch_ref.at[b],
+            sems.at[b],
+        )
+        cp.start()
+
+    for b in range(tb):
+        u0 = u0_ref[i * tb + b]
+        v0 = v0_ref[i * tb + b]
+        pltpu.make_async_copy(
+            img_ref.at[pl.ds(v0, ph), pl.ds(u0 * c, pw * c)],
+            patch_ref.at[b],
+            sems.at[b],
+        ).wait()
+
+        lu = lu_ref[b] - u0  # [512] local x
+        lv = lv_ref[b] - v0  # [512] local y
+        in_patch = (lu >= 0) & (lu < pw) & (lv >= 0) & (lv < ph)
+        lu_c = jnp.clip(lu, 0, pw - 1)
+        lv_c = jnp.clip(lv, 0, ph - 1)
+
+        rows = jax.lax.broadcasted_iota(jnp.int32, (512, ph), 1)
+        oh_v = (rows == lv_c[:, None]).astype(jnp.float32)  # [512, PH]
+        a = jnp.dot(
+            oh_v, patch_ref[b], preferred_element_type=jnp.float32
+        )  # [512, PW*C]
+
+        wc = jax.lax.broadcasted_iota(jnp.int32, (512, pw * c), 1) // c
+        oh_wc = (wc == lu_c[:, None]).astype(jnp.float32)
+        out = jnp.dot(
+            a * oh_wc, g_ref[:], preferred_element_type=jnp.float32
+        )  # [512, C]
+
+        vmask = in_patch.astype(jnp.float32)
+        out_ref[b] = out * vmask[:, None]
+        valid_ref[b] = vmask
+
+
+@functools.partial(
+    jax.jit, static_argnames=("ph", "pw", "tb", "interpret")
+)
+def sample_patches(
+    img: jnp.ndarray,  # [H, W, C] f32 stacked frame channels
+    u0: jnp.ndarray,  # [V] i32 patch origin x (clipped to [0, W-PW])
+    v0: jnp.ndarray,  # [V] i32 patch origin y (clipped to [0, H-PH])
+    u: jnp.ndarray,  # [V, 512] i32 absolute pixel x per voxel
+    v: jnp.ndarray,  # [V, 512] i32 absolute pixel y per voxel
+    ph: int = DEFAULT_PH,
+    pw: int = DEFAULT_PW,
+    tb: int = 8,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Sample img at (v, u) per voxel -> ([V, 512, C] values, [V, 512]
+    validity).  Samples outside the per-block patch come back invalid."""
+    img_h, img_w, c = img.shape
+    vcap = u0.shape[0]
+    assert vcap % tb == 0, (vcap, tb)
+    grid = (vcap // tb,)
+
+    img_flat = img.reshape(img_h, img_w * c)
+    g = jnp.asarray(_selector_matrix(pw, c))
+
+    kernel = functools.partial(
+        _sample_kernel,
+        tb=tb,
+        ph=ph,
+        pw=pw,
+        c=c,
+        img_h=img_h,
+        img_w=img_w,
+    )
+    out_shape = (
+        jax.ShapeDtypeStruct((vcap, 512, c), jnp.float32),
+        jax.ShapeDtypeStruct((vcap, 512), jnp.float32),
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),  # img stays in HBM
+            pl.BlockSpec((tb, 512), lambda i, *_: (i, 0)),
+            pl.BlockSpec((tb, 512), lambda i, *_: (i, 0)),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # selector
+        ],
+        out_specs=(
+            pl.BlockSpec((tb, 512, c), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((tb, 512), lambda i, *_: (i, 0)),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((tb, ph, pw * c), jnp.float32),
+            pltpu.SemaphoreType.DMA((tb,)),
+        ],
+    )
+    samples, valid = pl.pallas_call(
+        kernel,
+        out_shape=out_shape,
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(u0, v0, img_flat, u, v, g)
+    return samples, valid > 0.5
