@@ -79,6 +79,17 @@ class TSDFConfig:
     # 256 blocks * 8 voxels * 4 mm = +/-4.1 m from the origin
     grid_log2: int = 8
 
+    # --- fusion image sampler ---
+    # "gather": plain XLA gather (exact, descriptor-bound on TPU)
+    # "pallas": per-block patch DMA + one-hot MXU selection (fast on TPU;
+    #           blocks whose screen footprint exceeds the patch skip the
+    #           frame — only happens closer than ~0.5 m at 4 mm voxels)
+    # "auto":   pallas on TPU, gather elsewhere
+    sampler: str = "auto"
+    patch_h: int = 32
+    patch_w: int = 48
+    sample_tile: int = 8
+
     # ------------------------------------------------------------------
     @property
     def block_len(self) -> int:

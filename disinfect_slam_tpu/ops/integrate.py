@@ -296,20 +296,46 @@ def fuse_visible(
     us = jnp.clip(u, 0, cam.img_w - 1)
     vs = jnp.clip(v, 0, cam.img_h - 1)
 
-    # One stacked gather for all per-pixel channels: TPU gathers are
-    # descriptor-bound, so sampling (depth, d2r, rgb, ht, lt) as a single
-    # [H, W, 7] image costs ~1/5 of five separate gathers.
-    stacked = jnp.concatenate(
+    # One stacked image carries all per-pixel channels (depth, d2r, rgb,
+    # ht, lt, pad-to-8); sampled either by one XLA gather or by the
+    # Pallas patch kernel (TPU gathers are descriptor-bound: ~140M
+    # samples/s, vs bulk patch DMA + MXU one-hot selection).
+    stacked = jnp.stack(
         [
-            frame.depth[..., None],
-            d2r[..., None],
-            frame.rgb,
-            frame.ht[..., None],
-            frame.lt[..., None],
+            frame.depth,
+            d2r,
+            frame.rgb[..., 0],
+            frame.rgb[..., 1],
+            frame.rgb[..., 2],
+            frame.ht,
+            frame.lt,
+            jnp.zeros_like(frame.depth),
         ],
         axis=-1,
     )
-    samp = stacked[vs, us]  # [V, 512, 7]
+
+    use_pallas = (
+        cfg.sampler == "pallas"
+        or (cfg.sampler == "auto" and jax.default_backend() == "tpu")
+    ) and cfg.block_volume == 512 and cfg.max_visible % cfg.sample_tile == 0
+    if use_pallas:
+        from .pallas.sample_kernel import sample_patches
+
+        # patch origins from in-image voxels only (off-screen voxels clip
+        # to the border and must not drag the window)
+        u_for_min = jnp.where(in_img, us, cam.img_w - 1)
+        v_for_min = jnp.where(in_img, vs, cam.img_h - 1)
+        u0 = jnp.min(u_for_min, axis=1).astype(jnp.int32)
+        v0 = jnp.min(v_for_min, axis=1).astype(jnp.int32)
+        samp, patch_ok = sample_patches(
+            stacked, u0, v0, us, vs,
+            ph=cfg.patch_h, pw=cfg.patch_w, tb=cfg.sample_tile,
+        )
+        sample_ok = in_img & patch_ok
+    else:
+        samp = stacked[vs, us]  # [V, 512, 8]
+        sample_ok = in_img
+
     depth = samp[..., 0]
     d2r_s = samp[..., 1]
     rgb_new = samp[..., 2:5]
@@ -319,7 +345,7 @@ def fuse_visible(
     depth_ok = (depth > 0) & (depth <= max_depth)
     sdf = d2r_s * (depth - z)
     sdf_ok = sdf > -cfg.truncation
-    update = vis.mask[:, None] & in_img & depth_ok & sdf_ok
+    update = vis.mask[:, None] & sample_ok & depth_ok & sdf_ok
 
     tsdf_new = jnp.minimum(1.0, sdf / cfg.truncation)
     w_new = (1.0 - depth / max_depth) * 4.0

@@ -40,9 +40,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 # patch extent in pixels; a block (8 voxels across, diagonal ~14 voxels)
 # fits while fx * 8 * voxel_size * sqrt(3) / z <= PH, i.e. z >= ~0.5 m at
-# 4 mm voxels with fx=525
-DEFAULT_PH = 24
-DEFAULT_PW = 32
+# 4 mm voxels with fx=525.  Origins are tile-aligned (v0 % 8 == 0,
+# u0 % 16 == 0 so u0*C lands on a 128-lane boundary), so the patch is
+# padded by one alignment step beyond the nominal footprint.
+DEFAULT_PH = 32
+DEFAULT_PW = 48
 
 
 def _selector_matrix(pw: int, c: int) -> np.ndarray:
@@ -80,24 +82,24 @@ def _sample_kernel(
     i = pl.program_id(0)
 
     # start all patch DMAs for this tile
-    for b in range(tb):
-        u0 = u0_ref[i * tb + b]
-        v0 = v0_ref[i * tb + b]
-        cp = pltpu.make_async_copy(
-            img_ref.at[pl.ds(v0, ph), pl.ds(u0 * c, pw * c)],
+    # origins are pre-aligned by the caller; assert that to Mosaic so the
+    # dynamic DMA slice provably lands on tile boundaries
+    def _dma(b):
+        v0 = pl.multiple_of(v0_ref[i * tb + b], 8)
+        u0c = pl.multiple_of(u0_ref[i * tb + b] * c, 128)
+        return pltpu.make_async_copy(
+            img_ref.at[pl.ds(v0, ph), pl.ds(u0c, pw * c)],
             patch_ref.at[b],
             sems.at[b],
         )
-        cp.start()
+
+    for b in range(tb):
+        _dma(b).start()
 
     for b in range(tb):
         u0 = u0_ref[i * tb + b]
         v0 = v0_ref[i * tb + b]
-        pltpu.make_async_copy(
-            img_ref.at[pl.ds(v0, ph), pl.ds(u0 * c, pw * c)],
-            patch_ref.at[b],
-            sems.at[b],
-        ).wait()
+        _dma(b).wait()
 
         lu = lu_ref[b] - u0  # [512] local x
         lv = lv_ref[b] - v0  # [512] local y
@@ -111,8 +113,12 @@ def _sample_kernel(
             oh_v, patch_ref[b], preferred_element_type=jnp.float32
         )  # [512, PW*C]
 
-        wc = jax.lax.broadcasted_iota(jnp.int32, (512, pw * c), 1) // c
-        oh_wc = (wc == lu_c[:, None]).astype(jnp.float32)
+        # window select without integer division (avoids a Mosaic
+        # mis-lowering of iota//c): position p belongs to pixel column
+        # lu iff 0 <= p - lu*C < C
+        pcol = jax.lax.broadcasted_iota(jnp.int32, (512, pw * c), 1)
+        d = pcol - lu_c[:, None] * c
+        oh_wc = ((d >= 0) & (d < c)).astype(jnp.float32)
         out = jnp.dot(
             a * oh_wc, g_ref[:], preferred_element_type=jnp.float32
         )  # [512, C]
@@ -142,6 +148,11 @@ def sample_patches(
     vcap = u0.shape[0]
     assert vcap % tb == 0, (vcap, tb)
     grid = (vcap // tb,)
+
+    # align origins to the DMA tiling (sublane 8, lane 128 => u0*C % 128)
+    ualign = max(128 // c, 1)
+    u0 = jnp.clip((u0 // ualign) * ualign, 0, img_w - pw)
+    v0 = jnp.clip((v0 // 8) * 8, 0, img_h - ph)
 
     img_flat = img.reshape(img_h, img_w * c)
     g = jnp.asarray(_selector_matrix(pw, c))
