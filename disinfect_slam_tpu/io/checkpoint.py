@@ -1,0 +1,47 @@
+"""Volume checkpoint / resume.
+
+The reference has no live resume — its persistence is the raw voxel dump
++ trajectory export (SURVEY.md §5 "Checkpoint/resume").  Because the TPU
+volume is a plain pytree of arrays, full checkpointing is trivial: this
+module saves/loads the complete TSDFVolume (hash entries, free heap,
+payloads) so a reconstruction session can stop and resume exactly.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import TSDFConfig
+from ..core.state import TSDFVolume
+
+_FIELDS = (
+    "entry_pos",
+    "entry_block",
+    "block_table",
+    "heap",
+    "num_free",
+    "tsdf",
+    "weight",
+    "rgb",
+    "prob",
+)
+
+
+def save_volume(path: str, vol: TSDFVolume) -> None:
+    """Write the full volume state + config to one .npz file."""
+    arrays = {f: np.asarray(getattr(vol, f)) for f in _FIELDS}
+    arrays["__config__"] = np.frombuffer(
+        json.dumps(dataclasses.asdict(vol.cfg)).encode(), dtype=np.uint8
+    )
+    np.savez_compressed(path, **arrays)
+
+
+def load_volume(path: str) -> TSDFVolume:
+    data = np.load(path)
+    cfg = TSDFConfig(**json.loads(bytes(data["__config__"]).decode()))
+    kwargs = {f: jnp.asarray(data[f]) for f in _FIELDS}
+    return TSDFVolume(cfg=cfg, **kwargs)
