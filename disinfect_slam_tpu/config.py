@@ -85,9 +85,7 @@ class TSDFConfig:
     #           blocks whose screen footprint exceeds the patch skip the
     #           frame — only happens closer than ~0.5 m at 4 mm voxels)
     # "auto":   pallas on TPU, gather elsewhere
-    # default stays "gather" until the pallas kernel clears verification
-    # on hardware (a Mosaic lowering issue is being bisected)
-    sampler: str = "gather"
+    sampler: str = "auto"
     patch_h: int = 32
     patch_w: int = 48
     sample_tile: int = 8

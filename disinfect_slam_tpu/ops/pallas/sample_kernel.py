@@ -108,19 +108,38 @@ def _sample_kernel(
         lv_c = jnp.clip(lv, 0, ph - 1)
 
         rows = jax.lax.broadcasted_iota(jnp.int32, (512, ph), 1)
-        oh_v = (rows == lv_c[:, None]).astype(jnp.float32)  # [512, PH]
-        a = jnp.dot(
-            oh_v, patch_ref[b], preferred_element_type=jnp.float32
+        # the f32 MXU path miscompiles on this Mosaic stack (output lanes
+        # broadcast); bf16 is correct, so run the one-hot selection as
+        # three bf16 matmuls over a hi/mid/lo split of the patch — each
+        # output element receives exactly one product term per matmul, so
+        # the sum reconstructs the f32 value to ~1 ulp
+        oh_v = (rows == lv_c[:, None]).astype(jnp.bfloat16)  # [512, PH]
+        p_full = patch_ref[b]
+        p_hi = p_full.astype(jnp.bfloat16)
+        r1 = p_full - p_hi.astype(jnp.float32)
+        p_mid = r1.astype(jnp.bfloat16)
+        p_lo = (r1 - p_mid.astype(jnp.float32)).astype(jnp.bfloat16)
+        a = (
+            jnp.dot(oh_v, p_hi, preferred_element_type=jnp.float32)
+            + jnp.dot(oh_v, p_mid, preferred_element_type=jnp.float32)
+            + jnp.dot(oh_v, p_lo, preferred_element_type=jnp.float32)
         )  # [512, PW*C]
 
-        # window select without integer division (avoids a Mosaic
-        # mis-lowering of iota//c): position p belongs to pixel column
-        # lu iff 0 <= p - lu*C < C
+        # window select without integer division: position p belongs to
+        # pixel column lu iff 0 <= p - lu*C < C
         pcol = jax.lax.broadcasted_iota(jnp.int32, (512, pw * c), 1)
         d = pcol - lu_c[:, None] * c
         oh_wc = ((d >= 0) & (d < c)).astype(jnp.float32)
-        out = jnp.dot(
-            a * oh_wc, g_ref[:], preferred_element_type=jnp.float32
+        m = a * oh_wc
+        m_hi = m.astype(jnp.bfloat16)
+        r2 = m - m_hi.astype(jnp.float32)
+        m_mid = r2.astype(jnp.bfloat16)
+        m_lo = (r2 - m_mid.astype(jnp.float32)).astype(jnp.bfloat16)
+        gb = g_ref[:].astype(jnp.bfloat16)
+        out = (
+            jnp.dot(m_hi, gb, preferred_element_type=jnp.float32)
+            + jnp.dot(m_mid, gb, preferred_element_type=jnp.float32)
+            + jnp.dot(m_lo, gb, preferred_element_type=jnp.float32)
         )  # [512, C]
 
         vmask = in_patch.astype(jnp.float32)
