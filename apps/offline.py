@@ -37,6 +37,10 @@ def main():
     ap.add_argument("--mesh", help="extract + save OBJ mesh here")
     ap.add_argument("--render-dir", help="write raycast PNGs here")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    ap.add_argument(
+        "--preset", choices=["full", "small"], default="full",
+        help="volume capacity preset (small: quick CPU runs)",
+    )
     ap.add_argument("--debug", action="store_true")
     args = ap.parse_args()
 
@@ -81,7 +85,16 @@ def main():
         replay = LoggedReplay(args.logdir, depth_factor, extrinsics)
     print(f"[offline] {len(replay)} frames")
 
-    grid = TSDFGrid(args.voxel, args.trunc)
+    cfg = None
+    if args.preset == "small":
+        cfg = TSDFConfig(
+            num_blocks_log2=12,
+            max_candidates=8192,
+            max_visible=4096,
+            max_new_per_round=2048,
+            grid_log2=7,
+        )
+    grid = TSDFGrid(args.voxel, args.trunc, cfg=cfg)
     timer = StageTimer()
 
     n = 0

@@ -68,7 +68,7 @@ class FrameLogger(DataLogger):
     matched trajectory.txt — the pseudo_online_capture replacement
     (pseudo_online_capture.cc:52-65) producing offline-replayable logs."""
 
-    def __init__(self, logdir: str, depth_factor: float = 1000.0, queue_depth: int = 4):
+    def __init__(self, logdir: str, depth_factor: float = 1000.0, queue_depth: int = 32):
         import os
 
         os.makedirs(logdir, exist_ok=True)
