@@ -37,6 +37,7 @@ def main():
     ap.add_argument("--seg-ckpt", help="segmentation checkpoint (msgpack)")
     ap.add_argument("--render-dir")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--preset", choices=["full", "small"], default="full")
     args = ap.parse_args()
 
     import jax
@@ -52,8 +53,16 @@ def main():
         get_intrinsics,
         load_yaml,
     )
+    from disinfect_slam_tpu.config import TSDFConfig
     from disinfect_slam_tpu.io.dataset import LoggedReplay
     from disinfect_slam_tpu.systems.disinf_system import DISINFSystem
+
+    cfg = None
+    if args.preset == "small":
+        cfg = TSDFConfig(
+            num_blocks_log2=12, max_candidates=8192, max_visible=4096,
+            max_new_per_round=2048, grid_log2=7,
+        )
 
     if args.config:
         cfg_yaml = load_yaml(args.config)
@@ -97,6 +106,7 @@ def main():
         max_depth=args.max_depth,
         segmenter=segmenter,
         half_scale=False,
+        cfg=cfg,
     ) as system:
         period = 1.0 / args.fps
         t_start = time.perf_counter()
