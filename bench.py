@@ -45,9 +45,29 @@ def make_orbit_frames(n_frames, w, h, K):
     return frames
 
 
+def _tpu_alive(timeout: float = 240.0) -> bool:
+    """Probe the TPU tunnel in a subprocess (a dead relay hangs forever
+    rather than erroring; don't let the benchmark hang with it)."""
+    import subprocess
+
+    code = (
+        "import jax, jax.numpy as jnp;"
+        "jax.config.update('jax_compilation_cache_dir', '%s');"
+        "y = jax.jit(lambda a: a * 2 + 1)(jnp.ones((128,)));"
+        "jax.block_until_ready(y); print('ok')"
+        % os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    )
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, timeout=timeout
+        )
+        return b"ok" in out.stdout
+    except Exception:
+        return False
+
+
 def main():
     import jax
-    import jax.numpy as jnp
 
     # persistent compile cache: the full-scale integrate program takes
     # minutes to build via the remote compiler; cache it across runs
@@ -57,6 +77,15 @@ def main():
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
     except Exception:
         pass
+
+    if os.environ.get("JAX_PLATFORMS", "") not in ("cpu",) and not _tpu_alive():
+        print("[bench] TPU tunnel unreachable; falling back to CPU", file=sys.stderr)
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
+
+    import jax.numpy as jnp
 
     from disinfect_slam_tpu.config import TSDFConfig
     from disinfect_slam_tpu.core.geometry import SE3, CameraIntrinsics, CameraParams
