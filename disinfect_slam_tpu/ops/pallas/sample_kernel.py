@@ -193,7 +193,7 @@ def sample_patches(
         num_scalar_prefetch=2,
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # img stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # img stays in HBM
             pl.BlockSpec((tb, 512), lambda i, *_: (i, 0)),
             pl.BlockSpec((tb, 512), lambda i, *_: (i, 0)),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # selector
