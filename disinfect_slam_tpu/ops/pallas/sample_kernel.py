@@ -168,10 +168,11 @@ def sample_patches(
     assert vcap % tb == 0, (vcap, tb)
     grid = (vcap // tb,)
 
-    # align origins to the DMA tiling (sublane 8, lane 128 => u0*C % 128)
+    # align origins to the DMA tiling (sublane 8, lane 128 => u0*C % 128);
+    # the upper clip is rounded down too so clipped origins stay aligned
     ualign = max(128 // c, 1)
-    u0 = jnp.clip((u0 // ualign) * ualign, 0, img_w - pw)
-    v0 = jnp.clip((v0 // 8) * 8, 0, img_h - ph)
+    u0 = jnp.clip((u0 // ualign) * ualign, 0, ((img_w - pw) // ualign) * ualign)
+    v0 = jnp.clip((v0 // 8) * 8, 0, ((img_h - ph) // 8) * 8)
 
     img_flat = img.reshape(img_h, img_w * c)
     g = jnp.asarray(_selector_matrix(pw, c))
