@@ -126,8 +126,11 @@ def extract_mesh(vol: TSDFVolume, max_tris: int = 1 << 18) -> Mesh:
     n_pts = (bl + 1) ** 3
     flat = pts.reshape(-1, 3)
     tsdf, _, weight, _ = h.read_voxels(vol, flat)
+    # observed = carries fused data: weight > 0 OR tsdf moved off the
+    # reset/default value (far-depth fusion rounds weight to 0 while
+    # still writing tsdf, voxel_tsdf.cu:182,192)
+    observed = ((weight > 0) | (jnp.abs(tsdf) < 0.999)).reshape(vcap, n_pts)
     tsdf = tsdf.reshape(vcap, n_pts)
-    observed = (weight > 0).reshape(vcap, n_pts)
 
     # cell corner indices within the sampled field
     s = bl + 1

@@ -41,13 +41,14 @@ def splat_render(
     cam: CameraParams,
     cam_T_world: SE3,
     max_depth: float,
-    band: float = 0.75,
+    band: float = 1.25,
 ) -> RaycastResult:
     """Render rgba + normal-shaded views by splatting surface voxels.
 
-    band: surface band half-width in tsdf units (voxels with
-    |tsdf| < band * (voxel_size / truncation) * splat_width are kept;
-    practically |tsdf| below ~1 voxel of distance).
+    band: surface band half-width in voxels; must exceed the worst-case
+    distance from the zero crossing to the nearest voxel center (~0.87
+    voxels on the diagonal), else surface sheets fall between layers and
+    the render goes sparse.
     """
     cfg = vol.cfg
     hgt, wid = cam.img_h, cam.img_w
@@ -70,12 +71,15 @@ def splat_render(
     tsdf = vol.tsdf[pool]
     weight = vol.weight[pool]
 
-    # surface band: within ~`band` voxels of the zero crossing
+    # surface band: within ~`band` voxels of the zero crossing.  No
+    # weight gate: the reference's fusion rounds weight to 0 for depths
+    # near max_depth (voxel_tsdf.cu:182,192) yet still writes tsdf, and
+    # its raycaster renders those voxels; unobserved voxels sit at the
+    # reset/default |tsdf| = 1 and fall outside the band anyway.
     band_tsdf = band * cfg.voxel_size / cfg.truncation
     surf = (
         vis.mask[:, None]
         & in_img
-        & (weight > 0)
         & (jnp.abs(tsdf) < band_tsdf)
     ).reshape(-1)
 
@@ -95,8 +99,16 @@ def splat_render(
             pix4.append(jnp.where(ok, vv_ * wid + uu_, n_pix))
     pix = jnp.concatenate(pix4)  # [4N]
 
-    # pass 1: z-buffer via scatter-min of quantized depth
-    depth_q1 = jnp.clip((z * 4096.0), 0, float(2**29)).astype(jnp.int32).reshape(-1)
+    # pass 1: z-buffer via scatter-min of quantized depth.  Each splat is
+    # offset along the ray by its tsdf value — the sub-voxel correction
+    # to the true zero crossing (the analogue of the raycaster's
+    # bisection refinement): sdf = tsdf * truncation in range units,
+    # so delta_z = tsdf * trunc * z / range.
+    rng_cam = jnp.linalg.norm(pos_cam, axis=-1)
+    z_corr = z + tsdf * cfg.truncation * z / jnp.where(rng_cam == 0, 1.0, rng_cam)
+    depth_q1 = (
+        jnp.clip((z_corr * 4096.0), 0, float(2**29)).astype(jnp.int32).reshape(-1)
+    )
     depth_q = jnp.tile(depth_q1, 4)
     zbuf = jnp.full((n_pix,), _BIG, jnp.int32).at[pix].min(depth_q, mode="drop")
 

@@ -1,0 +1,144 @@
+"""DenseSLAM: self-contained tracking + fusion (KinectFusion-style).
+
+The reference cannot run without an external SLAM library for poses
+(OpenVSLAM / ORB_SLAM3).  This module closes the loop TPU-natively:
+
+  track:   projective point-to-plane ICP (systems/odometry.py) against
+           a *model render* — the TSDF splatted to a depth map from the
+           previous pose (ops/render_fast.py) — frame-to-model tracking,
+           far less drift than frame-to-frame
+  fuse:    the standard integrate step with the tracked pose
+  render:  the updated model view feeds the next track
+
+Everything is jitted JAX; the only host logic is the tracking-ok gate
+(mirroring the reference's tracking-lost handling, online.cc:46).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import TSDFConfig
+from ..core.geometry import SE3, CameraIntrinsics, CameraParams
+from ..core.state import TSDFVolume
+from ..ops.integrate import FrameInput, integrate
+from ..ops.render_fast import splat_render
+from .odometry import ICPOdometry
+
+
+class DenseSLAM:
+    def __init__(
+        self,
+        intrinsics: Tuple[float, float, float, float],
+        img_h: int,
+        img_w: int,
+        voxel_size: float = 0.01,
+        truncation: float = 0.06,
+        max_depth: float = 4.0,
+        cfg: Optional[TSDFConfig] = None,
+        max_rmse: float = 0.08,
+    ):
+        import dataclasses
+
+        if cfg is None:
+            cfg = TSDFConfig(voxel_size=voxel_size, truncation=truncation)
+        else:
+            cfg = dataclasses.replace(cfg, voxel_size=voxel_size, truncation=truncation)
+        self.cfg = cfg
+        self.max_depth = float(max_depth)
+        self.intrinsics = intrinsics
+        self.cam = CameraParams.create(CameraIntrinsics.create(*intrinsics), img_h, img_w)
+        self.volume = TSDFVolume.create(cfg)
+        self.tracker = ICPOdometry(intrinsics, img_h, img_w, max_rmse=max_rmse)
+        self.world_T_cam = np.eye(4, dtype=np.float32)
+        self.frame_count = 0
+        self.lost_count = 0
+
+        cam = self.cam
+        md = self.max_depth
+
+        @jax.jit
+        def _step(vol, frame, pose_mat):
+            return integrate(vol, frame, cam, SE3.from_matrix(pose_mat), md)
+
+        @jax.jit
+        def _model_depth(vol, pose_mat):
+            res = splat_render(vol, cam, SE3.from_matrix(pose_mat), md)
+            # validity-aware 3x3 smoothing: the splat depth is quantized
+            # to voxel centers; the box filter removes the stair-step
+            # bias that would otherwise pull ICP along the view axis
+            d = res.depth
+            valid = (d > 0).astype(jnp.float32)
+            k = jnp.ones((3, 3), jnp.float32)
+            num = jax.scipy.signal.convolve2d(d * valid, k, mode="same")
+            den = jax.scipy.signal.convolve2d(valid, k, mode="same")
+            sm = jnp.where(den > 0, num / jnp.maximum(den, 1.0), 0.0)
+            return jnp.where(valid > 0, sm, 0.0)
+
+        self._step = _step
+        self._model_depth = _model_depth
+
+    # ------------------------------------------------------------------
+    def process_frame(
+        self,
+        rgb: np.ndarray,
+        depth: np.ndarray,
+        ht: Optional[np.ndarray] = None,
+        lt: Optional[np.ndarray] = None,
+    ) -> Tuple[np.ndarray, bool]:
+        """Track + fuse one frame; returns (cam_T_world, tracking_ok)."""
+        h, w = depth.shape
+        if ht is None:
+            ht = np.ones((h, w), np.float32)
+        if lt is None:
+            lt = np.ones((h, w), np.float32)
+
+        ok = True
+        if self.frame_count == 0:
+            cam_T_world = np.eye(4, dtype=np.float32)
+        else:
+            # render the model from the last pose and track against it
+            model_depth = np.asarray(
+                self._model_depth(self.volume, jnp.asarray(np.linalg.inv(self.world_T_cam)))
+            )
+            pyr_ref = self.tracker._prep(jnp.asarray(model_depth))
+            pyr_cur = self.tracker._prep(jnp.asarray(depth, jnp.float32))
+            T, rmse, inl = self.tracker._track(
+                jnp.asarray(self.world_T_cam),
+                pyr_cur,
+                pyr_ref,
+                jnp.asarray(np.linalg.inv(self.world_T_cam)),
+            )
+            ok = (
+                bool(np.isfinite(float(rmse)))
+                and float(rmse) < self.tracker.max_rmse
+                and float(inl) > 100
+            )
+            if ok:
+                self.world_T_cam = np.asarray(T, np.float32)
+            else:
+                self.lost_count += 1
+            cam_T_world = np.linalg.inv(self.world_T_cam).astype(np.float32)
+
+        # fuse with the (possibly last-known) pose, like the reference's
+        # keep-last-pose-on-loss behavior
+        frame = FrameInput(
+            rgb=jnp.asarray(rgb, jnp.float32),
+            depth=jnp.asarray(depth, jnp.float32),
+            ht=jnp.asarray(ht, jnp.float32),
+            lt=jnp.asarray(lt, jnp.float32),
+        )
+        self.volume = self._step(self.volume, frame, jnp.asarray(cam_T_world))
+        self.frame_count += 1
+        return cam_T_world, ok
+
+    def render(self, cam_T_world: Optional[np.ndarray] = None):
+        if cam_T_world is None:
+            cam_T_world = np.linalg.inv(self.world_T_cam)
+        return splat_render(
+            self.volume, self.cam, SE3.from_matrix(jnp.asarray(cam_T_world)), self.max_depth
+        )
