@@ -1,0 +1,134 @@
+#!/usr/bin/env python
+"""Self-contained dense SLAM: track + fuse RGB-D frames WITHOUT poses.
+
+The reference pipeline requires an external SLAM system for camera
+poses; this app runs the framework's own frame-to-model ICP tracker
+(systems/dense_slam.py) on a pose-free dataset (just {id}_rgb.png +
+{id}_depth.png), producing an estimated trajectory (replayable by
+apps/offline.py), a fused volume dump, and a mesh.
+
+  python apps/dense_slam.py --logdir DATA --config cam.yaml \
+      --out-traj traj_est.txt --mesh out.obj --save vol.npz
+"""
+
+import argparse
+import glob
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--logdir", required=True)
+    ap.add_argument("--config")
+    ap.add_argument("--voxel", type=float, default=0.02)
+    ap.add_argument("--trunc", type=float, default=0.06)
+    ap.add_argument("--max-depth", type=float, default=4.0)
+    ap.add_argument("--max-frames", type=int, default=0)
+    ap.add_argument("--out-traj", help="write estimated trajectory here")
+    ap.add_argument("--mesh")
+    ap.add_argument("--save", help="volume checkpoint (.npz)")
+    ap.add_argument("--preset", choices=["full", "small"], default="full")
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+
+    from disinfect_slam_tpu.utils.cache import enable as _cache
+
+    _cache()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from disinfect_slam_tpu.config import TSDFConfig
+    from disinfect_slam_tpu.io.config_reader import (
+        get_depth_factor,
+        get_intrinsics,
+        load_yaml,
+    )
+    from disinfect_slam_tpu.io.png_io import read_image
+    from disinfect_slam_tpu.systems.dense_slam import DenseSLAM
+    from disinfect_slam_tpu.systems.slam import save_matched_trajectory
+
+    if args.config:
+        y = load_yaml(args.config)
+        intrinsics = get_intrinsics(y)
+        depth_factor = get_depth_factor(y)
+    else:
+        intrinsics = (517.3, 516.5, 318.6, 255.3)
+        depth_factor = 5000.0
+
+    frames = sorted(
+        glob.glob(os.path.join(args.logdir, "*_depth.png")),
+        key=lambda p: int(os.path.basename(p).split("_")[0]),
+    )
+    if args.max_frames:
+        frames = frames[: args.max_frames]
+    assert frames, f"no *_depth.png in {args.logdir}"
+    d0 = read_image(frames[0], unchanged=True)
+    h, w = d0.shape
+
+    cfg = None
+    if args.preset == "small":
+        cfg = TSDFConfig(
+            num_blocks_log2=12, max_candidates=8192, max_visible=4096,
+            max_new_per_round=2048, grid_log2=7,
+        )
+    slam = DenseSLAM(
+        intrinsics, h, w, voxel_size=args.voxel, truncation=args.trunc,
+        max_depth=args.max_depth, cfg=cfg,
+    )
+
+    poses = {}
+    t0 = time.perf_counter()
+    for i, dp in enumerate(frames):
+        fid = int(os.path.basename(dp).split("_")[0])
+        depth = read_image(dp, unchanged=True).astype(np.float32) / depth_factor
+        rgb_path = dp.replace("_depth.png", "_rgb.png")
+        rgb = (
+            read_image(rgb_path).astype(np.float32)
+            if os.path.exists(rgb_path)
+            else np.zeros((h, w, 3), np.float32)
+        )
+        pose, ok = slam.process_frame(rgb, depth)
+        poses[fid] = pose if ok else None
+        if (i + 1) % 25 == 0:
+            dt = time.perf_counter() - t0
+            print(f"[slam] {i+1}/{len(frames)} frames ({(i+1)/dt:.1f} FPS), "
+                  f"{int(slam.volume.num_active_blocks)} blocks, "
+                  f"{slam.lost_count} lost")
+    dt = time.perf_counter() - t0
+    print(f"[slam] done: {len(frames)} frames in {dt:.1f}s "
+          f"({len(frames)/dt:.2f} FPS), lost {slam.lost_count}")
+
+    if args.out_traj:
+        n = save_matched_trajectory(args.out_traj, poses, sorted(poses))
+        print(f"[slam] wrote {n} poses to {args.out_traj}")
+
+    if args.mesh:
+        from disinfect_slam_tpu.ops.mesh import (
+            compact_mesh,
+            extract_mesh,
+            merge_vertices,
+            save_obj,
+        )
+
+        tris = compact_mesh(extract_mesh(slam.volume))
+        verts, faces = merge_vertices(tris)
+        save_obj(args.mesh, verts, faces)
+        print(f"[slam] mesh: {len(verts)} verts -> {args.mesh}")
+
+    if args.save:
+        from disinfect_slam_tpu.io.checkpoint import save_volume
+
+        save_volume(args.save, slam.volume)
+        print(f"[slam] volume -> {args.save}")
+
+
+if __name__ == "__main__":
+    main()

@@ -53,9 +53,8 @@ def test_dense_slam_tracks_orbit():
     rel_true = true_poses[-1] @ np.linalg.inv(true_poses[0])
     rel_est = est_poses[-1] @ np.linalg.inv(est_poses[0])
     t_err = np.linalg.norm(rel_true[:3, 3] - rel_est[:3, 3])
-    # total motion is ~22 cm; the v1 tracker drifts a few voxels (blocky
-    # 2 cm model + screen-space normals); must stay well under 30%
-    assert t_err < 0.07, (t_err, rel_true[:3, 3], rel_est[:3, 3])
+    # total motion is ~22 cm; tsdf-offset splats keep drift ~1 voxel
+    assert t_err < 0.02, (t_err, rel_true[:3, 3], rel_est[:3, 3])
 
     # the fused model should be dense enough to render
     res = slam.render()
