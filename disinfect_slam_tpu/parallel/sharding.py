@@ -172,6 +172,84 @@ class DistributedTSDF:
             outs.append(g.to_numpy_records(st))
         return np.concatenate(outs, axis=0)
 
+    # ------------------------------------------------------------------
+    def query_bbox(self, bbox) -> np.ndarray:
+        """Distributed bbox query: every shard extracts its in-bound
+        voxels, results combine with an all_gather over ICI (the
+        multi-chip TSDFSystem::Query analogue).  Returns host [N, 4]
+        (x, y, z, tsdf) records."""
+        from ..ops import gather as g
+
+        axis = self.axis
+        sub_cfg = self.sub_cfg
+
+        def shard_query(vol):
+            vol = jax.tree.map(lambda x: x[0], vol)
+            vol = dataclasses.replace(vol, cfg=sub_cfg)
+            st = g.gather_voxels(vol, bbox)
+            pos = jnp.where(st.mask[:, None], st.position, 0.0)
+            tsdf = jnp.where(st.mask, st.tsdf, jnp.nan)
+            rec = jnp.concatenate([pos, tsdf[:, None]], axis=1)  # [N, 4]
+            # collective: every shard receives all shards' records
+            return jax.lax.all_gather(rec, axis)[None]
+
+        fn = shard_map(
+            shard_query,
+            mesh=self.mesh,
+            in_specs=(P(axis),),
+            out_specs=P(axis),
+            check_rep=False,
+        )
+        out = np.asarray(jax.jit(fn)(self.volume))[0]  # [D, N, 4]
+        out = out.reshape(-1, 4)
+        return out[~np.isnan(out[:, 3])]
+
+    def render(self, cam, cam_T_world: np.ndarray, max_depth: float):
+        """Distributed splat render: each shard splats its own blocks and
+        the per-pixel z-buffers merge with a global min over ICI; payload
+        selection follows the winning depth."""
+        from ..core.geometry import SE3
+        from ..ops.render_fast import splat_render
+
+        axis = self.axis
+        sub_cfg = self.sub_cfg
+
+        def shard_render(vol, pose_mat):
+            vol = jax.tree.map(lambda x: x[0], vol)
+            vol = dataclasses.replace(vol, cfg=sub_cfg)
+            res = splat_render(vol, cam, SE3.from_matrix(pose_mat), max_depth)
+            local_d = jnp.where(res.hit, res.depth, jnp.inf)
+            # global nearest surface across shards
+            best = jax.lax.pmin(local_d, axis)
+            win = res.hit & (local_d <= best)
+            rgba = jnp.where(win[..., None], res.rgba, 0)
+            normal = jnp.where(win[..., None], res.normal, 0)
+            # combine payloads: max works because exactly one shard wins
+            # per pixel (strict depth winner) and losers contribute zero
+            rgba = jax.lax.pmax(rgba, axis)
+            normal = jax.lax.pmax(normal, axis)
+            hit = jax.lax.pmax(win.astype(jnp.int32), axis) > 0
+            depth = jnp.where(jnp.isfinite(best), best, 0.0)
+            return jax.tree.map(
+                lambda x: x[None], (rgba, normal, depth, hit)
+            )
+
+        fn = shard_map(
+            shard_render,
+            mesh=self.mesh,
+            in_specs=(P(axis), P()),
+            out_specs=P(axis),
+            check_rep=False,
+        )
+        rgba, normal, depth, hit = jax.jit(fn)(
+            self.volume, jnp.asarray(cam_T_world, jnp.float32)
+        )
+        from ..ops.raycast import RaycastResult
+
+        return RaycastResult(
+            rgba=rgba[0], normal=normal[0], depth=depth[0], hit=hit[0]
+        )
+
 
 def _allocate_owned(
     vol: TSDFVolume,

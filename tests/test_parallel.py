@@ -142,3 +142,53 @@ def test_sharded_dense_matches_single_chip():
         vol, frame, SE3.from_matrix(pose_np)
     )
     assert dist.num_active_blocks() == int(vol.num_active_blocks)
+
+
+def test_distributed_query_and_render():
+    """Collective bbox query + min-combined splat render across shards."""
+    from .test_integrate import CFG_DENSE
+
+    from disinfect_slam_tpu.ops.gather import (
+        BoundingCube,
+        gather_voxels,
+        to_numpy_records,
+    )
+    from disinfect_slam_tpu.ops.render_fast import splat_render
+
+    mesh = make_mesh(4)
+    dist = DistributedTSDF(CFG_DENSE, mesh)
+    pose_np = look_at((0.033, -0.041, 0.017), (0.11, 0.07, 2.0131))
+    depth = render_wall(W, H, K, pose_np, wall_z=2.0131)
+    frame = make_frame(depth)
+    for _ in range(2):
+        dist.integrate(frame, K, pose_np, MAX_DEPTH)
+
+    # single-chip reference
+    vol = TSDFVolume.create(CFG_DENSE)
+    intr = CameraIntrinsics.create(*K)
+    cam = CameraParams.create(intr, H, W)
+    step = jax.jit(lambda v, f, p: integrate(v, f, cam, p, MAX_DEPTH))
+    for _ in range(2):
+        vol = step(vol, frame, SE3.from_matrix(pose_np))
+
+    bbox = BoundingCube(-2, 2, -2, 2, 0, 3)
+    rec_d = dist.query_bbox(bbox)
+    rec_s = to_numpy_records(gather_voxels(vol, bbox))
+    assert rec_d.shape[0] == rec_s.shape[0]
+
+    def sort(r):
+        return r[np.lexsort((r[:, 2], r[:, 1], r[:, 0]))]
+
+    np.testing.assert_allclose(sort(rec_d)[:, :3], sort(rec_s)[:, :3], atol=1e-5)
+    np.testing.assert_allclose(sort(rec_d)[:, 3], sort(rec_s)[:, 3], atol=1e-5)
+
+    # distributed render matches single-chip splat on hit/depth
+    res_d = dist.render(cam, pose_np, MAX_DEPTH)
+    res_s = splat_render(vol, cam, SE3.from_matrix(pose_np), MAX_DEPTH)
+    hit_d = np.asarray(res_d.hit)
+    hit_s = np.asarray(res_s.hit)
+    assert (hit_d == hit_s).mean() > 0.995
+    both = hit_d & hit_s
+    np.testing.assert_allclose(
+        np.asarray(res_d.depth)[both], np.asarray(res_s.depth)[both], atol=2e-3
+    )
