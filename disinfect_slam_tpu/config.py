@@ -86,6 +86,10 @@ class TSDFConfig:
     #           frame — only happens closer than ~0.5 m at 4 mm voxels)
     # "auto":   pallas on TPU, gather elsewhere
     sampler: str = "auto"
+    # conservatively skip fusing blocks fully occluded by nearer surface
+    # (max-range mipmap test; exact — culled blocks provably have no
+    # voxel passing the sdf > -truncation gate)
+    cull_occluded: bool = False
     patch_h: int = 32
     patch_w: int = 48
     sample_tile: int = 8

@@ -253,14 +253,109 @@ def compact_mask(vol: TSDFVolume, mask: jnp.ndarray) -> VisibleSet:
 
 
 def gather_visible(
-    vol: TSDFVolume, cam: CameraParams, cam_T_world: SE3
+    vol: TSDFVolume,
+    cam: CameraParams,
+    cam_T_world: SE3,
+    frame_depth: jnp.ndarray | None = None,
+    d2r: jnp.ndarray | None = None,
 ) -> VisibleSet:
     """check_visibility_kernel (voxel_tsdf.cu:82-93): any-corner frustum
-    test over every live entry, then compaction."""
+    test over every live entry, then compaction.
+
+    With cfg.cull_occluded and a depth frame, blocks provably occluded by
+    nearer surface are dropped: if the maximum observed range over the
+    block's screen bbox plus the truncation is still closer than the
+    block's nearest corner, no voxel can pass sdf > -truncation, so the
+    fusion outcome is unchanged while the working set shrinks.
+    """
     cfg = vol.cfg
     live = vol.entry_block >= 0
     vis = block_visibility(vol.entry_pos, cam_T_world, cam, cfg, full=False)
-    return compact_mask(vol, live & vis)
+    mask = live & vis
+    if cfg.cull_occluded and frame_depth is not None and d2r is not None:
+        mask = mask & ~_occluded_blocks(
+            vol.entry_pos, cam, cam_T_world, frame_depth, d2r, cfg
+        )
+    return compact_mask(vol, mask)
+
+
+def _occluded_blocks(
+    block_pos: jnp.ndarray,
+    cam: CameraParams,
+    cam_T_world: SE3,
+    frame_depth: jnp.ndarray,
+    d2r: jnp.ndarray,
+    cfg: TSDFConfig,
+) -> jnp.ndarray:
+    """Mask [E] of blocks whose entire screen region observes range
+    strictly closer than (block nearest range - truncation)."""
+    # observed range image, invalid depth -> +inf so it never culls
+    rng_img = jnp.where(
+        (frame_depth > 0), frame_depth * d2r, jnp.inf
+    )
+    hgt, wid = rng_img.shape
+    # max-range mipmap pyramid (powers of two tiles)
+    levels = []
+    cur = rng_img
+    tile = 1
+    while tile < max(hgt, wid):
+        ph = (-cur.shape[0]) % 2
+        pw = (-cur.shape[1]) % 2
+        cur = jnp.pad(cur, ((0, ph), (0, pw)), constant_values=-jnp.inf)
+        cur = jnp.max(
+            cur.reshape(cur.shape[0] // 2, 2, cur.shape[1] // 2, 2), axis=(1, 3)
+        )
+        tile *= 2
+        levels.append(cur)
+
+    # project the 8 block corners
+    base = vx.block_to_point(block_pos, cfg)
+    bl = cfg.block_len - 1
+    us, vs_, rngs, valid = [], [], [], None
+    for i in range(8):
+        corner = base + jnp.array(
+            [(i >> 0) & 1, (i >> 1) & 1, (i >> 2) & 1], jnp.int32
+        ) * bl
+        pos_cam = cam_T_world.apply(corner.astype(jnp.float32) * cfg.voxel_size)
+        pih = cam.intrinsics.project(pos_cam)
+        z = pih[..., 2]
+        us.append(pih[..., 0] / z)
+        vs_.append(pih[..., 1] / z)
+        rngs.append(jnp.linalg.norm(pos_cam, axis=-1))
+        v_ok = z > 0
+        valid = v_ok if valid is None else (valid & v_ok)
+    # grow the bbox by 1 px (voxels round to their nearest pixel) and
+    # clamp into the image
+    u_min = jnp.clip(jnp.min(jnp.stack(us), 0) - 1.0, 0.0, wid - 1.0)
+    u_max = jnp.clip(jnp.max(jnp.stack(us), 0) + 1.0, 0.0, wid - 1.0)
+    v_min = jnp.clip(jnp.min(jnp.stack(vs_), 0) - 1.0, 0.0, hgt - 1.0)
+    v_max = jnp.clip(jnp.max(jnp.stack(vs_), 0) + 1.0, 0.0, hgt - 1.0)
+    # nearest possible voxel range: corner min less the full block
+    # diagonal (the interior minimum is not necessarily at a corner)
+    diag = cfg.block_len * cfg.voxel_size * 1.7320508
+    blk_near = jnp.min(jnp.stack(rngs), 0) - diag
+
+    # pick the pyramid level where the bbox spans <= 2x2 tiles
+    span = jnp.maximum(u_max - u_min, v_max - v_min)
+    occluded = jnp.zeros(block_pos.shape[:-1], bool)
+    chosen = jnp.full(block_pos.shape[:-1], -1, jnp.int32)
+    region_max = jnp.full(block_pos.shape[:-1], jnp.inf)
+    for li, lv in enumerate(levels):
+        tile = 2 ** (li + 1)
+        fits = (span <= tile) & (chosen < 0)
+        lh, lw = lv.shape
+        tu = jnp.clip((u_min / tile).astype(jnp.int32), 0, lw - 1)
+        tv = jnp.clip((v_min / tile).astype(jnp.int32), 0, lh - 1)
+        tu1 = jnp.clip(tu + 1, 0, lw - 1)
+        tv1 = jnp.clip(tv + 1, 0, lh - 1)
+        m = jnp.maximum(
+            jnp.maximum(lv[tv, tu], lv[tv, tu1]),
+            jnp.maximum(lv[tv1, tu], lv[tv1, tu1]),
+        )
+        region_max = jnp.where(fits, m, region_max)
+        chosen = jnp.where(fits, li, chosen)
+    occluded = valid & (region_max + cfg.truncation < blk_near)
+    return occluded
 
 
 # ----------------------------------------------------------------------
@@ -413,7 +508,7 @@ def integrate(
     with donate_argnums=0 to update the volume in place in HBM."""
     d2r = depth_to_range(cam)
     vol = allocate_blocks(vol, frame.depth, d2r, cam, cam_T_world, max_depth)
-    vis = gather_visible(vol, cam, cam_T_world)
+    vis = gather_visible(vol, cam, cam_T_world, frame.depth, d2r)
     vol = fuse_visible(vol, vis, frame, d2r, cam, cam_T_world, max_depth)
     vol = space_carve(vol, vis)
     return vol
