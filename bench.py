@@ -172,10 +172,34 @@ def main():
     jax.block_until_ready(s.rgba)
     splat_ms = (time.perf_counter() - t0) / 5 * 1e3
 
+    # segmentation inference micro-bench (the reference's
+    # examples/segmentation_inference/main.cc measures ms/image)
+    seg_ms = float("nan")
+    try:
+        from disinfect_slam_tpu.models.segmentation import (
+            InferenceEngine,
+            create_model,
+        )
+
+        model = create_model()
+        params = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 352, 640, 3), jnp.float32)
+        )
+        eng = InferenceEngine(model, params)
+        rgb_u8 = np.ascontiguousarray(frames[0][1]).astype(np.uint8)
+        eng.infer_one(rgb_u8)  # compile
+        t0 = time.perf_counter()
+        for _ in range(10):
+            eng.infer_one(rgb_u8)
+        seg_ms = (time.perf_counter() - t0) / 10 * 1e3
+    except Exception as e:  # pragma: no cover
+        print(f"[bench] seg bench skipped: {e}", file=sys.stderr)
+
     print(
         f"[bench] platform={platform} img={w}x{h} voxel={cfg.voxel_size} "
         f"frames={n_frames} active_blocks={int(vol.num_active_blocks)} "
-        f"integrate_fps={fps:.2f} raycast_ms={ray_ms:.2f} splat_ms={splat_ms:.2f}",
+        f"integrate_fps={fps:.2f} raycast_ms={ray_ms:.2f} splat_ms={splat_ms:.2f} "
+        f"seg_ms={seg_ms:.2f}",
         file=sys.stderr,
     )
     print(

@@ -90,6 +90,12 @@ class TSDFConfig:
     # (max-range mipmap test; exact — culled blocks provably have no
     # voxel passing the sdf > -truncation gate)
     cull_occluded: bool = False
+    # allocation dedup strategy:
+    # "sort":   jnp.unique over packed keys (any backend)
+    # "filter": dense backend only — presence-check against the block
+    #           table, then compact only the (few) genuinely-new keys;
+    #           skips the ~1M-key sort entirely
+    alloc_dedup: str = "sort"
     patch_h: int = 32
     patch_w: int = 48
     sample_tile: int = 8

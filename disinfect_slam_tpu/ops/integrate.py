@@ -207,9 +207,32 @@ def allocate_blocks(
     sent = vx.sentinel_key(cfg)
     # adjacent pixels along a raster row usually hit the same block:
     # pre-mask keys equal to their left neighbor (exact dedup is still
-    # done by unique; this just shortens its sorted runs)
+    # done downstream; this just thins the stream)
     left = jnp.concatenate([jnp.full((1,), -1, keys.dtype), keys[:-1]])
     keys = jnp.where(keys == left, sent, keys)
+
+    if cfg.alloc_dedup == "filter" and cfg.backend == "dense":
+        # presence filter: candidates whose cell is already allocated
+        # need no insert; only genuinely-new keys (a few hundred per
+        # frame at steady state) are compacted — no ~1M-key sort.
+        coords_all = vx.unpack_block_coord(jnp.where(keys < sent, keys, 0), cfg)
+        cell, in_range = h.table_index(coords_all, cfg)
+        exists = vol.block_table[cell] >= 0
+        new = (keys < sent) & in_range & ~exists
+        rank = jnp.cumsum(new.astype(jnp.int32)) - 1
+        slot = jnp.where(new & (rank < cfg.max_candidates), rank, cfg.max_candidates)
+        compact = (
+            jnp.full((cfg.max_candidates,), sent, jnp.int32)
+            .at[slot]
+            .set(keys, mode="drop")
+        )
+        valid = compact < sent
+        coords = vx.unpack_block_coord(jnp.where(valid, compact, 0), cfg)
+        # duplicates within the frame survive compaction; the dense
+        # insert's scatter-max claim resolves them
+        vol, _dropped = h.insert(vol, coords, valid)
+        return vol
+
     uniq = jnp.unique(keys, size=cfg.max_candidates, fill_value=sent)
     valid = uniq < sent
     coords = vx.unpack_block_coord(uniq, cfg)

@@ -25,6 +25,7 @@ import jax.numpy as jnp
 
 from ..core.geometry import SE3, CameraParams
 from ..core.state import TSDFVolume
+from ..core.voxel import round_half_away
 from . import hash as h
 
 
@@ -37,8 +38,6 @@ class RaycastResult(NamedTuple):
 
 def _read_tsdf_flat(vol: TSDFVolume, pos_grid: jnp.ndarray) -> jnp.ndarray:
     """TSDF at rounded fractional grid positions [N, 3] (miss -> +1)."""
-    from ..core.voxel import round_half_away
-
     pt = round_half_away(pos_grid).astype(jnp.int32)
     return h.read_tsdf(vol, pt)
 
@@ -114,8 +113,7 @@ def raycast(
         lo = jnp.where(neg[:, None], lo, mid)
         mid = (lo + hi) * 0.5
 
-    from ..core.voxel import round_half_away as _rha
-    final_grid = _rha(mid).astype(jnp.int32)
+    final_grid = round_half_away(mid).astype(jnp.int32)
     _, rgb, _, prob = h.read_voxels(vol, final_grid)
 
     # central-difference normal (voxel_tsdf.cu:280-291)

@@ -11,8 +11,8 @@ dispatch: the next frame's H2D overlaps the current step).
 
 from __future__ import annotations
 
+import contextlib
 import threading
-from functools import partial
 from typing import Optional, Tuple
 
 import jax
@@ -46,7 +46,7 @@ class TSDFGrid:
             )
         self.cfg = cfg
         self.device = device
-        with jax.default_device(device) if device is not None else _nullcontext():
+        with jax.default_device(device) if device is not None else contextlib.nullcontext():
             self.volume = TSDFVolume.create(cfg)
 
         self._integrate = jax.jit(
@@ -161,10 +161,3 @@ class TSDFGrid:
         with self._lock:
             jax.block_until_ready(self.volume.tsdf)
 
-
-class _nullcontext:
-    def __enter__(self):
-        return None
-
-    def __exit__(self, *a):
-        return False

@@ -1,6 +1,8 @@
 """Golden-parity tests of the integration pipeline vs the numpy oracle
 (tests/oracle.py, a direct transcription of voxel_tsdf.cu semantics)."""
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -38,7 +40,12 @@ CFG_DENSE = TSDFConfig(
     backend="dense",
     grid_log2=6,
 )
-BOTH = pytest.mark.parametrize("cfg", [CFG, CFG_DENSE], ids=["hash", "dense"])
+CFG_DENSE_FILTER = dataclasses.replace(CFG_DENSE, alloc_dedup="filter")
+BOTH = pytest.mark.parametrize(
+    "cfg",
+    [CFG, CFG_DENSE, CFG_DENSE_FILTER],
+    ids=["hash", "dense", "dense-filter"],
+)
 
 W, H = 64, 48
 # deliberately non-centered intrinsics + tilted scenes: keeps voxel
