@@ -80,26 +80,36 @@ def _sample_kernel(
     img_w: int,
 ):
     i = pl.program_id(0)
+    n_tiles = pl.num_programs(0)
 
-    # start all patch DMAs for this tile
-    # origins are pre-aligned by the caller; assert that to Mosaic so the
-    # dynamic DMA slice provably lands on tile boundaries
-    def _dma(b):
-        v0 = pl.multiple_of(v0_ref[i * tb + b], 8)
-        u0c = pl.multiple_of(u0_ref[i * tb + b] * c, 128)
+    # Double-buffered patch DMAs across grid tiles: tile i's compute
+    # overlaps tile i+1's copies (scratch persists across grid steps on
+    # TPU).  Origins are pre-aligned by the caller; assert that to Mosaic
+    # so the dynamic DMA slice provably lands on tile boundaries.
+    def _dma(tile, b):
+        v0 = pl.multiple_of(v0_ref[tile * tb + b], 8)
+        u0c = pl.multiple_of(u0_ref[tile * tb + b] * c, 128)
+        slot = jax.lax.rem(tile, 2)
         return pltpu.make_async_copy(
             img_ref.at[pl.ds(v0, ph), pl.ds(u0c, pw * c)],
-            patch_ref.at[b],
-            sems.at[b],
+            patch_ref.at[slot, b],
+            sems.at[slot, b],
         )
 
-    for b in range(tb):
-        _dma(b).start()
+    @pl.when(i == 0)
+    def _():
+        for b in range(tb):
+            _dma(i, b).start()
+
+    @pl.when(i + 1 < n_tiles)
+    def _():
+        for b in range(tb):
+            _dma(i + 1, b).start()
 
     for b in range(tb):
         u0 = u0_ref[i * tb + b]
         v0 = v0_ref[i * tb + b]
-        _dma(b).wait()
+        _dma(i, b).wait()
 
         lu = lu_ref[b] - u0  # [512] local x
         lv = lv_ref[b] - v0  # [512] local y
@@ -114,7 +124,7 @@ def _sample_kernel(
         # output element receives exactly one product term per matmul, so
         # the sum reconstructs the f32 value to ~1 ulp
         oh_v = (rows == lv_c[:, None]).astype(jnp.bfloat16)  # [512, PH]
-        p_full = patch_ref[b]
+        p_full = patch_ref[jax.lax.rem(i, 2), b]
         p_hi = p_full.astype(jnp.bfloat16)
         r1 = p_full - p_hi.astype(jnp.float32)
         p_mid = r1.astype(jnp.bfloat16)
@@ -204,8 +214,8 @@ def sample_patches(
             pl.BlockSpec((tb, 512), lambda i, *_: (i, 0)),
         ),
         scratch_shapes=[
-            pltpu.VMEM((tb, ph, pw * c), jnp.float32),
-            pltpu.SemaphoreType.DMA((tb,)),
+            pltpu.VMEM((2, tb, ph, pw * c), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, tb)),
         ],
     )
     samples, valid = pl.pallas_call(
