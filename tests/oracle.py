@@ -174,3 +174,65 @@ class OracleVolume:
         for b in visible:
             if np.min(np.abs(self.blocks[b]["tsdf"])) >= self.carve_threshold:
                 del self.blocks[b]
+
+
+def oracle_raycast(vol: OracleVolume, K, img_h, img_w, cam_T_world, max_depth,
+                   step_size=None):
+    """Numpy transcription of ray_cast_kernel (voxel_tsdf.cu:232-307).
+
+    Returns (rgba u8 [H,W,4], normal u8 [H,W,4], hit bool [H,W]).
+    """
+    fx, fy, cx, cy = K
+    if step_size is None:
+        step_size = vol.truncation / 2.0
+    world_T_cam = np.linalg.inv(cam_T_world)
+    rgba = np.zeros((img_h, img_w, 4), np.uint8)
+    normal = np.zeros((img_h, img_w, 4), np.uint8)
+    hit = np.zeros((img_h, img_w), bool)
+
+    def tsdf_at(p):
+        return vol.read(np.asarray(p, np.int64))[0]
+
+    max_step = int(np.ceil(max_depth / step_size))
+    for y in range(img_h):
+        for x in range(img_w):
+            pos_cam = np.array([(x - cx) / fx, (y - cy) / fy, 1.0])
+            ray_dir = world_T_cam[:3, :3] @ (pos_cam / np.linalg.norm(pos_cam))
+            step = ray_dir * step_size / vol.voxel_size
+            pos = world_T_cam[:3, 3] / vol.voxel_size
+            prev = tsdf_at(round_away(pos))
+            pos = pos + step
+            for i in range(1, max_step):
+                curr = tsdf_at(round_away(pos))
+                if prev > 0 and curr <= 0 and prev - curr <= 1.5:
+                    p1, p2 = pos - step, pos.copy()
+                    mid = (p1 + p2) / 2
+                    while np.dot(p1 - p2, p1 - p2) > 0.1:
+                        if tsdf_at(round_away(mid)) < 0:
+                            p2 = mid
+                        else:
+                            p1 = mid
+                        mid = (p1 + p2) / 2
+                    fg = round_away(mid).astype(np.int64)
+                    _, rgb, _, prob = vol.read(fg)
+                    grad = np.array([
+                        tsdf_at(fg + [1, 0, 0]) - tsdf_at(fg + [-1, 0, 0]),
+                        tsdf_at(fg + [0, 1, 0]) - tsdf_at(fg + [0, -1, 0]),
+                        tsdf_at(fg + [0, 0, 1]) - tsdf_at(fg + [0, 0, -1]),
+                    ])
+                    nrm = np.linalg.norm(grad)
+                    diff = max(np.dot(grad, -ray_dir) / nrm, 0) if nrm > 0 else 0.0
+                    alpha = max(prob - 0.5, 0) / 0.5
+                    rgba[y, x] = [
+                        np.uint8(alpha * 255 + (1 - alpha) * rgb[0]),
+                        np.uint8((1 - alpha) * rgb[1]),
+                        np.uint8((1 - alpha) * rgb[2]),
+                        255,
+                    ]
+                    s = (1 - alpha) * diff * 255
+                    normal[y, x] = [np.uint8(alpha * 255 + s), np.uint8(s), np.uint8(s), 255]
+                    hit[y, x] = True
+                    break
+                prev = curr
+                pos = pos + step
+    return rgba, normal, hit
