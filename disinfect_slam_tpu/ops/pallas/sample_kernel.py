@@ -78,6 +78,7 @@ def _sample_kernel(
     c: int,
     img_h: int,
     img_w: int,
+    stage2: str,
 ):
     i = pl.program_id(0)
     n_tiles = pl.num_programs(0)
@@ -141,16 +142,22 @@ def _sample_kernel(
         d = pcol - lu_c[:, None] * c
         oh_wc = ((d >= 0) & (d < c)).astype(jnp.float32)
         m = a * oh_wc
-        m_hi = m.astype(jnp.bfloat16)
-        r2 = m - m_hi.astype(jnp.float32)
-        m_mid = r2.astype(jnp.bfloat16)
-        m_lo = (r2 - m_mid.astype(jnp.float32)).astype(jnp.bfloat16)
-        gb = g_ref[:].astype(jnp.bfloat16)
-        out = (
-            jnp.dot(m_hi, gb, preferred_element_type=jnp.float32)
-            + jnp.dot(m_mid, gb, preferred_element_type=jnp.float32)
-            + jnp.dot(m_lo, gb, preferred_element_type=jnp.float32)
-        )  # [512, C]
+        if stage2 == "reshape":
+            # exact f32: each output group sums exactly one nonzero
+            out = m.reshape(512, pw, c).sum(axis=1)  # [512, C]
+        else:
+            # matmul fallback (bf16 hi/mid/lo split; the f32 MXU path is
+            # broken on this stack)
+            m_hi = m.astype(jnp.bfloat16)
+            r2 = m - m_hi.astype(jnp.float32)
+            m_mid = r2.astype(jnp.bfloat16)
+            m_lo = (r2 - m_mid.astype(jnp.float32)).astype(jnp.bfloat16)
+            gb = g_ref[:].astype(jnp.bfloat16)
+            out = (
+                jnp.dot(m_hi, gb, preferred_element_type=jnp.float32)
+                + jnp.dot(m_mid, gb, preferred_element_type=jnp.float32)
+                + jnp.dot(m_lo, gb, preferred_element_type=jnp.float32)
+            )  # [512, C]
 
         vmask = in_patch.astype(jnp.float32)
         out_ref[b] = out * vmask[:, None]
@@ -158,7 +165,7 @@ def _sample_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("ph", "pw", "tb", "interpret")
+    jax.jit, static_argnames=("ph", "pw", "tb", "interpret", "stage2")
 )
 def sample_patches(
     img: jnp.ndarray,  # [H, W, C] f32 stacked frame channels
@@ -170,6 +177,7 @@ def sample_patches(
     pw: int = DEFAULT_PW,
     tb: int = 8,
     interpret: bool = False,
+    stage2: str = "reshape",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Sample img at (v, u) per voxel -> ([V, 512, C] values, [V, 512]
     validity).  Samples outside the per-block patch come back invalid."""
@@ -195,6 +203,7 @@ def sample_patches(
         c=c,
         img_h=img_h,
         img_w=img_w,
+        stage2=stage2,
     )
     out_shape = (
         jax.ShapeDtypeStruct((vcap, 512, c), jnp.float32),
