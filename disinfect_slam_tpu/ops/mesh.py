@@ -243,6 +243,53 @@ def merge_vertices(tris: np.ndarray, tol: float = 1e-5):
     return verts.astype(np.float32), faces[good]
 
 
+def vertex_attributes(vol: TSDFVolume, verts: np.ndarray):
+    """Sample (rgb u8 [N, 3], ht probability f32 [N]) at mesh vertices."""
+    pts = jnp.asarray(
+        np.round(verts / vol.cfg.voxel_size).astype(np.int32)
+    )
+    _, rgb, _, prob = h.read_voxels(vol, pts)
+    return (
+        np.clip(np.asarray(rgb), 0, 255).astype(np.uint8),
+        np.asarray(prob, np.float32),
+    )
+
+
+def save_ply(
+    path: str,
+    verts: np.ndarray,
+    faces: np.ndarray,
+    rgb: np.ndarray | None = None,
+    prob: np.ndarray | None = None,
+) -> None:
+    """Write a PLY mesh, optionally with per-vertex color and the
+    high-touch probability as a custom scalar — the semantic mesh output
+    the reference's geometry-only pipeline cannot produce."""
+    has_color = rgb is not None
+    has_prob = prob is not None
+    with open(path, "wb") as fp:
+        head = ["ply", "format binary_little_endian 1.0",
+                f"element vertex {len(verts)}",
+                "property float x", "property float y", "property float z"]
+        if has_color:
+            head += ["property uchar red", "property uchar green",
+                     "property uchar blue"]
+        if has_prob:
+            head += ["property float ht_probability"]
+        head += [f"element face {len(faces)}",
+                 "property list uchar int vertex_indices", "end_header"]
+        fp.write(("\n".join(head) + "\n").encode())
+        for i in range(len(verts)):
+            fp.write(np.asarray(verts[i], "<f4").tobytes())
+            if has_color:
+                fp.write(np.asarray(rgb[i], np.uint8).tobytes())
+            if has_prob:
+                fp.write(np.asarray(prob[i], "<f4").tobytes())
+        for f in faces:
+            fp.write(np.uint8(3).tobytes())
+            fp.write(np.asarray(f, "<i4").tobytes())
+
+
 def save_obj(path: str, verts: np.ndarray, faces: np.ndarray) -> None:
     """Write a Wavefront OBJ (the portable stand-in for the reference's
     shape_msgs/Mesh publication)."""

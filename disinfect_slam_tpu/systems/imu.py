@@ -1,0 +1,106 @@
+"""IMU handling: gyro preintegration for tracker motion priors.
+
+The reference forwards raw IMU samples to ORB_SLAM3 (zed.cc:33-74 queues
+simuData at ~405 Hz; disinfect_slam.cc:83-98 passes them to TrackStereo)
+and never integrates them itself.  Here the IMU earns its keep inside
+the framework: gyro samples preintegrate into a relative rotation that
+seeds the ICP tracker's initial pose, which is what keeps projective ICP
+converging through fast rotations.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Iterable, List, Tuple
+
+import numpy as np
+
+
+@dataclass
+class IMUSample:
+    timestamp_ms: float
+    accel: np.ndarray  # [3] m/s^2 (camera frame)
+    gyro: np.ndarray  # [3] rad/s (camera frame)
+
+
+def _exp_so3(w: np.ndarray) -> np.ndarray:
+    theta = np.linalg.norm(w)
+    if theta < 1e-12:
+        return np.eye(3)
+    k = w / theta
+    kx = np.array([[0, -k[2], k[1]], [k[2], 0, -k[0]], [-k[1], k[0], 0]])
+    return np.eye(3) + np.sin(theta) * kx + (1 - np.cos(theta)) * (kx @ kx)
+
+
+class GyroPreintegrator:
+    """Accumulates gyro samples between camera frames.
+
+    relative_rotation(t0, t1) integrates all samples in (t0, t1] into
+    cam1_R_cam0 (midpoint rule); used as the rotation prior when seeding
+    frame-to-model ICP.
+    """
+
+    def __init__(self, bias: np.ndarray | None = None, max_samples: int = 100000):
+        self.samples: List[IMUSample] = []
+        self.bias = np.zeros(3) if bias is None else np.asarray(bias, np.float64)
+        self.max_samples = max_samples
+
+    def add(self, sample: IMUSample) -> None:
+        self.samples.append(sample)
+        if len(self.samples) > self.max_samples:
+            del self.samples[: len(self.samples) - self.max_samples]
+
+    def add_raw(self, timestamp_ms, gyro, accel=(0.0, 0.0, 0.0)) -> None:
+        self.add(
+            IMUSample(
+                float(timestamp_ms),
+                np.asarray(accel, np.float64),
+                np.asarray(gyro, np.float64),
+            )
+        )
+
+    def estimate_bias(self, window_ms: float = 500.0) -> None:
+        """Estimate gyro bias from the earliest (assumed static) window."""
+        if not self.samples:
+            return
+        t0 = self.samples[0].timestamp_ms
+        sel = [s.gyro for s in self.samples if s.timestamp_ms - t0 <= window_ms]
+        if sel:
+            self.bias = np.mean(sel, axis=0)
+
+    def relative_rotation(self, t0_ms: float, t1_ms: float) -> np.ndarray:
+        """cam(t1)_R_cam(t0) from gyro integration over (t0, t1]."""
+        r = np.eye(3)
+        prev_t = t0_ms
+        prev_w = None
+        for s in self.samples:
+            if s.timestamp_ms <= t0_ms:
+                prev_w = s.gyro - self.bias
+                continue
+            if s.timestamp_ms > t1_ms:
+                break
+            w = s.gyro - self.bias
+            dt = (s.timestamp_ms - prev_t) * 1e-3
+            w_mid = w if prev_w is None else 0.5 * (w + prev_w)
+            r = _exp_so3(w_mid * dt) @ r
+            prev_t = s.timestamp_ms
+            prev_w = w
+        if prev_t < t1_ms and prev_w is not None:
+            r = _exp_so3(prev_w * (t1_ms - prev_t) * 1e-3) @ r
+        # rotation of the WORLD seen from the camera advances opposite to
+        # the camera's own rotation
+        return r.T
+
+
+def seed_pose_with_gyro(
+    world_T_cam_prev: np.ndarray,
+    preint: GyroPreintegrator,
+    t0_ms: float,
+    t1_ms: float,
+) -> np.ndarray:
+    """Apply the gyro rotation prior to the previous pose estimate."""
+    rel = np.eye(4)
+    rel[:3, :3] = preint.relative_rotation(t0_ms, t1_ms)
+    out = world_T_cam_prev.copy()
+    out[:3, :3] = world_T_cam_prev[:3, :3] @ rel[:3, :3].T
+    return out
