@@ -432,10 +432,18 @@ def fuse_visible(
         axis=-1,
     )
 
+    kernel_ok = cfg.block_volume == 512 and cfg.max_visible % cfg.sample_tile == 0
+    use_fused = cfg.sampler == "pallas_fused" and kernel_ok
     use_pallas = (
         cfg.sampler == "pallas"
         or (cfg.sampler == "auto" and jax.default_backend() == "tpu")
-    ) and cfg.block_volume == 512 and cfg.max_visible % cfg.sample_tile == 0
+    ) and kernel_ok
+
+    if use_fused:
+        return _fuse_visible_kernel(
+            vol, vis, stacked, us, vs, z, in_img, cam, max_depth
+        )
+
     if use_pallas:
         from .pallas.sample_kernel import sample_patches
 
@@ -494,6 +502,48 @@ def fuse_visible(
     prob_w = jnp.where(update, prob_upd, prob_old)
 
     # scatter rows back (padded rows drop via OOB index)
+    wpool = jnp.where(vis.mask, vis.pool_idx, cfg.num_blocks)
+    return vol.replace(
+        tsdf=vol.tsdf.at[wpool].set(tsdf_w, mode="drop"),
+        weight=vol.weight.at[wpool].set(w_w, mode="drop"),
+        rgb=vol.rgb.at[wpool].set(rgb_w, mode="drop"),
+        prob=vol.prob.at[wpool].set(prob_w, mode="drop"),
+    )
+
+
+def _fuse_visible_kernel(
+    vol: TSDFVolume,
+    vis: VisibleSet,
+    stacked: jnp.ndarray,
+    us: jnp.ndarray,
+    vs: jnp.ndarray,
+    z: jnp.ndarray,
+    in_img: jnp.ndarray,
+    cam: CameraParams,
+    max_depth: float,
+) -> TSDFVolume:
+    """Fused Pallas path: sampling + fusion math in one kernel pass
+    (ops/pallas/fuse_kernel.py); XLA keeps the row gather/scatter."""
+    from .pallas.fuse_kernel import fuse_rows
+
+    cfg = vol.cfg
+    u_for_min = jnp.where(in_img, us, cam.img_w - 1)
+    v_for_min = jnp.where(in_img, vs, cam.img_h - 1)
+    u0 = jnp.min(u_for_min, axis=1).astype(jnp.int32)
+    v0 = jnp.min(v_for_min, axis=1).astype(jnp.int32)
+    gate = (vis.mask[:, None] & in_img).astype(jnp.float32)
+
+    pool = jnp.clip(vis.pool_idx, 0, cfg.num_blocks - 1)
+    interpret = jax.default_backend() != "tpu"
+    tsdf_w, w_w, prob_w, rgb_w = fuse_rows(
+        stacked, u0, v0, us, vs, z, gate,
+        vol.tsdf[pool], vol.weight[pool], vol.prob[pool], vol.rgb[pool],
+        truncation=float(cfg.truncation),
+        max_depth=float(max_depth),
+        max_weight=float(cfg.max_weight),
+        ph=cfg.patch_h, pw=cfg.patch_w, tb=cfg.sample_tile,
+        interpret=interpret,
+    )
     wpool = jnp.where(vis.mask, vis.pool_idx, cfg.num_blocks)
     return vol.replace(
         tsdf=vol.tsdf.at[wpool].set(tsdf_w, mode="drop"),

@@ -1,0 +1,242 @@
+"""Pallas TPU kernel: fused patch sampling + TSDF fusion math.
+
+One kernel pass per visible-block tile does everything between the pool
+row gather and the row scatter-back:
+
+  patch DMA -> one-hot selection of per-voxel frame samples (see
+  sample_kernel.py for the selection scheme and the bf16-split
+  workaround) -> the reference's fusion formulas (voxel_tsdf.cu:149-205)
+  evaluated in VMEM -> updated payload rows out.
+
+Versus the two-stage path (sample kernel + XLA fusion) this removes the
+[V, 512, 8] sampled-array HBM round trip and all intermediate
+elementwise materialization; XLA keeps only the (fast, contiguous) row
+gather/scatter and the carve reduction.
+
+Rounding parity: roundf (half away from zero) is computed inline as
+where(x >= 0, floor(x + .5), ceil(x - .5)) exactly like ops/integrate.py.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .sample_kernel import DEFAULT_PH, DEFAULT_PW
+
+
+def _rha(x):
+    return jnp.where(x >= 0, jnp.floor(x + 0.5), jnp.ceil(x - 0.5))
+
+
+def _fuse_kernel(
+    # scalar prefetch
+    u0_ref,  # [V] i32
+    v0_ref,  # [V] i32
+    # inputs
+    img_ref,  # [H, W*C] f32 (ANY/HBM) stacked: depth, d2r, r, g, b, ht, lt, 0
+    lu_ref,  # [TB, 512] i32
+    lv_ref,  # [TB, 512] i32
+    z_ref,  # [TB, 512] f32 camera-space voxel z
+    gate_ref,  # [TB, 512] f32 1.0 where vis.mask & in_img
+    tsdf_ref,  # [TB, 512] f32
+    weight_ref,  # [TB, 512] f32
+    prob_ref,  # [TB, 512] f32
+    rgb_ref,  # [TB, 512, 3] f32
+    # outputs
+    tsdf_out,
+    weight_out,
+    prob_out,
+    rgb_out,
+    # scratch
+    patch_ref,  # [2, TB, PH, PW*C]
+    sems,  # [2, TB]
+    *,
+    tb: int,
+    ph: int,
+    pw: int,
+    c: int,
+    truncation: float,
+    max_depth: float,
+    max_weight: float,
+):
+    i = pl.program_id(0)
+    n_tiles = pl.num_programs(0)
+
+    def _dma(tile, b):
+        v0 = pl.multiple_of(v0_ref[tile * tb + b], 8)
+        u0c = pl.multiple_of(u0_ref[tile * tb + b] * c, 128)
+        slot = jax.lax.rem(tile, 2)
+        return pltpu.make_async_copy(
+            img_ref.at[pl.ds(v0, ph), pl.ds(u0c, pw * c)],
+            patch_ref.at[slot, b],
+            sems.at[slot, b],
+        )
+
+    @pl.when(i == 0)
+    def _():
+        for b in range(tb):
+            _dma(i, b).start()
+
+    @pl.when(i + 1 < n_tiles)
+    def _():
+        for b in range(tb):
+            _dma(i + 1, b).start()
+
+    for b in range(tb):
+        u0 = u0_ref[i * tb + b]
+        v0 = v0_ref[i * tb + b]
+        _dma(i, b).wait()
+
+        lu = lu_ref[b] - u0
+        lv = lv_ref[b] - v0
+        in_patch = (lu >= 0) & (lu < pw) & (lv >= 0) & (lv < ph)
+        lu_c = jnp.clip(lu, 0, pw - 1)
+        lv_c = jnp.clip(lv, 0, ph - 1)
+
+        # --- selection (see sample_kernel.py) ---
+        rows = jax.lax.broadcasted_iota(jnp.int32, (512, ph), 1)
+        oh_v = (rows == lv_c[:, None]).astype(jnp.bfloat16)
+        p_full = patch_ref[jax.lax.rem(i, 2), b]
+        p_hi = p_full.astype(jnp.bfloat16)
+        r1 = p_full - p_hi.astype(jnp.float32)
+        p_mid = r1.astype(jnp.bfloat16)
+        p_lo = (r1 - p_mid.astype(jnp.float32)).astype(jnp.bfloat16)
+        a = (
+            jnp.dot(oh_v, p_hi, preferred_element_type=jnp.float32)
+            + jnp.dot(oh_v, p_mid, preferred_element_type=jnp.float32)
+            + jnp.dot(oh_v, p_lo, preferred_element_type=jnp.float32)
+        )  # [512, PW*C]
+        pcol = jax.lax.broadcasted_iota(jnp.int32, (512, pw * c), 1)
+        dsel = pcol - lu_c[:, None] * c
+        oh_wc = ((dsel >= 0) & (dsel < c)).astype(jnp.float32)
+        samp = (a * oh_wc).reshape(512, pw, c).sum(axis=1)  # [512, C]
+
+        depth = samp[:, 0]
+        d2r = samp[:, 1]
+        rgb_new = samp[:, 2:5]  # [512, 3]
+        ht = samp[:, 5]
+        lt = samp[:, 6]
+
+        # --- fusion math (voxel_tsdf.cu:149-205) ---
+        z = z_ref[b]
+        sdf = d2r * (depth - z)
+        update = (
+            (gate_ref[b] > 0)
+            & in_patch
+            & (depth > 0)
+            & (depth <= max_depth)
+            & (sdf > -truncation)
+        )
+        tsdf_new = jnp.minimum(1.0, sdf / truncation)
+        w_new = (1.0 - depth / max_depth) * 4.0
+        w_old = weight_ref[b]
+        w_comb = w_old + w_new
+        w_safe = jnp.where(w_comb == 0, 1.0, w_comb)
+
+        tsdf_upd = (tsdf_ref[b] * w_old + tsdf_new * w_new) / w_safe
+        rgb_old = rgb_ref[b]  # [512, 3]
+        rgb_upd = _rha(
+            (rgb_old * w_old[:, None] + rgb_new * w_new[:, None]) / w_safe[:, None]
+        )
+        w_upd = jnp.minimum(_rha(w_comb), max_weight)
+        p_old = prob_ref[b]
+        positive = jnp.exp((w_old * jnp.log(p_old) + w_new * jnp.log(ht)) / w_safe)
+        negative = jnp.exp(
+            (w_old * jnp.log(1.0 - p_old) + w_new * jnp.log(lt)) / w_safe
+        )
+        prob_upd = positive / (positive + negative)
+
+        tsdf_out[b] = jnp.where(update, tsdf_upd, tsdf_ref[b])
+        weight_out[b] = jnp.where(update, w_upd, w_old)
+        prob_out[b] = jnp.where(update, prob_upd, p_old)
+        rgb_out[b] = jnp.where(update[:, None], rgb_upd, rgb_old)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "ph", "pw", "tb", "truncation", "max_depth", "max_weight", "interpret",
+    ),
+)
+def fuse_rows(
+    img: jnp.ndarray,  # [H, W, C] stacked frame channels
+    u0: jnp.ndarray,  # [V]
+    v0: jnp.ndarray,  # [V]
+    u: jnp.ndarray,  # [V, 512] absolute pixel x
+    v: jnp.ndarray,  # [V, 512]
+    z: jnp.ndarray,  # [V, 512] camera z per voxel
+    gate: jnp.ndarray,  # [V, 512] f32 vis&in_img
+    tsdf: jnp.ndarray,  # [V, 512] gathered pool rows
+    weight: jnp.ndarray,
+    prob: jnp.ndarray,
+    rgb: jnp.ndarray,  # [V, 512, 3]
+    truncation: float,
+    max_depth: float,
+    max_weight: float,
+    ph: int = DEFAULT_PH,
+    pw: int = DEFAULT_PW,
+    tb: int = 8,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Fused sample+update over gathered pool rows; returns updated
+    (tsdf, weight, prob, rgb) rows."""
+    img_h, img_w, c = img.shape
+    vcap = u0.shape[0]
+    assert vcap % tb == 0
+
+    ualign = max(128 // c, 1)
+    u0 = jnp.clip((u0 // ualign) * ualign, 0, ((img_w - pw) // ualign) * ualign)
+    v0 = jnp.clip((v0 // 8) * 8, 0, ((img_h - ph) // 8) * 8)
+    img_flat = img.reshape(img_h, img_w * c)
+
+    kernel = functools.partial(
+        _fuse_kernel,
+        tb=tb, ph=ph, pw=pw, c=c,
+        truncation=truncation, max_depth=max_depth, max_weight=max_weight,
+    )
+    row = lambda i, *_: (i, 0)
+    row3 = lambda i, *_: (i, 0, 0)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(vcap // tb,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((tb, 512), row),
+            pl.BlockSpec((tb, 512), row),
+            pl.BlockSpec((tb, 512), row),
+            pl.BlockSpec((tb, 512), row),
+            pl.BlockSpec((tb, 512), row),
+            pl.BlockSpec((tb, 512), row),
+            pl.BlockSpec((tb, 512), row),
+            pl.BlockSpec((tb, 512, 3), row3),
+        ],
+        out_specs=(
+            pl.BlockSpec((tb, 512), row),
+            pl.BlockSpec((tb, 512), row),
+            pl.BlockSpec((tb, 512), row),
+            pl.BlockSpec((tb, 512, 3), row3),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, tb, ph, pw * c), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, tb)),
+        ],
+    )
+    out_shape = (
+        jax.ShapeDtypeStruct((vcap, 512), jnp.float32),
+        jax.ShapeDtypeStruct((vcap, 512), jnp.float32),
+        jax.ShapeDtypeStruct((vcap, 512), jnp.float32),
+        jax.ShapeDtypeStruct((vcap, 512, 3), jnp.float32),
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=out_shape,
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(u0, v0, img_flat, u, v, z, gate, tsdf, weight, prob, rgb)

@@ -52,3 +52,38 @@ def test_pallas_sampler_matches_gather():
     np.testing.assert_allclose(
         np.asarray(vol_g.prob), np.asarray(vol_p.prob), atol=1e-6
     )
+
+
+def test_fused_kernel_matches_gather():
+    """The single-pass fused kernel (sampling + fusion math in Pallas)
+    must match the gather reference (interpret mode on CPU)."""
+    cfg_g = dataclasses.replace(CFG_DENSE, sampler="gather", max_visible=256)
+    cfg_f = dataclasses.replace(CFG_DENSE, sampler="pallas_fused", max_visible=256)
+
+    pose = look_at((0.033, -0.041, 0.017), (0.11, 0.07, 2.0131))
+    depth = render_wall(W, H, K, pose, wall_z=2.0131)
+    ht = np.full((H, W), 0.7, np.float32)
+    lt = np.full((H, W), 0.4, np.float32)
+    frame = make_frame(depth, ht=ht, lt=lt)
+    intr = CameraIntrinsics.create(*K)
+    cam = CameraParams.create(intr, H, W)
+    se3 = SE3.from_matrix(pose)
+
+    vol_g = TSDFVolume.create(cfg_g)
+    vol_f = TSDFVolume.create(cfg_f)
+    for _ in range(2):
+        vol_g = integrate(vol_g, frame, cam, se3, MAX_DEPTH)
+        vol_f = integrate(vol_f, frame, cam, se3, MAX_DEPTH)
+
+    # equality up to 1 ulp: XLA fuses a*b+c into fma while the kernel
+    # evaluates the written op order
+    assert int(vol_g.num_active_blocks) == int(vol_f.num_active_blocks)
+    np.testing.assert_allclose(
+        np.asarray(vol_g.tsdf), np.asarray(vol_f.tsdf), atol=1e-6
+    )
+    np.testing.assert_array_equal(np.asarray(vol_g.weight), np.asarray(vol_f.weight))
+    rgb_diff = np.abs(np.asarray(vol_g.rgb) - np.asarray(vol_f.rgb))
+    assert (rgb_diff <= 1.0).all() and (rgb_diff > 0).mean() < 1e-3
+    np.testing.assert_allclose(
+        np.asarray(vol_g.prob), np.asarray(vol_f.prob), atol=1e-5
+    )
