@@ -83,7 +83,40 @@ class UNetSeg(nn.Module):
         return logits  # [N, H, W, 2]
 
 
-def create_model(widths=(32, 64, 128, 256), dtype=jnp.bfloat16) -> UNetSeg:
+class FastSeg(nn.Module):
+    """Latency-first variant: a single-resolution dilated-conv trunk
+    (no skip connections, no resizes) — the whole network is a chain of
+    MXU convolutions at 1/4 resolution, ideal when the ht/lt masks gate
+    a 30 Hz fusion loop.
+    """
+
+    width: int = 128
+    depth: int = 6
+    num_classes: int = 2
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        n, h, w, _ = x.shape
+        x = x.astype(self.dtype)
+        x = ConvBlock(self.width // 2, stride=2, dtype=self.dtype)(x)
+        x = ConvBlock(self.width, stride=2, dtype=self.dtype)(x)
+        for i in range(self.depth):
+            d = 2 ** (i % 3)
+            y = nn.Conv(
+                self.width, (3, 3), kernel_dilation=(d, d), padding="SAME",
+                use_bias=False, dtype=self.dtype,
+            )(x)
+            y = nn.GroupNorm(num_groups=32, dtype=self.dtype)(y)
+            x = x + nn.silu(y)
+        logits = nn.Conv(self.num_classes, (1, 1), dtype=jnp.float32)(x)
+        return jax.image.resize(logits, (n, h, w, self.num_classes), "linear")
+
+
+def create_model(widths=(32, 64, 128, 256), dtype=jnp.bfloat16, arch: str = "unet"):
+    """Model family: 'unet' (quality) or 'fast' (latency)."""
+    if arch == "fast":
+        return FastSeg(width=max(widths), dtype=dtype)
     return UNetSeg(widths=widths, dtype=dtype)
 
 

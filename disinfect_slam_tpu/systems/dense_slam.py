@@ -89,8 +89,14 @@ class DenseSLAM:
         depth: np.ndarray,
         ht: Optional[np.ndarray] = None,
         lt: Optional[np.ndarray] = None,
+        gyro_prior: Optional[np.ndarray] = None,
     ) -> Tuple[np.ndarray, bool]:
-        """Track + fuse one frame; returns (cam_T_world, tracking_ok)."""
+        """Track + fuse one frame; returns (cam_T_world, tracking_ok).
+
+        gyro_prior: optional cam1_R_cam0 from IMU preintegration
+        (systems/imu.py) seeding the ICP initial pose through fast
+        rotations.
+        """
         h, w = depth.shape
         if ht is None:
             ht = np.ones((h, w), np.float32)
@@ -107,8 +113,12 @@ class DenseSLAM:
             )
             pyr_ref = self.tracker._prep(jnp.asarray(model_depth))
             pyr_cur = self.tracker._prep(jnp.asarray(depth, jnp.float32))
+            seed = self.world_T_cam
+            if gyro_prior is not None:
+                seed = seed.copy()
+                seed[:3, :3] = seed[:3, :3] @ np.asarray(gyro_prior).T
             T, rmse, inl = self.tracker._track(
-                jnp.asarray(self.world_T_cam),
+                jnp.asarray(seed),
                 pyr_cur,
                 pyr_ref,
                 jnp.asarray(np.linalg.inv(self.world_T_cam)),

@@ -94,3 +94,13 @@ def test_bce_loss_masked():
     masked = bce_loss(logits, labels, mask)
     assert np.isfinite(float(full)) and np.isfinite(float(masked))
     np.testing.assert_allclose(float(full), float(masked), atol=1e-6)
+
+
+def test_fast_arch_contract():
+    model = create_model(widths=(8, 16, 32, 64), arch="fast")
+    import jax
+
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 96, 3)))
+    out = model.apply(params, jnp.zeros((2, 64, 96, 3)))
+    assert out.shape == (2, 64, 96, 2)
+    assert out.dtype == jnp.float32
