@@ -84,7 +84,6 @@ def _icp_level(
     ref_cam_T_world: jnp.ndarray,  # 4x4 of the reference view
     iters: int,
     dist_thresh: float,
-    normal_thresh: float,
 ):
     """Iterate point-to-plane ICP at one pyramid level.
 
@@ -124,8 +123,6 @@ def _icp_level(
         diff = p_w - q
         dist_ok = jnp.sum(diff * diff, axis=-1) < dist_thresh * dist_thresh
         valid = src_valid & in_img & rvalid[idx] & dist_ok
-        # normal agreement gate
-        src_n_w = jnp.zeros_like(n)  # cheap variant: skip normal gating
         r_res = jnp.sum(n * diff, axis=-1)
 
         wgt = valid.astype(jnp.float32)
@@ -224,7 +221,6 @@ class ICPOdometry:
                     ref_pose,
                     self.iters[min(lv, len(self.iters) - 1)],
                     self.dist_thresh,
-                    0.0,
                 )
             return T, rmse, inl
 

@@ -91,7 +91,7 @@ class TSDFSystem:
     def queue_depth(self) -> int:
         return self._inputs.qsize()
 
-    def flush(self, timeout: float = 60.0) -> None:
+    def flush(self) -> None:
         """Block until the queue is drained (deterministic replay aid;
         the reference has no equivalent — it relies on sleep loops)."""
         self._inputs.join()
