@@ -93,8 +93,8 @@ class ReconstructionBridge:
                 bbox.ymin, bbox.ymax,
                 center[2] - half, center[2] + half,
             )
-        # mesh over the full live volume (bbox filter on triangles)
-        vol = self.system.tsdf.tsdf.volume
+        # mesh over a consistent snapshot (integration keeps running)
+        vol = self.system.tsdf.tsdf.snapshot()
         tris = compact_mesh(extract_mesh(vol))
         if len(tris):
             c = tris.mean(axis=1)

@@ -60,7 +60,7 @@ class ReconstructionService:
         if self.mode == "slam":
             return self.system.volume
         self.system.tsdf.flush()
-        return self.system.tsdf.tsdf.volume
+        return self.system.tsdf.tsdf.snapshot()
 
     def stats(self):
         vol = self._volume()

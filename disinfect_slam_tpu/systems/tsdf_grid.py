@@ -129,29 +129,38 @@ class TSDFGrid:
         scatter-based fast path (same image conventions, no per-step
         volume lookups — see ops/render_fast.py)."""
         intr, img_h, img_w = virtual_cam
-        with self._lock:
-            vol = self.volume
         fn = self._splat if renderer == "splat" else self._raycast
-        return fn(
-            vol,
-            jnp.asarray(intr, jnp.float32),
-            jnp.asarray(cam_T_world, jnp.float32),
-            img_h=int(img_h),
-            img_w=int(img_w),
-            max_depth=float(max_depth),
-        )
+        # hold the lock across the dispatch: integrate donates the volume
+        # buffers, so a read enqueued after the donation would hit a
+        # deleted array (the reference serializes the same way with
+        # mtx_read_, tsdf_module.cc:40-49)
+        with self._lock:
+            return fn(
+                self.volume,
+                jnp.asarray(intr, jnp.float32),
+                jnp.asarray(cam_T_world, jnp.float32),
+                img_h=int(img_h),
+                img_w=int(img_w),
+                max_depth=float(max_depth),
+            )
 
     def gather_valid(self) -> SpatialTSDF:
         """TSDFGrid::GatherValid (voxel_tsdf.cu:399-425)."""
         with self._lock:
-            vol = self.volume
-        return self._gather_valid(vol)
+            return self._gather_valid(self.volume)
 
     def gather_voxels(self, volume: BoundingCube) -> SpatialTSDF:
         """TSDFGrid::GatherVoxels (voxel_tsdf.cu:427-454)."""
         with self._lock:
-            vol = self.volume
-        return gather_ops.gather_voxels(vol, volume)
+            return gather_ops.gather_voxels(self.volume, volume)
+
+    def snapshot(self) -> TSDFVolume:
+        """Consistent on-device copy of the volume for long-running
+        readers (mesh extraction, export) that must not hold the
+        integration lock: integrate donates its input buffers, so raw
+        references go stale."""
+        with self._lock:
+            return jax.tree.map(lambda x: x.copy(), self.volume)
 
     def num_active_blocks(self) -> int:
         with self._lock:

@@ -169,3 +169,50 @@ class TestDISINFSystem:
             assert int(st.count) > 0
             got = sys_.query_camera_pose(100)
             np.testing.assert_allclose(got, pose, atol=1e-5)
+
+
+class TestConcurrency:
+    def test_concurrent_producers_and_readers(self):
+        """Multiple producer threads + concurrent query/render must not
+        race the functional volume state (the lock-free analogue of the
+        reference's mtx_queue_/mtx_read_ discipline)."""
+        import threading
+
+        from disinfect_slam_tpu.ops.gather import BoundingCube
+        from disinfect_slam_tpu.systems.tsdf_system import TSDFSystem
+
+        from .scenes import render_wall
+        from .test_integrate import CFG_DENSE, H, K, W
+
+        sys_ = TSDFSystem(0.05, 0.15, 4.0, K, cfg=CFG_DENSE)
+        rgb = np.full((H, W, 3), 128, np.float32)
+        errors = []
+
+        def produce(seed):
+            try:
+                pose = look_at((0.01 * seed, 0.02, -0.01), (0.04, -0.03, 2.0))
+                depth = render_wall(W, H, K, pose, wall_z=2.0131 + 0.01 * seed)
+                for _ in range(3):
+                    sys_.integrate(pose, rgb, depth)
+            except Exception as e:  # pragma: no cover
+                errors.append(e)
+
+        def read():
+            try:
+                for _ in range(5):
+                    st = sys_.query(BoundingCube(-2, 2, -2, 2, 0, 3))
+                    int(st.count)
+                    sys_.render((K, H, W), np.eye(4, dtype=np.float32))
+            except Exception as e:  # pragma: no cover
+                errors.append(e)
+
+        threads = [threading.Thread(target=produce, args=(i,)) for i in range(3)]
+        threads += [threading.Thread(target=read) for _ in range(2)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+        sys_.flush()
+        assert not errors, errors
+        assert sys_.tsdf.num_active_blocks() > 10
+        sys_.terminate()
