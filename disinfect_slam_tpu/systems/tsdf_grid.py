@@ -27,6 +27,8 @@ from ..ops import raycast as raycast_ops
 from ..ops.gather import BoundingCube, SpatialTSDF
 from ..ops.integrate import FrameInput, integrate
 
+logger = __import__("logging").getLogger("disinfect_slam_tpu.tsdf_grid")
+
 
 class TSDFGrid:
     def __init__(
@@ -111,11 +113,22 @@ class TSDFGrid:
         )
         intr = jnp.asarray(intrinsics, jnp.float32)
         pose = jnp.asarray(cam_T_world, jnp.float32)
+        debug = logger.isEnabledFor(10)  # DEBUG: forces a device sync
         with self._lock:
+            if debug:
+                logger.debug(
+                    "[TSDF] pre integrate: %d active blocks",
+                    int(self.volume.num_active_blocks),
+                )
             self.volume = self._integrate(
                 self.volume, frame, intr, pose,
                 img_h=h, img_w=w, max_depth=float(max_depth),
             )
+            if debug:
+                logger.debug(
+                    "[TSDF] post integrate: %d active blocks",
+                    int(self.volume.num_active_blocks),
+                )
 
     def ray_cast(
         self,
