@@ -75,7 +75,6 @@ def main():
 
     import jax
     import jax.numpy as jnp
-    import optax
 
     from disinfect_slam_tpu.utils.cache import enable as _cache
 

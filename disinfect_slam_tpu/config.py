@@ -14,7 +14,6 @@ from this config are static, keeping XLA happy (one compilation per config).
 from __future__ import annotations
 
 import dataclasses
-import math
 
 
 @dataclasses.dataclass(frozen=True)

@@ -7,8 +7,6 @@ row-major 4x4).
 
 from __future__ import annotations
 
-from typing import Optional
-
 import numpy as np
 import yaml
 

@@ -19,7 +19,6 @@ convolution kernels.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Sequence, Tuple
 
 import flax.linen as nn

@@ -9,7 +9,6 @@ sharded) version.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, NamedTuple, Tuple
 
 import jax

@@ -19,7 +19,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core import voxel as vx
-from ..core.geometry import SE3, CameraParams
 from ..core.state import TSDFVolume
 from .integrate import VisibleSet, compact_mask
 

@@ -28,7 +28,6 @@ from __future__ import annotations
 
 from typing import Tuple
 
-import jax
 import jax.numpy as jnp
 
 from ..config import TSDFConfig

@@ -18,7 +18,7 @@ both uint8 [H, W, 4]; misses are (0, 0, 0, 0).
 from __future__ import annotations
 
 import math
-from typing import NamedTuple, Tuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -22,9 +22,6 @@ differs from exact ray marching by < 1 voxel (no trilinear refinement).
 
 from __future__ import annotations
 
-from typing import NamedTuple
-
-import jax
 import jax.numpy as jnp
 
 from ..core import voxel as vx

@@ -23,7 +23,6 @@ this is the additive TPU-native scaling axis.  Design:
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Optional, Tuple
 
 import jax
@@ -38,7 +37,6 @@ from ..core.state import TSDFVolume
 from ..ops import hash as h
 from ..ops.integrate import (
     FrameInput,
-    allocate_blocks,
     depth_to_range,
     fuse_visible,
     gather_visible,

@@ -77,10 +77,6 @@ class ReconstructionBridge:
     def query_mesh(self):
         """One bbox query -> (verts, faces); the reconstTimerCallback body
         (ros_offline.cc:258-318) with the built-in extractor."""
-        import dataclasses
-
-        import jax.numpy as jnp
-
         from ..ops.mesh import compact_mesh, extract_mesh, merge_vertices
 
         bbox = self.bbox

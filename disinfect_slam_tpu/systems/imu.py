@@ -11,7 +11,7 @@ converging through fast rotations.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Iterable, List, Tuple
+from typing import List
 
 import numpy as np
 

@@ -18,14 +18,13 @@ maps onto the MXU — so the tracker costs milliseconds on TPU.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core.geometry import CameraIntrinsics, CameraParams, SE3
+from ..core.geometry import CameraIntrinsics, CameraParams
 
 
 def vertex_map(depth: jnp.ndarray, cam: CameraParams) -> jnp.ndarray:

@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import bisect
 import threading
-from typing import List, Tuple
+from typing import List
 
 import numpy as np
 

@@ -17,7 +17,7 @@ math itself is not first-party code.  This module keeps that boundary:
 
 from __future__ import annotations
 
-from typing import Callable, Dict, Iterable, List, Optional, Tuple
+from typing import Callable, Dict, Iterable, Optional, Tuple
 
 import numpy as np
 

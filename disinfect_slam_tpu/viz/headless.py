@@ -9,7 +9,7 @@ renderer_module.cc:104-109) are written to disk instead of a GL texture.
 from __future__ import annotations
 
 import os
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 
