@@ -145,11 +145,17 @@ def main():
     vol = step(vol, fr, pose)
     jax.block_until_ready(vol.tsdf)
 
+    profile_dir = os.environ.get("DSTPU_PROFILE")
+    if profile_dir:
+        jax.profiler.start_trace(profile_dir)
     t0 = time.perf_counter()
     for fr, pose in staged[1:]:
         vol = step(vol, fr, pose)
     jax.block_until_ready(vol.tsdf)
     dt = time.perf_counter() - t0
+    if profile_dir:
+        jax.profiler.stop_trace()
+        print(f"[bench] profile trace -> {profile_dir}", file=sys.stderr)
     fps = (len(frames) - 1) / dt
 
     # secondary: render latencies (parity raycaster + splat fast path)
