@@ -66,6 +66,32 @@ def _tpu_alive(timeout: float = 240.0) -> bool:
         return False
 
 
+def _verify_sampler(jax, jnp, w, h) -> bool:
+    """Compare the Pallas patch sampler against a plain gather on random
+    in-patch indices at the bench image size."""
+    try:
+        from disinfect_slam_tpu.ops.pallas.sample_kernel import sample_patches
+
+        rng = np.random.default_rng(0)
+        v_blocks = 64
+        img = jnp.asarray(rng.uniform(0, 255, (h, w, 8)).astype(np.float32))
+        u0 = rng.integers(0, w - 48, v_blocks).astype(np.int32)
+        v0 = rng.integers(0, h - 32, v_blocks).astype(np.int32)
+        u = (u0[:, None] + rng.integers(0, 32, (v_blocks, 512))).astype(np.int32)
+        v = (v0[:, None] + rng.integers(0, 24, (v_blocks, 512))).astype(np.int32)
+        s, valid = sample_patches(
+            img, jnp.asarray(u0), jnp.asarray(v0), jnp.asarray(u), jnp.asarray(v)
+        )
+        ref = np.asarray(img)[v, u]
+        val = np.asarray(valid)
+        return bool(val.mean() > 0.99) and bool(
+            np.allclose(np.asarray(s)[val], ref[val], atol=1e-4)
+        )
+    except Exception as e:
+        print(f"[bench] sampler verification error: {e}", file=sys.stderr)
+        return False
+
+
 def main():
     import jax
 
@@ -112,6 +138,17 @@ def main():
         max_probe=16,
     )
     max_depth = 4.0
+
+    # self-check the Pallas sampler on this hardware before trusting it
+    # for the headline number (the f32 MXU miscompile we hit is the kind
+    # of thing that silently corrupts results)
+    if on_accel and cfg.sampler in ("auto", "pallas", "pallas_fused"):
+        if not _verify_sampler(jax, jnp, w, h):
+            print("[bench] pallas sampler failed verification; using gather",
+                  file=sys.stderr)
+            import dataclasses
+
+            cfg = dataclasses.replace(cfg, sampler="gather")
 
     intr = CameraIntrinsics.create(*K)
     cam = CameraParams.create(intr, h, w)
