@@ -75,3 +75,28 @@ def load_params(path: str, model: UNetSeg, h: int = 352, w: int = 640):
     with open(path, "rb") as f:
         restored = serialization.from_bytes(template, f.read())
     return restored["params"]
+
+
+def iou_metric(logits: jnp.ndarray, labels: jnp.ndarray, thresh: float = 0.5):
+    """Per-channel intersection-over-union of thresholded predictions.
+
+    logits/labels: [N, H, W, C]; returns [C] IoU in [0, 1].
+    """
+    pred = jax.nn.sigmoid(logits) > thresh
+    lab = labels > 0.5
+    inter = jnp.sum(pred & lab, axis=(0, 1, 2)).astype(jnp.float32)
+    union = jnp.sum(pred | lab, axis=(0, 1, 2)).astype(jnp.float32)
+    return inter / jnp.maximum(union, 1.0)
+
+
+def make_eval_step(model: UNetSeg):
+    """Jittable eval: (params, images, labels) -> {loss, iou[C]}."""
+
+    def eval_step(params, images, labels):
+        logits = model.apply(params, images)
+        return {
+            "loss": bce_loss(logits, labels),
+            "iou": iou_metric(logits, labels),
+        }
+
+    return eval_step

@@ -456,6 +456,7 @@ def fuse_visible(
         samp, patch_ok = sample_patches(
             stacked, u0, v0, us, vs,
             ph=cfg.patch_h, pw=cfg.patch_w, tb=cfg.sample_tile,
+            interpret=jax.default_backend() != "tpu",
         )
         sample_ok = in_img & patch_ok
     else:

@@ -104,3 +104,22 @@ def test_fast_arch_contract():
     out = model.apply(params, jnp.zeros((2, 64, 96, 3)))
     assert out.shape == (2, 64, 96, 2)
     assert out.dtype == jnp.float32
+
+
+def test_iou_and_eval_step():
+    from disinfect_slam_tpu.models.train import iou_metric, make_eval_step
+
+    logits = jnp.full((1, 4, 4, 2), -10.0).at[0, :2, :, 0].set(10.0)
+    labels = jnp.zeros((1, 4, 4, 2)).at[0, :2, :, 0].set(1.0)
+    iou = np.asarray(iou_metric(logits, labels))
+    assert iou[0] == 1.0  # perfect channel 0
+    # channel 1: no predictions, no labels -> union 0 -> IoU 0 by convention
+    assert iou[1] == 0.0
+
+    model = create_model(**SMALL)
+    import jax
+
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+    ev = jax.jit(make_eval_step(model))
+    out = ev(params, jnp.zeros((2, 32, 32, 3)), jnp.zeros((2, 32, 32, 2)))
+    assert np.isfinite(float(out["loss"])) and out["iou"].shape == (2,)
