@@ -392,10 +392,12 @@ def fuse_visible(
     cam: CameraParams,
     cam_T_world: SE3,
     max_depth: float,
-) -> TSDFVolume:
+):
     """Weighted running-average fusion over [max_visible, 512] voxels.
 
     Formula-identical to tsdf_integrate_kernel (voxel_tsdf.cu:149-205).
+    Returns (volume, min|tsdf| per visible row) — the carve reduction is
+    computed on the in-flight rows so carving never re-reads the pool.
     """
     cfg = vol.cfg
     vcap, bv = cfg.max_visible, cfg.block_volume
@@ -504,12 +506,13 @@ def fuse_visible(
 
     # scatter rows back (padded rows drop via OOB index)
     wpool = jnp.where(vis.mask, vis.pool_idx, cfg.num_blocks)
-    return vol.replace(
+    vol = vol.replace(
         tsdf=vol.tsdf.at[wpool].set(tsdf_w, mode="drop"),
         weight=vol.weight.at[wpool].set(w_w, mode="drop"),
         rgb=vol.rgb.at[wpool].set(rgb_w, mode="drop"),
         prob=vol.prob.at[wpool].set(prob_w, mode="drop"),
     )
+    return vol, jnp.min(jnp.abs(tsdf_w), axis=-1)
 
 
 def _fuse_visible_kernel(
@@ -546,23 +549,30 @@ def _fuse_visible_kernel(
         interpret=interpret,
     )
     wpool = jnp.where(vis.mask, vis.pool_idx, cfg.num_blocks)
-    return vol.replace(
+    vol = vol.replace(
         tsdf=vol.tsdf.at[wpool].set(tsdf_w, mode="drop"),
         weight=vol.weight.at[wpool].set(w_w, mode="drop"),
         rgb=vol.rgb.at[wpool].set(rgb_w, mode="drop"),
         prob=vol.prob.at[wpool].set(prob_w, mode="drop"),
     )
+    return vol, jnp.min(jnp.abs(tsdf_w), axis=-1)
 
 
 # ----------------------------------------------------------------------
 # Stage 4: space carving (space_carving_kernel rework)
 # ----------------------------------------------------------------------
-def space_carve(vol: TSDFVolume, vis: VisibleSet) -> TSDFVolume:
+def space_carve(
+    vol: TSDFVolume, vis: VisibleSet, min_abs: jnp.ndarray | None = None
+) -> TSDFVolume:
     """Delete visible blocks whose min |tsdf| >= carve threshold
-    (voxel_tsdf.cu:207-230, threshold 0.9 at :485)."""
+    (voxel_tsdf.cu:207-230, threshold 0.9 at :485).
+
+    min_abs: per-visible-row min |tsdf| already computed by fusion;
+    when absent the rows are re-gathered from the pool."""
     cfg = vol.cfg
-    pool = jnp.clip(vis.pool_idx, 0, cfg.num_blocks - 1)
-    min_abs = jnp.min(jnp.abs(vol.tsdf[pool]), axis=-1)
+    if min_abs is None:
+        pool = jnp.clip(vis.pool_idx, 0, cfg.num_blocks - 1)
+        min_abs = jnp.min(jnp.abs(vol.tsdf[pool]), axis=-1)
     doomed = vis.mask & (min_abs >= cfg.carve_threshold)
     return h.delete_entries(vol, vis.entry_idx, doomed)
 
@@ -583,8 +593,8 @@ def integrate(
     d2r = depth_to_range(cam)
     vol = allocate_blocks(vol, frame.depth, d2r, cam, cam_T_world, max_depth)
     vis = gather_visible(vol, cam, cam_T_world, frame.depth, d2r)
-    vol = fuse_visible(vol, vis, frame, d2r, cam, cam_T_world, max_depth)
-    vol = space_carve(vol, vis)
+    vol, min_abs = fuse_visible(vol, vis, frame, d2r, cam, cam_T_world, max_depth)
+    vol = space_carve(vol, vis, min_abs)
     return vol
 
 
