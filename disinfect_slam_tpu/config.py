@@ -58,6 +58,11 @@ class TSDFConfig:
     # --- fusion constants (voxel_tsdf.cu:174-202, 485) ---
     max_weight: float = 40.0
     carve_threshold: float = 0.9
+    # clamp fused probabilities to [eps, 1-eps]; 0.0 reproduces the
+    # reference exactly (which can drive prob to 0/1 and then NaN via
+    # log(0) with a zero weight, voxel_tsdf.cu:196-202) — production
+    # configs should set ~1e-6
+    prob_eps: float = 0.0
 
     # --- coordinate packing for dedup keys ---
     # bits per axis when packing a block coord into one int32; block coords

@@ -498,6 +498,8 @@ def fuse_visible(
         (w_old * jnp.log(1.0 - prob_old) + w_new * jnp.log(lt)) / w_safe
     )
     prob_upd = positive / (positive + negative)
+    if cfg.prob_eps > 0.0:
+        prob_upd = jnp.clip(prob_upd, cfg.prob_eps, 1.0 - cfg.prob_eps)
 
     tsdf_w = jnp.where(update, tsdf_upd, tsdf_old)
     w_w = jnp.where(update, w_upd, w_old)
@@ -545,6 +547,7 @@ def _fuse_visible_kernel(
         truncation=float(cfg.truncation),
         max_depth=float(max_depth),
         max_weight=float(cfg.max_weight),
+        prob_eps=float(cfg.prob_eps),
         ph=cfg.patch_h, pw=cfg.patch_w, tb=cfg.sample_tile,
         interpret=interpret,
     )

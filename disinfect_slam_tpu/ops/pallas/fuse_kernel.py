@@ -64,6 +64,7 @@ def _fuse_kernel(
     truncation: float,
     max_depth: float,
     max_weight: float,
+    prob_eps: float,
 ):
     i = pl.program_id(0)
     n_tiles = pl.num_programs(0)
@@ -151,6 +152,8 @@ def _fuse_kernel(
             (w_old * jnp.log(1.0 - p_old) + w_new * jnp.log(lt)) / w_safe
         )
         prob_upd = positive / (positive + negative)
+        if prob_eps > 0.0:
+            prob_upd = jnp.clip(prob_upd, prob_eps, 1.0 - prob_eps)
 
         tsdf_out[b] = jnp.where(update, tsdf_upd, tsdf_ref[b])
         weight_out[b] = jnp.where(update, w_upd, w_old)
@@ -161,7 +164,8 @@ def _fuse_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "ph", "pw", "tb", "truncation", "max_depth", "max_weight", "interpret",
+        "ph", "pw", "tb", "truncation", "max_depth", "max_weight",
+        "prob_eps", "interpret",
     ),
 )
 def fuse_rows(
@@ -179,6 +183,7 @@ def fuse_rows(
     truncation: float,
     max_depth: float,
     max_weight: float,
+    prob_eps: float = 0.0,
     ph: int = DEFAULT_PH,
     pw: int = DEFAULT_PW,
     tb: int = 8,
@@ -199,6 +204,7 @@ def fuse_rows(
         _fuse_kernel,
         tb=tb, ph=ph, pw=pw, c=c,
         truncation=truncation, max_depth=max_depth, max_weight=max_weight,
+        prob_eps=prob_eps,
     )
     row = lambda i, *_: (i, 0)
     row3 = lambda i, *_: (i, 0, 0)

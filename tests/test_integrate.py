@@ -197,3 +197,22 @@ def test_integrate_jit_stable_shapes():
     vol = step(vol, make_frame(d1), SE3.from_matrix(pose))
     vol = step(vol, make_frame(d2), SE3.from_matrix(pose))
     assert step._cache_size() == 1
+
+
+def test_prob_eps_prevents_nan():
+    """Extreme ht/lt drive prob to 0/1 and then NaN in reference
+    semantics; prob_eps clamps it (opt-in)."""
+    pose = look_at((0.01, 0.02, -0.01), (0.04, -0.03, 2.0))
+    depth = render_wall(W, H, K, pose, wall_z=2.0131)
+    zeros = np.zeros((H, W), np.float32)
+    ones = np.ones((H, W), np.float32)
+    frames = [(make_frame(depth, ht=zeros, lt=ones), pose)] * 3
+
+    cfg = dataclasses.replace(CFG_DENSE, prob_eps=1e-6)
+    vol = run_ours(frames, cfg)
+    live = np.asarray(vol.entry_block) >= 0
+    pool = np.asarray(vol.entry_block)[live]
+    p = np.asarray(vol.prob)[pool]
+    w = np.asarray(vol.weight)[pool]
+    assert np.isfinite(p).all()
+    assert (p[w > 0] >= 1e-6).all()
