@@ -112,13 +112,12 @@ def main():
 
     if args.mesh:
         from disinfect_slam_tpu.ops.mesh import (
-            compact_mesh,
-            extract_mesh,
+            extract_mesh_chunked,
             merge_vertices,
             save_obj,
         )
 
-        tris = compact_mesh(extract_mesh(slam.volume))
+        tris = extract_mesh_chunked(slam.volume)
         verts, faces = merge_vertices(tris)
         save_obj(args.mesh, verts, faces)
         print(f"[slam] mesh: {len(verts)} verts -> {args.mesh}")

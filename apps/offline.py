@@ -136,14 +136,13 @@ def main():
 
     if args.mesh:
         from disinfect_slam_tpu.ops.mesh import (
-            compact_mesh,
-            extract_mesh,
+            extract_mesh_chunked,
             merge_vertices,
             save_obj,
         )
 
         with timer.span("mesh"):
-            tris = compact_mesh(extract_mesh(grid.volume))
+            tris = extract_mesh_chunked(grid.volume)
             verts, faces = merge_vertices(tris)
         save_obj(args.mesh, verts, faces)
         print(f"[offline] mesh: {len(verts)} verts, {len(faces)} faces "

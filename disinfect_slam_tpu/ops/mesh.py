@@ -109,18 +109,70 @@ def extract_mesh(vol: TSDFVolume, max_tris: int = 1 << 18) -> Mesh:
 
     Cells with any unobserved corner (weight == 0 or unallocated) are
     skipped so the initial-value tsdf never fabricates surface.
+
+    NOTE: this single-shot variant materializes buffers proportional to
+    cfg.max_visible x 512 x 12 triangles; for big volumes prefer
+    extract_mesh_chunked (bounded memory, loops on host).
     """
     cfg = vol.cfg
     live = vol.entry_block >= 0
     vis = compact_mask(vol, live)
-    vcap = cfg.max_visible
+    return _extract_from_blocks(
+        vol, vis.block_pos, vis.pool_idx, vis.mask, max_tris
+    )
+
+
+def extract_mesh_chunked(
+    vol: TSDFVolume,
+    max_tris_per_chunk: int = 1 << 16,
+    chunk: int = 1024,
+):
+    """Memory-bounded extraction: iterates the live blocks in fixed-size
+    chunks (one compiled program reused across chunks) and concatenates
+    compacted host triangles.  Returns [N, 3, 3] float32."""
+    import jax
+
+    live = np.asarray(vol.entry_block) >= 0
+    block_pos = np.asarray(vol.entry_pos)[live]
+    pool_idx = np.asarray(vol.entry_block)[live]
+    n = len(pool_idx)
+    if n == 0:
+        return np.zeros((0, 3, 3), np.float32)
+
+    fn = jax.jit(
+        lambda v, bp, pi, m: _extract_from_blocks(v, bp, pi, m, max_tris_per_chunk)
+    )
+    outs = []
+    for s0 in range(0, n, chunk):
+        bp = np.zeros((chunk, 3), np.int32)
+        pi = np.full((chunk,), vol.cfg.num_blocks, np.int32)
+        m = np.zeros((chunk,), bool)
+        sel = slice(s0, min(s0 + chunk, n))
+        k = sel.stop - sel.start
+        bp[:k] = block_pos[sel]
+        pi[:k] = pool_idx[sel]
+        m[:k] = True
+        mesh = fn(vol, jnp.asarray(bp), jnp.asarray(pi), jnp.asarray(m))
+        outs.append(compact_mesh(mesh))
+    return np.concatenate(outs, axis=0)
+
+
+def _extract_from_blocks(
+    vol: TSDFVolume,
+    block_pos: jnp.ndarray,  # [V, 3]
+    pool_idx: jnp.ndarray,  # [V]
+    mask: jnp.ndarray,  # [V]
+    max_tris: int,
+) -> Mesh:
+    cfg = vol.cfg
+    vcap = block_pos.shape[0]
     bl = cfg.block_len
 
     # sample a (bl+1)^3 field per block (corners reach into +1 neighbors)
     grid = jnp.arange(bl + 1, dtype=jnp.int32)
     gx, gy, gz = jnp.meshgrid(grid, grid, grid, indexing="ij")
     local = jnp.stack([gx, gy, gz], axis=-1).reshape(-1, 3)  # [(bl+1)^3, 3]
-    base = vx.block_to_point(vis.block_pos, cfg)  # [V, 3]
+    base = vx.block_to_point(block_pos, cfg)  # [V, 3]
     pts = base[:, None, :] + local[None, :, :]  # [V, P, 3]
     n_pts = (bl + 1) ** 3
     flat = pts.reshape(-1, 3)
@@ -141,7 +193,7 @@ def extract_mesh(vol: TSDFVolume, max_tris: int = 1 << 18) -> Mesh:
     cidx = cc[..., 0] * s * s + cc[..., 1] * s + cc[..., 2]  # [bl^3, 8]
 
     f = tsdf[:, cidx]  # [V, bl^3, 8]
-    ok = jnp.all(observed[:, cidx], axis=-1) & vis.mask[:, None]  # [V, bl^3]
+    ok = jnp.all(observed[:, cidx], axis=-1) & mask[:, None]  # [V, bl^3]
 
     # world positions of cell corners
     cpos = (cflat[None, :, None, :] + corner_off[None, None, :, :] + base[:, None, None, :])

@@ -77,7 +77,7 @@ class ReconstructionBridge:
     def query_mesh(self):
         """One bbox query -> (verts, faces); the reconstTimerCallback body
         (ros_offline.cc:258-318) with the built-in extractor."""
-        from ..ops.mesh import compact_mesh, extract_mesh, merge_vertices
+        from ..ops.mesh import extract_mesh_chunked, merge_vertices
 
         bbox = self.bbox
         if self.robot_centered:
@@ -91,7 +91,7 @@ class ReconstructionBridge:
             )
         # mesh over a consistent snapshot (integration keeps running)
         vol = self.system.tsdf.tsdf.snapshot()
-        tris = compact_mesh(extract_mesh(vol))
+        tris = extract_mesh_chunked(vol)
         if len(tris):
             c = tris.mean(axis=1)
             keep = (

@@ -76,9 +76,9 @@ class ReconstructionService:
         return to_numpy_records(gather_voxels(self._volume(), bbox))
 
     def mesh(self):
-        from ..ops.mesh import compact_mesh, extract_mesh, merge_vertices
+        from ..ops.mesh import extract_mesh_chunked, merge_vertices
 
-        tris = compact_mesh(extract_mesh(self._volume()))
+        tris = extract_mesh_chunked(self._volume())
         return merge_vertices(tris)
 
     def render(self, fx, img_h, img_w, pose=None, max_depth=10.0):

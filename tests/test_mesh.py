@@ -75,3 +75,17 @@ def test_merge_vertices_and_obj(tmp_path, sphere_vol):
     txt = open(path).read().splitlines()
     assert sum(1 for l in txt if l.startswith("v ")) == len(verts)
     assert sum(1 for l in txt if l.startswith("f ")) == len(faces)
+
+
+def test_chunked_extraction_matches_single_shot(sphere_vol):
+    from disinfect_slam_tpu.ops.mesh import extract_mesh_chunked
+
+    tris_single = compact_mesh(extract_mesh(sphere_vol, max_tris=1 << 17))
+    tris_chunked = extract_mesh_chunked(sphere_vol, chunk=16)
+    assert tris_chunked.shape[0] == tris_single.shape[0]
+
+    def sort(t):
+        flat = t.reshape(len(t), -1)
+        return t[np.lexsort(flat.T[::-1])]
+
+    np.testing.assert_allclose(sort(tris_chunked), sort(tris_single), atol=1e-5)
