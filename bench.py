@@ -195,25 +195,30 @@ def main():
         print(f"[bench] profile trace -> {profile_dir}", file=sys.stderr)
     fps = (len(frames) - 1) / dt
 
-    # secondary: render latencies (parity raycaster + splat fast path)
-    from disinfect_slam_tpu.ops.render_fast import splat_render
+    # secondary benches must never sink the headline number
+    ray_ms = splat_ms = float("nan")
+    try:
+        from disinfect_slam_tpu.ops.render_fast import splat_render
 
-    sp = jax.jit(lambda v, m: splat_render(v, cam, SE3.from_matrix(m), max_depth))
-    r = rc(vol, staged[0][1])
-    jax.block_until_ready(r.rgba)
-    t0 = time.perf_counter()
-    for i in range(5):
-        r = rc(vol, staged[i][1])
-    jax.block_until_ready(r.rgba)
-    ray_ms = (time.perf_counter() - t0) / 5 * 1e3
+        sp = jax.jit(lambda v, m: splat_render(v, cam, SE3.from_matrix(m), max_depth))
+        s = sp(vol, staged[0][1])
+        jax.block_until_ready(s.rgba)
+        t0 = time.perf_counter()
+        for i in range(5):
+            s = sp(vol, staged[i][1])
+        jax.block_until_ready(s.rgba)
+        splat_ms = (time.perf_counter() - t0) / 5 * 1e3
 
-    s = sp(vol, staged[0][1])
-    jax.block_until_ready(s.rgba)
-    t0 = time.perf_counter()
-    for i in range(5):
-        s = sp(vol, staged[i][1])
-    jax.block_until_ready(s.rgba)
-    splat_ms = (time.perf_counter() - t0) / 5 * 1e3
+        if os.environ.get("DSTPU_BENCH_RAYCAST", "1") == "1":
+            r = rc(vol, staged[0][1])
+            jax.block_until_ready(r.rgba)
+            t0 = time.perf_counter()
+            for i in range(5):
+                r = rc(vol, staged[i][1])
+            jax.block_until_ready(r.rgba)
+            ray_ms = (time.perf_counter() - t0) / 5 * 1e3
+    except Exception as e:  # pragma: no cover
+        print(f"[bench] render bench skipped: {e}", file=sys.stderr)
 
     # segmentation inference micro-bench (the reference's
     # examples/segmentation_inference/main.cc measures ms/image)
