@@ -83,6 +83,7 @@ def _icp_level(
     ref_cam_T_world: jnp.ndarray,  # 4x4 of the reference view
     iters: int,
     dist_thresh: float,
+    huber_delta: float,
 ):
     """Iterate point-to-plane ICP at one pyramid level.
 
@@ -124,7 +125,12 @@ def _icp_level(
         valid = src_valid & in_img & rvalid[idx] & dist_ok
         r_res = jnp.sum(n * diff, axis=-1)
 
-        wgt = valid.astype(jnp.float32)
+        # Huber IRLS weights: quadratic near zero, linear in the tails —
+        # keeps outlier correspondences from dominating the normal
+        # equations
+        r_abs = jnp.abs(r_res)
+        huber = jnp.minimum(1.0, huber_delta / jnp.maximum(r_abs, 1e-12))
+        wgt = valid.astype(jnp.float32) * huber
         jac = jnp.concatenate([jnp.cross(p_w, n), n], axis=-1)  # [N, 6]
         jw = jac * wgt[:, None]
         # MXU contraction: 6x6 normal equations + rhs
@@ -135,10 +141,11 @@ def _icp_level(
         T_new = jnp.eye(4)
         T_new = T_new.at[:3, :3].set(r_up @ r_mat)
         T_new = T_new.at[:3, 3].set(r_up @ t_vec + t_up)
+        inliers = valid.astype(jnp.float32)
         rmse = jnp.sqrt(
-            jnp.sum(r_res * r_res * wgt) / jnp.maximum(jnp.sum(wgt), 1.0)
+            jnp.sum(r_res * r_res * inliers) / jnp.maximum(jnp.sum(inliers), 1.0)
         )
-        return T_new, rmse, jnp.sum(wgt)
+        return T_new, rmse, jnp.sum(inliers)
 
     T, rmse, inl = jax.lax.fori_loop(
         0, iters, body, (T0, jnp.asarray(0.0), jnp.asarray(0.0))
@@ -163,11 +170,13 @@ class ICPOdometry:
         iters: Tuple[int, ...] = (4, 5, 10),
         dist_thresh: float = 0.25,
         max_rmse: float = 0.06,
+        huber_delta: float = 0.05,
     ):
         self.levels = levels
         self.iters = iters
         self.dist_thresh = dist_thresh
         self.max_rmse = max_rmse
+        self.huber_delta = huber_delta
         self.cams = []
         fx, fy, cx, cy = intrinsics
         h, w = img_h, img_w
@@ -220,6 +229,7 @@ class ICPOdometry:
                     ref_pose,
                     self.iters[min(lv, len(self.iters) - 1)],
                     self.dist_thresh,
+                    self.huber_delta,
                 )
             return T, rmse, inl
 

@@ -61,3 +61,23 @@ def test_icp_static_stays_put():
     assert ok
     drift = np.linalg.norm((c1 @ np.linalg.inv(c0))[:3, 3])
     assert drift < 1e-3
+
+
+def test_icp_robust_to_outlier_patch():
+    """A corrupted depth region (sensor glare / dynamic object) must not
+    break tracking thanks to Huber weighting."""
+    p0 = look_at((0.0, 0.0, -0.5), (0.0, 0.0, 1.6))
+    p1 = look_at((0.02, 0.01, -0.49), (0.0, 0.0, 1.6))
+    d0 = scene_depth(p0)
+    d1 = scene_depth(p1)
+    # corrupt a 24x30 patch with bogus near depth
+    d1c = d1.copy()
+    d1c[40:64, 60:90] = 0.3
+    odo = ICPOdometry(K, H, W)
+    c0, _ = odo.feed(d0)
+    c1, ok = odo.feed(d1c)
+    assert ok
+    rel_est = c1 @ np.linalg.inv(c0)
+    rel_true = p1 @ np.linalg.inv(p0)
+    t_err = np.linalg.norm(rel_est[:3, 3] - rel_true[:3, 3])
+    assert t_err < 0.012, t_err
