@@ -271,6 +271,12 @@ def _allocate_owned(
     sent = vx.sentinel_key(cfg)
     uniq = jnp.unique(keys, size=cfg.max_candidates, fill_value=sent)
     coords = vx.unpack_block_coord(uniq, cfg)
-    valid = (uniq < sent) & (owner_of(coords, n_devices) == my_idx)
+    from ..ops.integrate import block_visibility
+
+    valid = (
+        (uniq < sent)
+        & (owner_of(coords, n_devices) == my_idx)
+        & block_visibility(coords, cam_T_world, cam, cfg, full=True)
+    )
     vol, _ = h.insert(vol, coords, valid)
     return vol
