@@ -132,5 +132,7 @@ class TSDFSystem:
                     self.intrinsics,
                     inp.cam_T_world,
                 )
+            except Exception:  # keep the service alive; drop the frame
+                logger.exception("[TSDF System] integration failed; frame dropped")
             finally:
                 self._inputs.task_done()
