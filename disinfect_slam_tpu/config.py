@@ -94,6 +94,10 @@ class TSDFConfig:
     # (max-range mipmap test; exact — culled blocks provably have no
     # voxel passing the sdf > -truncation gate)
     cull_occluded: bool = False
+    # raycast empty-space skipping: jump whole steps across unallocated
+    # blocks (bit-identical output — skipped samples provably read the
+    # default +1).  Off reproduces the brute-force march for A/B timing.
+    raycast_skip: bool = True
     # allocation dedup strategy:
     # "sort":   jnp.unique over packed keys (any backend)
     # "filter": dense backend only — presence-check against the block

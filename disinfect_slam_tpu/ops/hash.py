@@ -351,6 +351,18 @@ def read_voxels(
 
 def read_tsdf(vol: TSDFVolume, point: jnp.ndarray) -> jnp.ndarray:
     """TSDF-only read at integer voxel coords [..., 3] (hot raycast path)."""
+    return read_tsdf_miss(vol, point)[0]
+
+
+def read_tsdf_miss(
+    vol: TSDFVolume, point: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(tsdf, block_missing) at integer voxel coords [..., 3].
+
+    The miss flag drives empty-space skipping in the raycaster: an
+    unallocated block reads the default +1 everywhere, so the march can
+    jump over it without changing any sampled value.
+    """
     from ..core import voxel as vx
     from ..core.state import DEFAULT_TSDF
 
@@ -360,7 +372,7 @@ def read_tsdf(vol: TSDFVolume, point: jnp.ndarray) -> jnp.ndarray:
     hit = pool >= 0
     pool_safe = jnp.where(hit, pool, 0)
     vidx = vx.offset_to_index(vx.point_to_offset(point, cfg), cfg)
-    return jnp.where(hit, vol.tsdf[pool_safe, vidx], DEFAULT_TSDF)
+    return jnp.where(hit, vol.tsdf[pool_safe, vidx], DEFAULT_TSDF), ~hit
 
 
 def trilinear_tsdf(vol: TSDFVolume, point: jnp.ndarray) -> jnp.ndarray:

@@ -76,15 +76,57 @@ def raycast(
 
     tsdf0 = _read_tsdf_flat(vol, jnp.broadcast_to(origin_grid, (n_pix, 3)))
 
-    # march state: (i, tsdf_prev, active, hit, hit_pos_lo, hit_pos_hi)
+    # March with per-pixel step counters and block-granular empty-space
+    # skipping.  Unlike the CUDA per-thread march, a skipped sample is
+    # only legal if it provably reads the default +1, so skips advance by
+    # whole steps that stay inside the current unallocated block — every
+    # sample the brute-force march would take is either taken here or
+    # provably equal to +1, making the result bit-identical.
+    def _skip_steps(pos, pt, span_log2):
+        """Extra whole steps from `pos` whose rounded sample stays inside
+        pt's aligned 2^span_log2-voxel region.  round_half_away(x) lies in
+        [base, base + span) iff x in [base - 0.5, base + span - 0.5)."""
+        span = float(1 << span_log2)
+        base = ((pt >> span_log2) << span_log2).astype(jnp.float32)
+        safe_lo = base - 0.5 + 1e-4
+        safe_hi = base + (span - 0.5) - 1e-4
+        d = step_grid
+        dd = jnp.where(jnp.abs(d) > 1e-9, d, 1.0)
+        j_hi = jnp.where(d > 1e-9, (safe_hi - pos) / dd, jnp.inf)
+        j_lo = jnp.where(d < -1e-9, (safe_lo - pos) / dd, jnp.inf)
+        j_max = jnp.minimum(j_hi, j_lo).min(axis=-1)
+        return jnp.clip(jnp.floor(j_max), 0.0, float(max_step)).astype(jnp.int32)
+
+    # Coarse level: 4x4x4-block "superblocks" (32 voxels across).  One
+    # any-reduce over the dense table per render; lets rays jump spans
+    # wider than one step even when step_size exceeds the block length.
+    # Superblocks tile the table exactly (grid_side is a power of two),
+    # so an out-of-range superblock contains no allocatable block.
+    sb_log2 = cfg.block_len_log2 + 2
+    use_super = cfg.raycast_skip and cfg.backend == "dense" and cfg.grid_side >= 8
+    if use_super:
+        g = cfg.grid_side
+        s = g >> 2
+        occ = vol.block_table.reshape(g, g, g) >= 0  # x, y, z (table_index)
+        super_occ = occ.reshape(s, 4, s, 4, s, 4).any(axis=(1, 3, 5))
+
+    def _super_empty(pt):
+        sp = (pt >> cfg.block_len_log2) + (cfg.grid_side >> 1)  # table coords
+        q = sp >> 2
+        inr = jnp.all((q >= 0) & (q < s), axis=-1)
+        qs = jnp.clip(q, 0, s - 1)
+        return ~inr | ~super_occ[qs[..., 0], qs[..., 1], qs[..., 2]]
+
+    # march state: (i[N], tsdf_prev, active, hit, hit_pos_lo, hit_pos_hi)
     def cond(state):
-        i, _prev, active, _hit, _lo, _hi = state
-        return (i < max_step) & jnp.any(active)
+        _i, _prev, active, _hit, _lo, _hi = state
+        return jnp.any(active)
 
     def body(state):
         i, prev, active, hit, lo, hi = state
-        pos = origin_grid + step_grid * i.astype(jnp.float32)
-        curr = _read_tsdf_flat(vol, pos)
+        pos = origin_grid + step_grid * i.astype(jnp.float32)[:, None]
+        pt = round_half_away(pos).astype(jnp.int32)
+        curr, missing = h.read_tsdf_miss(vol, pt)
         # front-surface crossing (voxel_tsdf.cu:260)
         crossing = active & (prev > 0) & (curr <= 0) & (prev - curr <= 1.5)
         lo = jnp.where(crossing[:, None], pos - step_grid, lo)
@@ -92,10 +134,19 @@ def raycast(
         hit = hit | crossing
         active = active & ~crossing
         prev = jnp.where(active, curr, prev)
-        return i + 1, prev, active, hit, lo, hi
+        if cfg.raycast_skip:
+            k = _skip_steps(pos, pt, cfg.block_len_log2)
+            if use_super:
+                k = jnp.where(_super_empty(pt), _skip_steps(pos, pt, sb_log2), k)
+            adv = jnp.where(missing & active, 1 + k, 1)
+        else:
+            adv = 1
+        i = i + adv
+        active = active & (i < max_step)
+        return i, prev, active, hit, lo, hi
 
     init = (
-        jnp.asarray(1, jnp.int32),
+        jnp.ones((n_pix,), jnp.int32),
         tsdf0,
         jnp.ones((n_pix,), bool),
         jnp.zeros((n_pix,), bool),

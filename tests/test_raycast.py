@@ -90,3 +90,28 @@ def test_raycast_normals_face_camera():
     sel = hit[10:-10, 10:-10]
     lum = normal[10:-10, 10:-10, 0][sel]
     assert np.median(lum) > 150  # mostly facing the camera
+
+
+def test_empty_space_skip_bit_identical():
+    """Skipping marches a different step schedule but must produce the
+    exact same images: skipped samples provably read the default +1."""
+    import dataclasses
+
+    pose_np = look_at((0.21, -0.33, -0.27), (0.05, 0.08, 1.4))
+    depth = render_sphere(W, H, K, pose_np, center=(0.05, 0.08, 1.4), radius=0.37)
+    depth = np.where(depth > 0, depth, render_wall(W, H, K, pose_np, wall_z=2.6))
+    vol, cam = fuse_frames([(make_frame(depth.astype(np.float32)), pose_np)] * 2)
+
+    pose = SE3.from_matrix(pose_np)
+    fast = raycast(vol, cam, pose, MAX_DEPTH)
+
+    vol_slow = dataclasses.replace(
+        vol, cfg=dataclasses.replace(CFG, raycast_skip=False)
+    )
+    slow = raycast(vol_slow, cam, pose, MAX_DEPTH)
+
+    np.testing.assert_array_equal(np.asarray(fast.hit), np.asarray(slow.hit))
+    np.testing.assert_array_equal(np.asarray(fast.rgba), np.asarray(slow.rgba))
+    np.testing.assert_array_equal(np.asarray(fast.normal), np.asarray(slow.normal))
+    np.testing.assert_array_equal(np.asarray(fast.depth), np.asarray(slow.depth))
+    assert bool(np.asarray(fast.hit).any())
