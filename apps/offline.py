@@ -98,7 +98,22 @@ def main():
 
     n = 0
     last_pose = np.eye(4, dtype=np.float32)
+    warned_intr = False
     for frame in replay:
+        if not warned_intr:
+            fh, fw = frame.depth.shape[:2]
+            # cx/cy near the image center is how the intrinsics and the
+            # dataset agree on resolution; a big mismatch means a wrong
+            # (or missing) --config and silently fuses almost nothing
+            if abs(intrinsics[2] - fw / 2) > fw / 4 or abs(
+                intrinsics[3] - fh / 2
+            ) > fh / 4:
+                print(
+                    f"[offline] WARNING: intrinsics (cx={intrinsics[2]:.1f}, "
+                    f"cy={intrinsics[3]:.1f}) look wrong for {fw}x{fh} frames "
+                    "-- pass --config with the dataset's camera YAML"
+                )
+            warned_intr = True
         with timer.span("integrate"):
             grid.integrate(
                 frame.rgb,
