@@ -120,3 +120,47 @@ class TestRectification:
         assert l.shape == img.shape and np.isfinite(l).all()
         fx, fy, cx, cy = rect.rectified_intrinsics()
         assert fx > 0 and fy > 0
+
+
+def test_zed_factory_conf_parsing(tmp_path):
+    """ZED factory .conf -> K/D/R/T with the reference's quirks
+    (utils/zed/calib.py:43-98): baseline negated mm->m, CV_ key is the
+    pitch, missing keys read 0."""
+    from disinfect_slam_tpu.io.zed_calib import (
+        parse_factory_conf,
+        rectifier_from_factory_conf,
+    )
+
+    conf = tmp_path / "SN12345.conf"
+    conf.write_text(
+        "[LEFT_CAM_VGA]\n"
+        "fx=350.1\nfy=350.7\ncx=336.2\ncy=188.9\n"
+        "k1=-0.17\nk2=0.025\n"
+        "[RIGHT_CAM_VGA]\n"
+        "fx=349.8\nfy=350.2\ncx=336.9\ncy=189.4\n"
+        "k1=-0.171\nk2=0.026\np1=0.0002\n"
+        "[STEREO]\n"
+        "Baseline=119.887\nTY=0.05\nTZ=-0.21\n"
+        "RX_VGA=0.001\nCV_VGA=0.003\nRZ_VGA=-0.0004\n"
+    )
+    c = parse_factory_conf(str(conf), "VGA")
+    assert c.K_l[0, 0] == 350.1 and c.K_r[1, 2] == 189.4
+    # k3 missing -> 0; p1 present only on the right
+    assert c.D_l[4] == 0.0 and c.D_r[2] == 0.0002
+    # baseline mm -> m with flipped sign
+    np.testing.assert_allclose(c.T, [-0.119887, 0.05e-3, -0.21e-3])
+    # Rodrigues: orthonormal, close to identity for tiny angles
+    np.testing.assert_allclose(c.R @ c.R.T, np.eye(3), atol=1e-12)
+    assert abs(c.R[0, 2] - 0.003) < 1e-4  # pitch from the CV_ key
+    assert c.size == (672, 376)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        parse_factory_conf(str(conf), "8K")
+
+    # end-to-end: maps build and rectify an image pair
+    rect = rectifier_from_factory_conf(str(conf), "VGA")
+    img = np.random.default_rng(0).integers(0, 255, (376, 672), np.uint8)
+    l, r = rect.rectify(img.astype(np.float32), img.astype(np.float32))
+    assert np.asarray(l).shape == (376, 672)
