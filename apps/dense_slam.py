@@ -34,6 +34,8 @@ def main():
     ap.add_argument("--mesh")
     ap.add_argument("--save", help="volume checkpoint (.npz)")
     ap.add_argument("--preset", choices=["full", "small"], default="full")
+    ap.add_argument("--splat", choices=["xla", "pallas"], default="xla",
+                    help="model-depth renderer: XLA scatter or Pallas patch kernel")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -81,7 +83,7 @@ def main():
         )
     slam = DenseSLAM(
         intrinsics, h, w, voxel_size=args.voxel, truncation=args.trunc,
-        max_depth=args.max_depth, cfg=cfg,
+        max_depth=args.max_depth, cfg=cfg, splat_impl=args.splat,
     )
 
     poses = {}

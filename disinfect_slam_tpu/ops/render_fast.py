@@ -33,6 +33,53 @@ from .raycast import RaycastResult
 _BIG = jnp.int32(2**30)
 
 
+def _project_for_splat(vol, cam, cam_T_world, max_depth, band):
+    """Shared splat pass-1 quantities: float pixel coords, quantized
+    corrected depth, and the surface-band mask, per visible voxel.
+
+    Returns (uf, vf, depth_q, surf, vis_mask), all [V, 512] except
+    vis_mask [V].  Used by both the XLA scatter z-buffer below and the
+    Pallas patch kernel (ops/pallas/splat_kernel.py) so the two are
+    numerically identical.
+    """
+    cfg = vol.cfg
+    hgt, wid = cam.img_h, cam.img_w
+    vis = gather_visible(vol, cam, cam_T_world)
+    bv = cfg.block_volume
+
+    offs = vx.index_to_offset(jnp.arange(bv, dtype=jnp.int32), cfg)
+    pos_grid = vx.block_to_point(vis.block_pos, cfg)[:, None, :] + offs[None, :, :]
+    pos_world = pos_grid.astype(jnp.float32) * cfg.voxel_size
+    pos_cam = cam_T_world.apply(pos_world)  # [V, 512, 3]
+    z = pos_cam[..., 2]
+    pih = cam.intrinsics.project(pos_cam)
+    u = vx.round_half_away(pih[..., 0] / z).astype(jnp.int32)
+    v = vx.round_half_away(pih[..., 1] / z).astype(jnp.int32)
+    in_img = (u >= 0) & (u < wid) & (v >= 0) & (v < hgt) & (z > 0) & (z <= max_depth)
+
+    pool = jnp.clip(vis.pool_idx, 0, cfg.num_blocks - 1)
+    tsdf = vol.tsdf[pool]
+
+    # surface band: within ~`band` voxels of the zero crossing.  No
+    # weight gate: the reference's fusion rounds weight to 0 for depths
+    # near max_depth (voxel_tsdf.cu:182,192) yet still writes tsdf, and
+    # its raycaster renders those voxels; unobserved voxels sit at the
+    # reset/default |tsdf| = 1 and fall outside the band anyway.
+    band_tsdf = band * cfg.voxel_size / cfg.truncation
+    surf = vis.mask[:, None] & in_img & (jnp.abs(tsdf) < band_tsdf)
+
+    uf = pih[..., 0] / z
+    vf = pih[..., 1] / z
+    # splat depth offset along the ray by tsdf — the sub-voxel correction
+    # to the true zero crossing (the analogue of the raycaster's
+    # bisection): sdf = tsdf * truncation in range units, so
+    # delta_z = tsdf * trunc * z / range.
+    rng_cam = jnp.linalg.norm(pos_cam, axis=-1)
+    z_corr = z + tsdf * cfg.truncation * z / jnp.where(rng_cam == 0, 1.0, rng_cam)
+    depth_q = jnp.clip(z_corr * 4096.0, 0, float(2**29)).astype(jnp.int32)
+    return uf, vf, depth_q, surf, vis
+
+
 def splat_render(
     vol: TSDFVolume,
     cam: CameraParams,
@@ -51,40 +98,17 @@ def splat_render(
     hgt, wid = cam.img_h, cam.img_w
     n_pix = hgt * wid
 
-    vis = gather_visible(vol, cam, cam_T_world)
-    vcap, bv = cfg.max_visible, cfg.block_volume
-
-    offs = vx.index_to_offset(jnp.arange(bv, dtype=jnp.int32), cfg)
-    pos_grid = vx.block_to_point(vis.block_pos, cfg)[:, None, :] + offs[None, :, :]
-    pos_world = pos_grid.astype(jnp.float32) * cfg.voxel_size
-    pos_cam = cam_T_world.apply(pos_world)  # [V, 512, 3]
-    z = pos_cam[..., 2]
-    pih = cam.intrinsics.project(pos_cam)
-    u = vx.round_half_away(pih[..., 0] / z).astype(jnp.int32)
-    v = vx.round_half_away(pih[..., 1] / z).astype(jnp.int32)
-    in_img = (u >= 0) & (u < wid) & (v >= 0) & (v < hgt) & (z > 0) & (z <= max_depth)
-
+    uf2, vf2, depth_q2, surf2, vis = _project_for_splat(
+        vol, cam, cam_T_world, max_depth, band
+    )
+    surf = surf2.reshape(-1)
     pool = jnp.clip(vis.pool_idx, 0, cfg.num_blocks - 1)
-    tsdf = vol.tsdf[pool]
-    weight = vol.weight[pool]
-
-    # surface band: within ~`band` voxels of the zero crossing.  No
-    # weight gate: the reference's fusion rounds weight to 0 for depths
-    # near max_depth (voxel_tsdf.cu:182,192) yet still writes tsdf, and
-    # its raycaster renders those voxels; unobserved voxels sit at the
-    # reset/default |tsdf| = 1 and fall outside the band anyway.
-    band_tsdf = band * cfg.voxel_size / cfg.truncation
-    surf = (
-        vis.mask[:, None]
-        & in_img
-        & (jnp.abs(tsdf) < band_tsdf)
-    ).reshape(-1)
 
     # 2x2 pixel footprint per voxel: voxel screen footprints near 1 px
     # leave holes with point splats, so each voxel covers the four pixels
     # around its projection
-    uf = (pih[..., 0] / z).reshape(-1)
-    vf = (pih[..., 1] / z).reshape(-1)
+    uf = uf2.reshape(-1)
+    vf = vf2.reshape(-1)
     u0 = jnp.floor(uf).astype(jnp.int32)
     v0 = jnp.floor(vf).astype(jnp.int32)
     pix4 = []
@@ -96,17 +120,8 @@ def splat_render(
             pix4.append(jnp.where(ok, vv_ * wid + uu_, n_pix))
     pix = jnp.concatenate(pix4)  # [4N]
 
-    # pass 1: z-buffer via scatter-min of quantized depth.  Each splat is
-    # offset along the ray by its tsdf value — the sub-voxel correction
-    # to the true zero crossing (the analogue of the raycaster's
-    # bisection refinement): sdf = tsdf * truncation in range units,
-    # so delta_z = tsdf * trunc * z / range.
-    rng_cam = jnp.linalg.norm(pos_cam, axis=-1)
-    z_corr = z + tsdf * cfg.truncation * z / jnp.where(rng_cam == 0, 1.0, rng_cam)
-    depth_q1 = (
-        jnp.clip((z_corr * 4096.0), 0, float(2**29)).astype(jnp.int32).reshape(-1)
-    )
-    depth_q = jnp.tile(depth_q1, 4)
+    # pass 1: z-buffer via scatter-min of quantized corrected depth
+    depth_q = jnp.tile(depth_q2.reshape(-1), 4)
     zbuf = jnp.full((n_pix,), _BIG, jnp.int32).at[pix].min(depth_q, mode="drop")
 
     # pass 2: winners scatter packed payload; ties broken by max packed

@@ -41,7 +41,12 @@ class DenseSLAM:
         max_depth: float = 4.0,
         cfg: Optional[TSDFConfig] = None,
         max_rmse: float = 0.08,
+        splat_impl: str = "xla",
     ):
+        # splat_impl: "xla" scatter z-buffer or "pallas" patch kernel
+        # (ops/pallas/splat_kernel.py) for the model depth render --
+        # bit-identical outputs, the kernel avoids the descriptor-bound
+        # scatter on TPU
         import dataclasses
 
         if cfg is None:
@@ -65,13 +70,22 @@ class DenseSLAM:
         def _step(vol, frame, pose_mat):
             return integrate(vol, frame, cam, SE3.from_matrix(pose_mat), md)
 
+        use_pallas = splat_impl == "pallas"
+
         @jax.jit
         def _model_depth(vol, pose_mat):
-            res = splat_render(vol, cam, SE3.from_matrix(pose_mat), md)
+            if use_pallas:
+                from ..ops.pallas.splat_kernel import splat_depth_pallas
+
+                d, _hit = splat_depth_pallas(
+                    vol, cam, SE3.from_matrix(pose_mat), md,
+                    interpret=jax.default_backend() != "tpu",
+                )
+            else:
+                d = splat_render(vol, cam, SE3.from_matrix(pose_mat), md).depth
             # validity-aware 3x3 smoothing: the splat depth is quantized
             # to voxel centers; the box filter removes the stair-step
             # bias that would otherwise pull ICP along the view axis
-            d = res.depth
             valid = (d > 0).astype(jnp.float32)
             k = jnp.ones((3, 3), jnp.float32)
             num = jax.scipy.signal.convolve2d(d * valid, k, mode="same")

@@ -59,3 +59,24 @@ def test_dense_slam_tracks_orbit():
     # the fused model should be dense enough to render
     res = slam.render()
     assert float(np.asarray(res.hit).mean()) > 0.4
+
+
+def test_dense_slam_pallas_splat_matches_xla_tracking():
+    """Tracking with the Pallas model-depth render must behave identically
+    (the z-buffers are bit-identical, so poses agree exactly)."""
+    rgb = checker_rgb(W, H)
+    angs = np.linspace(0, 0.08, 4)
+    runs = {}
+    for impl in ("xla", "pallas"):
+        slam = DenseSLAM(K, H, W, voxel_size=0.02, truncation=0.06,
+                         cfg=SLAM_CFG, splat_impl=impl)
+        traj = []
+        for ang in angs:
+            eye = (np.sin(ang) * 1.8, 0.01 * ang, -1.8 * np.cos(ang) + 0.3)
+            est, _ok = slam.process_frame(rgb, scene_depth(look_at(eye, CENTER)))
+            traj.append(est.copy())
+        runs[impl] = np.stack(traj)
+    # the z-buffers are bit-identical (test_splat_kernel), but the two
+    # jitted programs fuse the depth-smoothing convolution differently,
+    # so poses agree only to f32 reassociation noise
+    np.testing.assert_allclose(runs["xla"], runs["pallas"], atol=1e-5)

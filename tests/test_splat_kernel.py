@@ -1,0 +1,52 @@
+"""Pallas splat z-buffer kernel vs the XLA scatter path (interpret mode).
+
+Both derive from the same projection (_project_for_splat), so depth and
+hit must match bit-for-bit whenever the overflow fallback cap suffices.
+"""
+
+import numpy as np
+import pytest
+
+from disinfect_slam_tpu.core.geometry import SE3, CameraIntrinsics, CameraParams
+from disinfect_slam_tpu.ops.pallas.splat_kernel import splat_depth_pallas
+from disinfect_slam_tpu.ops.render_fast import splat_render
+
+from .scenes import look_at, render_sphere, render_wall
+from .test_integrate import CFG_DENSE, H, K, MAX_DEPTH, W, make_frame
+from .test_raycast import fuse_frames
+
+
+def _fused_scene(eye=(0.21, -0.33, -0.27)):
+    pose_np = look_at(eye, (0.05, 0.08, 1.4))
+    depth = render_sphere(W, H, K, pose_np, center=(0.05, 0.08, 1.4), radius=0.37)
+    depth = np.where(depth > 0, depth, render_wall(W, H, K, pose_np, wall_z=2.6))
+    vol, cam = fuse_frames([(make_frame(depth.astype(np.float32)), pose_np)] * 2,
+                           cfg=CFG_DENSE)
+    return vol, cam, pose_np
+
+
+@pytest.mark.parametrize("eye", [(0.21, -0.33, -0.27), (0.05, 0.1, 0.55)],
+                         ids=["normal", "close"])
+def test_pallas_splat_matches_xla(eye):
+    """`close` puts the camera ~0.5 m from the sphere so some block
+    footprints overflow the patch window and exercise the fallback."""
+    vol, cam, pose_np = _fused_scene(eye)
+    pose = SE3.from_matrix(pose_np)
+
+    ref = splat_render(vol, cam, pose, MAX_DEPTH)
+    depth, hit = splat_depth_pallas(vol, cam, pose, MAX_DEPTH, interpret=True)
+
+    np.testing.assert_array_equal(np.asarray(hit), np.asarray(ref.hit))
+    np.testing.assert_array_equal(np.asarray(depth), np.asarray(ref.depth))
+    assert np.asarray(hit).mean() > 0.05
+
+
+def test_pallas_splat_empty_volume():
+    from disinfect_slam_tpu.core.state import TSDFVolume
+
+    vol = TSDFVolume.create(CFG_DENSE)
+    cam = CameraParams.create(CameraIntrinsics.create(*K), H, W)
+    depth, hit = splat_depth_pallas(vol, cam, SE3.identity(), MAX_DEPTH,
+                                    interpret=True)
+    assert not bool(np.asarray(hit).any())
+    assert float(np.asarray(depth).sum()) == 0.0
