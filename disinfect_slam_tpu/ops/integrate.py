@@ -543,7 +543,7 @@ def _fuse_visible_kernel(
 
     pool = jnp.clip(vis.pool_idx, 0, cfg.num_blocks - 1)
     interpret = jax.default_backend() != "tpu"
-    tsdf_w, w_w, prob_w, rgb_w = fuse_rows(
+    tsdf_w, w_w, prob_w, rgb_w, minabs_w = fuse_rows(
         stacked, u0, v0, us, vs, z, gate,
         vol.tsdf[pool], vol.weight[pool], vol.prob[pool], vol.rgb[pool],
         truncation=float(cfg.truncation),
@@ -560,7 +560,7 @@ def _fuse_visible_kernel(
         rgb=vol.rgb.at[wpool].set(rgb_w, mode="drop"),
         prob=vol.prob.at[wpool].set(prob_w, mode="drop"),
     )
-    return vol, jnp.min(jnp.abs(tsdf_w), axis=-1)
+    return vol, minabs_w[:, 0]
 
 
 # ----------------------------------------------------------------------

@@ -15,6 +15,14 @@ gather/scatter and the carve reduction.
 
 Rounding parity: roundf (half away from zero) is computed inline as
 where(x >= 0, floor(x + .5), ceil(x - .5)) exactly like ops/integrate.py.
+
+Exactness note: fusion math here matches the XLA path to ~1 ulp (fma
+contraction differs between the kernel and XLA's fusion choices).  A
+block whose min |tsdf| sits exactly at the carve threshold can therefore
+carve under one sampler and survive under another — the same class of
+nondeterminism the reference has across CUDA atomics scheduling.  The
+golden suite pins each sampler against the oracle on scenes away from
+the threshold.
 """
 
 from __future__ import annotations
@@ -53,6 +61,7 @@ def _fuse_kernel(
     weight_out,
     prob_out,
     rgb_out,
+    minabs_out,  # [TB, 128] min |tsdf| per updated row, lane-broadcast
     # scratch
     patch_ref,  # [2, TB, PH, PW*C]
     sems,  # [2, TB]
@@ -155,10 +164,14 @@ def _fuse_kernel(
         if prob_eps > 0.0:
             prob_upd = jnp.clip(prob_upd, prob_eps, 1.0 - prob_eps)
 
-        tsdf_out[b] = jnp.where(update, tsdf_upd, tsdf_ref[b])
+        t_fin = jnp.where(update, tsdf_upd, tsdf_ref[b])
+        tsdf_out[b] = t_fin
         weight_out[b] = jnp.where(update, w_upd, w_old)
         prob_out[b] = jnp.where(update, prob_upd, p_old)
         rgb_out[b] = jnp.where(update[:, None], rgb_upd, rgb_old)
+        # carve input for free: the min-reduce runs on the row already in
+        # registers instead of a separate 17M-element pass downstream
+        minabs_out[b] = jnp.broadcast_to(jnp.min(jnp.abs(t_fin)), (128,))
 
 
 @functools.partial(
@@ -188,9 +201,10 @@ def fuse_rows(
     pw: int = DEFAULT_PW,
     tb: int = 8,
     interpret: bool = False,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Fused sample+update over gathered pool rows; returns updated
-    (tsdf, weight, prob, rgb) rows."""
+    (tsdf, weight, prob, rgb) rows plus per-row min |tsdf| (the space
+    carve input, [V, 128] lane-broadcast -- use [:, 0])."""
     img_h, img_w, c = img.shape
     vcap = u0.shape[0]
     assert vcap % tb == 0
@@ -227,6 +241,7 @@ def fuse_rows(
             pl.BlockSpec((tb, 512), row),
             pl.BlockSpec((tb, 512), row),
             pl.BlockSpec((tb, 512, 3), row3),
+            pl.BlockSpec((tb, 128), row),
         ),
         scratch_shapes=[
             pltpu.VMEM((2, tb, ph, pw * c), jnp.float32),
@@ -238,6 +253,7 @@ def fuse_rows(
         jax.ShapeDtypeStruct((vcap, 512), jnp.float32),
         jax.ShapeDtypeStruct((vcap, 512), jnp.float32),
         jax.ShapeDtypeStruct((vcap, 512, 3), jnp.float32),
+        jax.ShapeDtypeStruct((vcap, 128), jnp.float32),
     )
     return pl.pallas_call(
         kernel,
