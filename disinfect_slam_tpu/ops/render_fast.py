@@ -127,17 +127,32 @@ def splat_render(
     # pass 2: winners scatter packed payload; ties broken by max packed
     # value (deterministic)
     won = (pix < n_pix) & (depth_q == zbuf[jnp.clip(pix, 0, n_pix - 1)])
-    rgb = vol.rgb[pool].reshape(-1, 3)
-    prob = vol.prob[pool].reshape(-1)
-    # pack as uint32 (prob in the top byte would flip the int32 sign)
+    packed = jnp.tile(
+        pack_payload(vol.rgb[pool].reshape(-1, 3), vol.prob[pool].reshape(-1)), 4
+    )
+    wpix = jnp.where(won, pix, n_pix)
+    pbuf = jnp.zeros((n_pix,), jnp.uint32).at[wpix].max(packed, mode="drop")
+
+    return images_from_buffers(zbuf, pbuf, cam)
+
+
+def pack_payload(rgb: jnp.ndarray, prob: jnp.ndarray) -> jnp.ndarray:
+    """(rgb [N,3] f32 0..255, prob [N] f32 0..1) -> packed uint32 [N].
+
+    prob lives in the top byte, so uint32 (not int32) ordering makes the
+    scatter-max tie-break deterministic."""
     r8 = jnp.clip(rgb[:, 0], 0, 255).astype(jnp.uint32)
     g8 = jnp.clip(rgb[:, 1], 0, 255).astype(jnp.uint32)
     b8 = jnp.clip(rgb[:, 2], 0, 255).astype(jnp.uint32)
     p8 = jnp.clip(prob * 255.0, 0, 255).astype(jnp.uint32)
-    packed = jnp.tile((p8 << 24) | (r8 << 16) | (g8 << 8) | b8, 4)
-    wpix = jnp.where(won, pix, n_pix)
-    pbuf = jnp.zeros((n_pix,), jnp.uint32).at[wpix].max(packed, mode="drop")
+    return (p8 << 24) | (r8 << 16) | (g8 << 8) | b8
 
+
+def images_from_buffers(zbuf: jnp.ndarray, pbuf: jnp.ndarray, cam) -> RaycastResult:
+    """z-buffer [n_pix] i32 + packed payload buffer [n_pix] u32 -> the
+    reference's rgba / normal-shaded images (voxel_tsdf.cu:292-299).
+    Shared by the XLA scatter path and the Pallas patch kernels."""
+    hgt, wid = cam.img_h, cam.img_w
     hit = (zbuf < _BIG).reshape(hgt, wid)
     depth_img = jnp.where(hit, zbuf.reshape(hgt, wid).astype(jnp.float32) / 4096.0, 0.0)
 

@@ -63,6 +63,10 @@ class TSDFGrid:
             self._splat_impl,
             static_argnames=("img_h", "img_w", "max_depth"),
         )
+        self._splat_pallas = jax.jit(
+            self._splat_pallas_impl,
+            static_argnames=("img_h", "img_w", "max_depth"),
+        )
         self._gather_valid = jax.jit(gather_ops.gather_valid)
         # functional state guard for concurrent host threads
         self._lock = threading.Lock()
@@ -87,6 +91,17 @@ class TSDFGrid:
         intrinsics = CameraIntrinsics.create(intr[0], intr[1], intr[2], intr[3])
         cam = CameraParams.create(intrinsics, img_h, img_w)
         return splat_render(vol, cam, SE3.from_matrix(pose_mat), max_depth)
+
+    @staticmethod
+    def _splat_pallas_impl(vol, intr, pose_mat, img_h, img_w, max_depth):
+        from ..ops.pallas.splat_kernel import splat_render_pallas
+
+        intrinsics = CameraIntrinsics.create(intr[0], intr[1], intr[2], intr[3])
+        cam = CameraParams.create(intrinsics, img_h, img_w)
+        return splat_render_pallas(
+            vol, cam, SE3.from_matrix(pose_mat), max_depth,
+            interpret=jax.default_backend() != "tpu",
+        )
 
     # ------------------------------------------------------------------
     def integrate(
@@ -142,7 +157,10 @@ class TSDFGrid:
         scatter-based fast path (same image conventions, no per-step
         volume lookups — see ops/render_fast.py)."""
         intr, img_h, img_w = virtual_cam
-        fn = self._splat if renderer == "splat" else self._raycast
+        fn = {
+            "splat": self._splat,
+            "splat_pallas": self._splat_pallas,
+        }.get(renderer, self._raycast)
         # hold the lock across the dispatch: integrate donates the volume
         # buffers, so a read enqueued after the donation would hit a
         # deleted array (the reference serializes the same way with

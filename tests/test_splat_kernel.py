@@ -50,3 +50,20 @@ def test_pallas_splat_empty_volume():
                                     interpret=True)
     assert not bool(np.asarray(hit).any())
     assert float(np.asarray(depth).sum()) == 0.0
+
+
+@pytest.mark.parametrize("eye", [(0.21, -0.33, -0.27), (0.05, 0.1, 0.55)],
+                         ids=["normal", "close"])
+def test_pallas_full_render_matches_xla(eye):
+    """rgba/normal/depth/hit must all equal the XLA splat bit-for-bit
+    (shared projection + packing + winner rule + image assembly)."""
+    from disinfect_slam_tpu.ops.pallas.splat_kernel import splat_render_pallas
+
+    vol, cam, pose_np = _fused_scene(eye)
+    pose = SE3.from_matrix(pose_np)
+    ref = splat_render(vol, cam, pose, MAX_DEPTH)
+    res = splat_render_pallas(vol, cam, pose, MAX_DEPTH, interpret=True)
+    np.testing.assert_array_equal(np.asarray(res.hit), np.asarray(ref.hit))
+    np.testing.assert_array_equal(np.asarray(res.depth), np.asarray(ref.depth))
+    np.testing.assert_array_equal(np.asarray(res.rgba), np.asarray(ref.rgba))
+    np.testing.assert_array_equal(np.asarray(res.normal), np.asarray(ref.normal))

@@ -216,3 +216,25 @@ class TestConcurrency:
         assert not errors, errors
         assert sys_.tsdf.num_active_blocks() > 10
         sys_.terminate()
+
+
+def test_grid_splat_pallas_renderer():
+    """renderer="splat_pallas" equals renderer="splat" through TSDFGrid."""
+    import dataclasses
+
+    from disinfect_slam_tpu.systems.tsdf_grid import TSDFGrid
+
+    from .scenes import look_at, render_sphere
+    from .test_integrate import CFG_DENSE, H, K, W, make_frame
+
+    grid = TSDFGrid(0.05, 0.15, cfg=CFG_DENSE)
+    pose = look_at((0.1, -0.2, -0.4), (0.0, 0.0, 1.3))
+    d = render_sphere(W, H, K, pose, center=(0.0, 0.0, 1.3), radius=0.4)
+    f = make_frame(d.astype(np.float32))
+    grid.integrate(f.rgb, f.depth, f.ht, f.lt, 4.0, K, pose)
+    a = grid.ray_cast(4.0, (K, H, W), pose, renderer="splat")
+    b = grid.ray_cast(4.0, (K, H, W), pose, renderer="splat_pallas")
+    np.testing.assert_array_equal(np.asarray(a.rgba), np.asarray(b.rgba))
+    np.testing.assert_array_equal(np.asarray(a.normal), np.asarray(b.normal))
+    np.testing.assert_array_equal(np.asarray(a.depth), np.asarray(b.depth))
+    assert bool(np.asarray(b.hit).any())
