@@ -97,25 +97,51 @@ def raycast(
         j_max = jnp.minimum(j_hi, j_lo).min(axis=-1)
         return jnp.clip(jnp.floor(j_max), 0.0, float(max_step)).astype(jnp.int32)
 
-    # Coarse level: 4x4x4-block "superblocks" (32 voxels across).  One
-    # any-reduce over the dense table per render; lets rays jump spans
-    # wider than one step even when step_size exceeds the block length.
-    # Superblocks tile the table exactly (grid_side is a power of two),
-    # so an out-of-range superblock contains no allocatable block.
+    # Coarse level: 4x4x4-block "superblocks" (32 voxels across) let rays
+    # jump spans wider than one step even when step_size exceeds the
+    # block length.  Superblock emptiness is folded INTO the block table
+    # once per render (sentinel -3 in empty cells of empty superblocks),
+    # so the march learns pool index + block miss + superblock emptiness
+    # from the single gather it already does — zero per-step overhead
+    # versus the brute-force march beyond a little ALU.  Superblocks tile
+    # the table exactly (grid_side is a power of two), so an out-of-range
+    # superblock contains no allocatable block.
     sb_log2 = cfg.block_len_log2 + 2
     use_super = cfg.raycast_skip and cfg.backend == "dense" and cfg.grid_side >= 8
+    SUPER_EMPTY = jnp.int32(-3)
     if use_super:
         g = cfg.grid_side
         s = g >> 2
-        occ = vol.block_table.reshape(g, g, g) >= 0  # x, y, z (table_index)
-        super_occ = occ.reshape(s, 4, s, 4, s, 4).any(axis=(1, 3, 5))
+        occ3 = (vol.block_table.reshape(g, g, g) >= 0).reshape(
+            s, 4, s, 4, s, 4
+        )  # x, y, z (table_index layout)
+        super_occ = occ3.any(axis=(1, 3, 5), keepdims=True)
+        aug_table = jnp.where(
+            vol.block_table >= 0,
+            vol.block_table,
+            jnp.where(
+                jnp.broadcast_to(super_occ, occ3.shape).reshape(-1),
+                jnp.int32(-1),
+                SUPER_EMPTY,
+            ),
+        )
 
-    def _super_empty(pt):
-        sp = (pt >> cfg.block_len_log2) + (cfg.grid_side >> 1)  # table coords
-        q = sp >> 2
-        inr = jnp.all((q >= 0) & (q < s), axis=-1)
-        qs = jnp.clip(q, 0, s - 1)
-        return ~inr | ~super_occ[qs[..., 0], qs[..., 1], qs[..., 2]]
+    def _read(pt):
+        """(tsdf, missing, super_empty) at rounded voxel coords [N, 3]."""
+        if not use_super:
+            tsdf, missing = h.read_tsdf_miss(vol, pt)
+            return tsdf, missing, jnp.zeros_like(missing)
+        from ..core import voxel as vx
+        from ..core.state import DEFAULT_TSDF
+
+        blk = vx.point_to_block(pt, cfg)
+        idx, in_range = h.table_index(blk, cfg)
+        pool = jnp.where(in_range, aug_table[idx], SUPER_EMPTY)
+        found = pool >= 0
+        pool_safe = jnp.where(found, pool, 0)
+        vidx = vx.offset_to_index(vx.point_to_offset(pt, cfg), cfg)
+        tsdf = jnp.where(found, vol.tsdf[pool_safe, vidx], DEFAULT_TSDF)
+        return tsdf, ~found, pool == SUPER_EMPTY
 
     # march state: (i[N], tsdf_prev, active, hit, hit_pos_lo, hit_pos_hi)
     def cond(state):
@@ -126,7 +152,7 @@ def raycast(
         i, prev, active, hit, lo, hi = state
         pos = origin_grid + step_grid * i.astype(jnp.float32)[:, None]
         pt = round_half_away(pos).astype(jnp.int32)
-        curr, missing = h.read_tsdf_miss(vol, pt)
+        curr, missing, sup_empty = _read(pt)
         # front-surface crossing (voxel_tsdf.cu:260)
         crossing = active & (prev > 0) & (curr <= 0) & (prev - curr <= 1.5)
         lo = jnp.where(crossing[:, None], pos - step_grid, lo)
@@ -137,7 +163,7 @@ def raycast(
         if cfg.raycast_skip:
             k = _skip_steps(pos, pt, cfg.block_len_log2)
             if use_super:
-                k = jnp.where(_super_empty(pt), _skip_steps(pos, pt, sb_log2), k)
+                k = jnp.where(sup_empty, _skip_steps(pos, pt, sb_log2), k)
             adv = jnp.where(missing & active, 1 + k, 1)
         else:
             adv = 1
