@@ -43,6 +43,8 @@ def main():
         "--preset", choices=["full", "small"], default="full",
         help="volume capacity preset (small: quick CPU runs)",
     )
+    ap.add_argument("--profile", metavar="DIR",
+                    help="capture a jax.profiler trace of the replay to DIR")
     ap.add_argument("--debug", action="store_true")
     args = ap.parse_args()
 
@@ -102,6 +104,8 @@ def main():
     n = 0
     last_pose = np.eye(4, dtype=np.float32)
     warned_intr = False
+    if args.profile:
+        jax.profiler.start_trace(args.profile)
     for frame in replay:
         if not warned_intr:
             fh, fw = frame.depth.shape[:2]
@@ -139,6 +143,9 @@ def main():
         if args.max_frames and n >= args.max_frames:
             break
     grid.block_until_ready()
+    if args.profile:
+        jax.profiler.stop_trace()
+        print(f"[offline] profiler trace written to {args.profile}")
     total_ms = timer.mean_ms("integrate")
     print(
         f"[offline] done: {n} frames, integrate {total_ms:.2f} ms/frame "
