@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import collections
 import threading
-from typing import Any, Callable, List, Optional, Tuple
+from typing import Any, Callable, List
 
 
 class ApproximateTimeSynchronizer:

@@ -13,7 +13,7 @@ The on-disk dump layout is bit-compatible with the reference's
 
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import NamedTuple
 
 import jax.numpy as jnp
 import numpy as np

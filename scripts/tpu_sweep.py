@@ -30,7 +30,6 @@ def main():
     args = ap.parse_args()
 
     import jax
-    import jax.numpy as jnp
 
     from disinfect_slam_tpu.utils.cache import enable as _cache
 

@@ -1,7 +1,6 @@
 """DenseSLAM (frame-to-model tracking + fusion) end-to-end test."""
 
 import numpy as np
-import pytest
 
 from disinfect_slam_tpu.systems.dense_slam import DenseSLAM
 

@@ -3,10 +3,7 @@
 The framework-level integration test the reference approximates with its
 pseudo_online_capture + offline pair (SURVEY.md §4)."""
 
-import os
-
 import numpy as np
-import pytest
 
 from disinfect_slam_tpu.io.checkpoint import load_volume, save_volume
 from disinfect_slam_tpu.io.dataset import LoggedReplay

@@ -3,11 +3,9 @@ GatherVoxels / VoxelSpatialTSDF parity, voxel_tsdf.cu:399-472)."""
 
 import os
 
-import jax
 import numpy as np
 import pytest
 
-from disinfect_slam_tpu.core.geometry import SE3
 from disinfect_slam_tpu.ops.gather import (
     BoundingCube,
     dump_spatial_tsdf,
@@ -18,7 +16,7 @@ from disinfect_slam_tpu.ops.gather import (
 )
 
 from .scenes import look_at, render_wall
-from .test_integrate import CFG, H, K, MAX_DEPTH, W, make_frame
+from .test_integrate import H, K, W, make_frame
 from .test_raycast import fuse_frames
 
 

@@ -2,7 +2,6 @@
 
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from disinfect_slam_tpu.core.geometry import SE3, CameraIntrinsics, CameraParams
 

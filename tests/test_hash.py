@@ -9,17 +9,14 @@ claim-round mechanism.
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from disinfect_slam_tpu.config import TINY, TSDFConfig
-from disinfect_slam_tpu.core import voxel as vx
 from disinfect_slam_tpu.core.state import (
     DEFAULT_PROB,
     DEFAULT_TSDF,
     EMPTY,
     RESET_PROB,
     RESET_TSDF,
-    TOMBSTONE,
     TSDFVolume,
 )
 from disinfect_slam_tpu.ops import hash as h

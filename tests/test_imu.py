@@ -5,7 +5,6 @@ from scipy.spatial.transform import Rotation
 
 from disinfect_slam_tpu.systems.imu import (
     GyroPreintegrator,
-    IMUSample,
     seed_pose_with_gyro,
 )
 

@@ -1,10 +1,7 @@
 """I/O tests: logger->replay roundtrip, config reading, rectification."""
 
-import os
-
 import numpy as np
 import pytest
-import yaml
 
 from disinfect_slam_tpu.io.config_reader import (
     get_depth_factor,

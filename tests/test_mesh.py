@@ -13,7 +13,7 @@ from disinfect_slam_tpu.ops.mesh import (
 )
 
 from .scenes import look_at, render_sphere
-from .test_integrate import CFG, H, K, MAX_DEPTH, W, make_frame
+from .test_integrate import CFG, H, K, W, make_frame
 from .test_raycast import fuse_frames
 
 CENTER = np.array([0.013, -0.021, 1.007])

@@ -4,7 +4,6 @@ convergence, inference-engine API parity."""
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from disinfect_slam_tpu.models.segmentation import (
     INFER_H,

@@ -2,7 +2,6 @@
 depth frames."""
 
 import numpy as np
-import pytest
 
 from disinfect_slam_tpu.systems.odometry import ICPOdometry
 

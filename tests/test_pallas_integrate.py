@@ -5,9 +5,7 @@ on CPU; the kernel itself is verified bit-exact on TPU)."""
 import dataclasses
 from unittest import mock
 
-import jax
 import numpy as np
-import pytest
 
 from disinfect_slam_tpu.core.geometry import SE3, CameraIntrinsics, CameraParams
 from disinfect_slam_tpu.core.state import TSDFVolume

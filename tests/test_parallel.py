@@ -1,14 +1,11 @@
 """Multi-chip tests on the 8-device virtual CPU mesh: sharded TSDF
 integrate equivalence vs single-chip, dp/tp segmentation training."""
 
-import dataclasses
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
-from disinfect_slam_tpu.config import TSDFConfig
 from disinfect_slam_tpu.core.geometry import SE3, CameraIntrinsics, CameraParams
 from disinfect_slam_tpu.core.state import TSDFVolume
 from disinfect_slam_tpu.ops import hash as h

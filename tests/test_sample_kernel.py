@@ -3,7 +3,6 @@ kernel is verified bit-exact on TPU hardware)."""
 
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from disinfect_slam_tpu.ops.pallas.sample_kernel import sample_patches
 

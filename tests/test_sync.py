@@ -1,7 +1,5 @@
 """Stream synchronizer tests (the reference's topic-pairing semantics)."""
 
-import numpy as np
-
 from disinfect_slam_tpu.io.sync import (
     ApproximateTimeSynchronizer,
     RGBDPairer,

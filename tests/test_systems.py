@@ -1,7 +1,6 @@
 """System-layer tests: pose manager (python + native), TSDF system queue
 semantics, DISINF facade, native frame queue."""
 
-import time
 
 import numpy as np
 import pytest
@@ -220,8 +219,6 @@ class TestConcurrency:
 
 def test_grid_splat_pallas_renderer():
     """renderer="splat_pallas" equals renderer="splat" through TSDFGrid."""
-    import dataclasses
-
     from disinfect_slam_tpu.systems.tsdf_grid import TSDFGrid
 
     from .scenes import look_at, render_sphere
