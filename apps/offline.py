@@ -45,6 +45,9 @@ def main():
     )
     ap.add_argument("--profile", metavar="DIR",
                     help="capture a jax.profiler trace of the replay to DIR")
+    ap.add_argument("--visible-buckets", metavar="N,N,...",
+                    help="bucketed visible capacity, e.g. 8192,16384 "
+                         "(picks per frame from the last visible count)")
     ap.add_argument("--debug", action="store_true")
     args = ap.parse_args()
 
@@ -98,6 +101,11 @@ def main():
             max_new_per_round=2048,
             grid_log2=7,
         )
+    if args.visible_buckets:
+        import dataclasses
+
+        buckets = tuple(int(x) for x in args.visible_buckets.split(","))
+        cfg = dataclasses.replace(cfg or TSDFConfig(), visible_buckets=buckets)
     grid = TSDFGrid(args.voxel, args.trunc, cfg=cfg)
     timer = StageTimer()
 

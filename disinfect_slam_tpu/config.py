@@ -104,6 +104,15 @@ class TSDFConfig:
     #           table, then compact only the (few) genuinely-new keys;
     #           skips the ~1M-key sort entirely
     alloc_dedup: str = "sort"
+    # bucketed visible capacity (TSDFGrid host path only): compile the
+    # frame step at these smaller max_visible values too and pick per
+    # frame from the previous frame's visible count — fuse/carve cost
+    # scales with the padded cap, so frames that see few blocks skip the
+    # padding work.  Empty = always use max_visible.  Fail-open: a frame
+    # whose visible set outgrows its bucket drops the excess blocks for
+    # that frame (the reference's lock-fail semantics); the next frame
+    # re-buckets.  Each bucket must divide by sample_tile.
+    visible_buckets: tuple = ()
     patch_h: int = 32
     patch_w: int = 48
     sample_tile: int = 8

@@ -42,6 +42,10 @@ def save_volume(path: str, vol: TSDFVolume) -> None:
 
 def load_volume(path: str) -> TSDFVolume:
     data = np.load(path)
-    cfg = TSDFConfig(**json.loads(bytes(data["__config__"]).decode()))
+    fields = json.loads(bytes(data["__config__"]).decode())
+    # JSON has no tuples; restore tuple-typed fields exactly
+    if "visible_buckets" in fields:
+        fields["visible_buckets"] = tuple(fields["visible_buckets"])
+    cfg = TSDFConfig(**fields)
     kwargs = {f: jnp.asarray(data[f]) for f in _FIELDS}
     return TSDFVolume(cfg=cfg, **kwargs)

@@ -591,15 +591,22 @@ def integrate(
     cam: CameraParams,
     cam_T_world: SE3,
     max_depth: float,
-) -> TSDFVolume:
+    return_stats: bool = False,
+):
     """One frame of semantic TSDF fusion (TSDFGrid::Integrate,
     voxel_tsdf.cu:347-375). Pure function of (volume, frame, pose); jit it
-    with donate_argnums=0 to update the volume in place in HBM."""
+    with donate_argnums=0 to update the volume in place in HBM.
+
+    return_stats=True additionally returns the visible-block count
+    (device scalar) — the driver for bucketed visible capacity in
+    systems/tsdf_grid.py."""
     d2r = depth_to_range(cam)
     vol = allocate_blocks(vol, frame.depth, d2r, cam, cam_T_world, max_depth)
     vis = gather_visible(vol, cam, cam_T_world, frame.depth, d2r)
     vol, min_abs = fuse_visible(vol, vis, frame, d2r, cam, cam_T_world, max_depth)
     vol = space_carve(vol, vis, min_abs)
+    if return_stats:
+        return vol, vis.count
     return vol
 
 

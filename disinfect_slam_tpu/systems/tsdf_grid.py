@@ -12,6 +12,7 @@ dispatch: the next frame's H2D overlaps the current step).
 from __future__ import annotations
 
 import contextlib
+import dataclasses
 import threading
 from typing import Optional, Tuple
 
@@ -38,8 +39,6 @@ class TSDFGrid:
         cfg: Optional[TSDFConfig] = None,
         device=None,
     ):
-        import dataclasses
-
         if cfg is None:
             cfg = TSDFConfig(voxel_size=voxel_size, truncation=truncation)
         else:
@@ -68,6 +67,16 @@ class TSDFGrid:
             static_argnames=("img_h", "img_w", "max_depth"),
         )
         self._gather_valid = jax.jit(gather_ops.gather_valid)
+        # bucketed visible capacity: per-bucket cfg + jitted step, picked
+        # each frame from the previous frame's visible count
+        self._buckets = tuple(
+            sorted(set(b for b in cfg.visible_buckets if b < cfg.max_visible))
+        ) + (cfg.max_visible,) if cfg.visible_buckets else ()
+        self._bucket_cfg = {
+            b: dataclasses.replace(cfg, max_visible=b) for b in self._buckets
+        }
+        self._bucket_fn = {}
+        self._last_vis = None  # device scalar from the previous frame
         # functional state guard for concurrent host threads
         self._lock = threading.Lock()
 
@@ -77,6 +86,28 @@ class TSDFGrid:
         intrinsics = CameraIntrinsics.create(intr[0], intr[1], intr[2], intr[3])
         cam = CameraParams.create(intrinsics, img_h, img_w)
         return integrate(vol, frame, cam, SE3.from_matrix(pose_mat), max_depth)
+
+    @staticmethod
+    def _integrate_stats_impl(vol, frame, intr, pose_mat, img_h, img_w, max_depth):
+        intrinsics = CameraIntrinsics.create(intr[0], intr[1], intr[2], intr[3])
+        cam = CameraParams.create(intrinsics, img_h, img_w)
+        return integrate(
+            vol, frame, cam, SE3.from_matrix(pose_mat), max_depth,
+            return_stats=True,
+        )
+
+    def _pick_bucket(self) -> int:
+        """Smallest bucket with ~1.5x headroom over the previous frame's
+        visible count (first frame and unknowns use the full cap).
+        Reading the scalar only waits on the previous frame."""
+        if self._last_vis is None:
+            return self._buckets[-1]
+        last = int(np.asarray(self._last_vis))
+        target = min(int(last * 1.5) + 64, self.cfg.max_visible)
+        for b in self._buckets:
+            if b >= target:
+                return b
+        return self._buckets[-1]
 
     @staticmethod
     def _raycast_impl(vol, intr, pose_mat, img_h, img_w, max_depth):
@@ -135,10 +166,25 @@ class TSDFGrid:
                     "[TSDF] pre integrate: %d active blocks",
                     int(self.volume.num_active_blocks),
                 )
-            self.volume = self._integrate(
-                self.volume, frame, intr, pose,
-                img_h=h, img_w=w, max_depth=float(max_depth),
-            )
+            if self._buckets:
+                b = self._pick_bucket()
+                if b not in self._bucket_fn:
+                    self._bucket_fn[b] = jax.jit(
+                        self._integrate_stats_impl,
+                        static_argnames=("img_h", "img_w", "max_depth"),
+                        donate_argnums=0,
+                    )
+                vol_b = dataclasses.replace(self.volume, cfg=self._bucket_cfg[b])
+                vol_b, self._last_vis = self._bucket_fn[b](
+                    vol_b, frame, intr, pose,
+                    img_h=h, img_w=w, max_depth=float(max_depth),
+                )
+                self.volume = dataclasses.replace(vol_b, cfg=self.cfg)
+            else:
+                self.volume = self._integrate(
+                    self.volume, frame, intr, pose,
+                    img_h=h, img_w=w, max_depth=float(max_depth),
+                )
             if debug:
                 logger.debug(
                     "[TSDF] post integrate: %d active blocks",

@@ -237,3 +237,36 @@ def test_grid_splat_pallas_renderer():
     nd = np.abs(np.asarray(a.normal).astype(int) - np.asarray(b.normal).astype(int))
     assert nd.max() <= 2, nd.max()
     assert bool(np.asarray(b.hit).any())
+
+
+def test_grid_bucketed_visible_capacity():
+    """Buckets must not change results while counts stay under the
+    bucket, and a too-small bucket fails open (drops blocks, no crash)."""
+    import dataclasses
+
+    from disinfect_slam_tpu.systems.tsdf_grid import TSDFGrid
+
+    from .scenes import look_at, render_sphere
+    from .test_integrate import CFG_DENSE, H, K, W, make_frame
+
+    def run(cfg):
+        g = TSDFGrid(0.05, 0.15, cfg=cfg)
+        for ang in (0.0, 0.15, 0.3):
+            pose = look_at((np.sin(ang) * 1.6, 0, 1.3 - 1.6 * np.cos(ang)),
+                           (0.0, 0.0, 1.3))
+            d = render_sphere(W, H, K, pose, center=(0.0, 0.0, 1.3), radius=0.4)
+            f = make_frame(d.astype(np.float32))
+            g.integrate(f.rgb, f.depth, f.ht, f.lt, 4.0, K, pose)
+        g.block_until_ready()
+        return g
+
+    plain = run(CFG_DENSE)
+    bucketed = run(dataclasses.replace(CFG_DENSE, visible_buckets=(256, 1024)))
+    assert plain.num_active_blocks() == bucketed.num_active_blocks()
+    np.testing.assert_array_equal(
+        np.asarray(plain.volume.tsdf), np.asarray(bucketed.volume.tsdf)
+    )
+
+    # pathological bucket: forced overflow drops blocks but stays alive
+    tiny = run(dataclasses.replace(CFG_DENSE, visible_buckets=(8,)))
+    assert tiny.num_active_blocks() > 0
