@@ -81,8 +81,16 @@ def main():
         if args.seg_ckpt:
             params = load_params(args.seg_ckpt, model)
         else:
-            params = model.init(jax.random.PRNGKey(0), np.zeros((1, 352, 640, 3), np.float32))
-            print("[online] WARNING: no --seg-ckpt, using random weights")
+            from disinfect_slam_tpu.models.segmentation import load_default_params
+
+            params = load_default_params()
+            if params is None:
+                params = model.init(
+                    jax.random.PRNGKey(0), np.zeros((1, 352, 640, 3), np.float32)
+                )
+                print("[online] WARNING: no shipped weights, using random init")
+            else:
+                print("[online] using shipped seg weights")
         engine = InferenceEngine(model, params)
 
         def segmenter(rgb):

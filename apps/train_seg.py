@@ -1,141 +1,110 @@
 #!/usr/bin/env python
-"""Train the high-touch/low-touch segmentation model.
+"""Train the ht/lt segmentation model on procedural scenes.
 
-The reference consumes a pre-trained TorchScript model and ships no
-training pipeline; this closes that gap.  Data: directories of
-{name}_rgb.png + {name}_ht.png + {name}_no_ht.png (16-bit probability
-masks, the dataset layout the FrameLogger/offline replay already use),
-or --synthetic for a procedural sanity run.
+The reference's model weights were never published (its inference engine
+loads an external TorchScript .pt, segmentation/inference.cc:39-44); this
+closes the gap by training natively and shipping a checkpoint.  The net
+is fully convolutional, so training runs at a reduced resolution (fast on
+CPU when the TPU is unreachable) and the weights apply unchanged at the
+640x352 inference contract.
 
-Supports single-chip and multi-chip (data+tensor parallel) training:
-  python apps/train_seg.py --synthetic --steps 200 --out seg.msgpack
-  python apps/train_seg.py --data DIR --steps 5000 --mesh 2x4
+  python apps/train_seg.py --cpu --steps 400 \
+      --out disinfect_slam_tpu/models/weights/seg_unet_f16.npz
 """
 
 import argparse
-import glob
 import os
 import sys
 import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-import numpy as np
-
-
-def synthetic_batch(rng, n, h, w):
-    """Blobs of 'high touch' on textured background."""
-    imgs = rng.uniform(0, 1, (n, h, w, 3)).astype(np.float32)
-    labels = np.zeros((n, h, w, 2), np.float32)
-    yy, xx = np.mgrid[0:h, 0:w]
-    for i in range(n):
-        cx, cy = rng.uniform(0.2, 0.8) * w, rng.uniform(0.2, 0.8) * h
-        r = rng.uniform(0.1, 0.25) * min(h, w)
-        mask = ((xx - cx) ** 2 + (yy - cy) ** 2) < r * r
-        imgs[i][mask] = imgs[i][mask] * 0.3 + np.array([0.8, 0.2, 0.2]) * 0.7
-        labels[i, ..., 0] = mask
-        labels[i, ..., 1] = ~mask
-    return imgs, labels
-
-
-def load_dataset(data_dir, h, w):
-    import cv2
-
-    xs, ys = [], []
-    for rgb_path in sorted(glob.glob(os.path.join(data_dir, "*_rgb.png"))):
-        base = rgb_path[: -len("_rgb.png")]
-        ht_p, lt_p = base + "_ht.png", base + "_no_ht.png"
-        if not (os.path.exists(ht_p) and os.path.exists(lt_p)):
-            continue
-        rgb = cv2.cvtColor(cv2.imread(rgb_path), cv2.COLOR_BGR2RGB)
-        ht = cv2.imread(ht_p, cv2.IMREAD_UNCHANGED).astype(np.float32) / 65535.0
-        lt = cv2.imread(lt_p, cv2.IMREAD_UNCHANGED).astype(np.float32) / 65535.0
-        rgb = cv2.resize(rgb, (w, h)).astype(np.float32) / 255.0
-        ht = cv2.resize(ht, (w, h))
-        lt = cv2.resize(lt, (w, h))
-        xs.append(rgb)
-        ys.append(np.stack([ht, lt], -1))
-    return np.stack(xs), np.stack(ys)
-
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--data", help="dataset dir ({id}_rgb/_ht/_no_ht.png)")
-    ap.add_argument("--synthetic", action="store_true")
-    ap.add_argument("--steps", type=int, default=200)
+    ap.add_argument("--steps", type=int, default=400)
     ap.add_argument("--batch", type=int, default=8)
-    ap.add_argument("--lr", type=float, default=3e-4)
     ap.add_argument("--height", type=int, default=96)
     ap.add_argument("--width", type=int, default=160)
-    ap.add_argument("--widths", default="32,64,128,256")
-    ap.add_argument("--out", default="seg_checkpoint.msgpack")
-    ap.add_argument("--mesh", help="dp x tp mesh, e.g. 2x4 (default single chip)")
+    ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--arch", default="unet", choices=["unet", "fast"])
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--eval-every", type=int, default=50)
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
     import jax
-    import jax.numpy as jnp
 
-    from disinfect_slam_tpu.utils.cache import enable as _cache
-
-    _cache()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    from disinfect_slam_tpu.utils import cache
+
+    cache.enable()
+
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
 
     from disinfect_slam_tpu.models.segmentation import create_model
+    from disinfect_slam_tpu.models.synth_data import make_batch
     from disinfect_slam_tpu.models.train import (
         TrainState,
-        create_train_state,
+        make_eval_step,
         make_train_step,
-        save_checkpoint,
+        save_params_npz,
     )
 
-    widths = tuple(int(x) for x in args.widths.split(","))
-    model = create_model(widths=widths)
-    rng = np.random.default_rng(0)
-
-    state, tx = create_train_state(
-        model, jax.random.PRNGKey(0), lr=args.lr, h=args.height, w=args.width
+    model = create_model(arch=args.arch)
+    rng = np.random.default_rng(args.seed)
+    params = model.init(
+        jax.random.PRNGKey(args.seed),
+        jnp.zeros((1, args.height, args.width, 3), jnp.float32),
     )
+    n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+    print(f"[train_seg] {args.arch}: {n_params/1e6:.2f} M params", flush=True)
 
-    if args.mesh:
-        from disinfect_slam_tpu.parallel.seg_parallel import (
-            make_mesh_2d,
-            make_sharded_train_step,
-            shard_params,
-        )
+    sched = optax.warmup_cosine_decay_schedule(
+        0.0, args.lr, warmup_steps=min(50, args.steps // 5),
+        decay_steps=args.steps,
+    )
+    tx = optax.adamw(sched, weight_decay=1e-4)
+    state = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+    step_fn = jax.jit(make_train_step(model, tx), donate_argnums=0)
+    eval_fn = jax.jit(make_eval_step(model))
 
-        dp, tp = (int(x) for x in args.mesh.split("x"))
-        mesh = make_mesh_2d(dp * tp, data=dp)
-        params = shard_params(state.params, mesh)
-        state = TrainState(params, tx.init(params), state.step)
-        step = make_sharded_train_step(model, tx, mesh)
-        print(f"[train] mesh {mesh.devices.shape} over {mesh.devices.size} devices")
-    else:
-        step = jax.jit(make_train_step(model, tx), donate_argnums=0)
+    # held-out eval set (fixed seed disjoint from training stream)
+    eval_rng = np.random.default_rng(10_000 + args.seed)
+    ev_imgs, ev_labs = make_batch(eval_rng, 8, args.height, args.width)
 
-    if args.data:
-        xs, ys = load_dataset(args.data, args.height, args.width)
-        print(f"[train] {len(xs)} labeled frames from {args.data}")
-    else:
-        xs = ys = None
-        print("[train] synthetic blob dataset")
-
-    t0 = time.perf_counter()
+    t0 = time.time()
     for i in range(args.steps):
-        if xs is None:
-            bx, by = synthetic_batch(rng, args.batch, args.height, args.width)
-        else:
-            idx = rng.integers(0, len(xs), args.batch)
-            bx, by = xs[idx], ys[idx]
-        state, loss = step(state, jnp.asarray(bx), jnp.asarray(by))
-        if (i + 1) % 25 == 0 or i == 0:
-            dt = time.perf_counter() - t0
-            print(f"[train] step {i+1}/{args.steps} loss {float(loss):.4f} "
-                  f"({(i+1)/dt:.1f} steps/s)")
+        imgs, labs = make_batch(rng, args.batch, args.height, args.width)
+        state, loss = step_fn(state, jnp.asarray(imgs), jnp.asarray(labs))
+        if (i + 1) % args.eval_every == 0 or i == 0:
+            m = eval_fn(state.params, jnp.asarray(ev_imgs), jnp.asarray(ev_labs))
+            iou = np.asarray(m["iou"])
+            print(
+                f"[train_seg] step {i+1}/{args.steps} loss={float(loss):.4f} "
+                f"eval_loss={float(m['loss']):.4f} "
+                f"iou_ht={iou[0]:.3f} iou_lt={iou[1]:.3f} "
+                f"({time.time()-t0:.0f}s)",
+                flush=True,
+            )
 
-    save_checkpoint(args.out, state)
-    print(f"[train] saved {args.out}")
+    out = args.out or os.path.join(
+        os.path.dirname(__file__), "..", "disinfect_slam_tpu", "models",
+        "weights", f"seg_{args.arch}_f16.npz",
+    )
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    save_params_npz(out, state.params)
+    m = eval_fn(state.params, jnp.asarray(ev_imgs), jnp.asarray(ev_labs))
+    iou = np.asarray(m["iou"])
+    print(
+        f"[train_seg] saved {out} ({os.path.getsize(out)/1e6:.1f} MB) "
+        f"final iou_ht={iou[0]:.3f} iou_lt={iou[1]:.3f}",
+        flush=True,
+    )
 
 
 if __name__ == "__main__":

@@ -104,8 +104,10 @@ def main():
     except Exception:
         pass
 
+    fallback = False
     if os.environ.get("JAX_PLATFORMS", "") not in ("cpu",) and not _tpu_alive():
         print("[bench] TPU tunnel unreachable; falling back to CPU", file=sys.stderr)
+        fallback = True
         try:
             jax.config.update("jax_platforms", "cpu")
         except Exception:
@@ -227,12 +229,17 @@ def main():
         from disinfect_slam_tpu.models.segmentation import (
             InferenceEngine,
             create_model,
+            load_default_params,
         )
 
         model = create_model()
-        params = model.init(
-            jax.random.PRNGKey(0), jnp.zeros((1, 352, 640, 3), jnp.float32)
-        )
+        params = load_default_params()
+        if params is None:
+            print("[bench] no shipped seg weights; timing random init",
+                  file=sys.stderr)
+            params = model.init(
+                jax.random.PRNGKey(0), jnp.zeros((1, 352, 640, 3), jnp.float32)
+            )
         eng = InferenceEngine(model, params)
         rgb_u8 = np.ascontiguousarray(frames[0][1]).astype(np.uint8)
         eng.infer_one(rgb_u8)  # compile
@@ -250,6 +257,8 @@ def main():
         f"seg_ms={seg_ms:.2f}",
         file=sys.stderr,
     )
+    # platform/img/fallback make a CPU-fallback run self-describing: a CPU
+    # number can never silently pose as the TPU headline metric again.
     print(
         json.dumps(
             {
@@ -257,6 +266,10 @@ def main():
                 "value": round(fps, 2),
                 "unit": "frames/s",
                 "vs_baseline": round(fps / 60.0, 3),
+                "platform": platform,
+                "img": f"{w}x{h}",
+                "voxel_m": cfg.voxel_size,
+                "fallback": fallback,
             }
         )
     )

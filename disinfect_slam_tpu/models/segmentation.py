@@ -123,6 +123,26 @@ def init_params(model: UNetSeg, rng, h: int = INFER_H, w: int = INFER_W):
     return model.init(rng, jnp.zeros((1, h, w, 3), jnp.float32))
 
 
+def default_weights_path(arch: str = "unet") -> str:
+    import os
+
+    return os.path.join(os.path.dirname(__file__), "weights", f"seg_{arch}_f16.npz")
+
+
+def load_default_params(arch: str = "unet"):
+    """Shipped checkpoint (trained by apps/train_seg.py on procedural
+    ht/lt scenes), or None if absent.  The reference never shipped its
+    weights (inference.cc:39-44 loads an external .pt); we do."""
+    import os
+
+    path = default_weights_path(arch)
+    if not os.path.exists(path):
+        return None
+    from .train import load_params_npz
+
+    return load_params_npz(path)
+
+
 class InferenceEngine:
     """API parity with segmentation::inference_engine (inference.h:11-22).
 

@@ -77,6 +77,28 @@ def load_params(path: str, model: UNetSeg, h: int = 352, w: int = 640):
     return restored["params"]
 
 
+def save_params_npz(path: str, params, dtype=jnp.float16) -> None:
+    """Compact shippable checkpoint: flattened param tree as an .npz of
+    float16 arrays (halves the repo cost of the committed weights; the
+    loader casts back to f32)."""
+    import numpy as np
+    from flax import traverse_util
+
+    flat = traverse_util.flatten_dict(params, sep="/")
+    np.savez_compressed(
+        path, **{k: np.asarray(v).astype(dtype) for k, v in flat.items()}
+    )
+
+
+def load_params_npz(path: str, dtype=jnp.float32):
+    import numpy as np
+    from flax import traverse_util
+
+    with np.load(path) as z:
+        flat = {k: jnp.asarray(z[k], dtype) for k in z.files}
+    return traverse_util.unflatten_dict(flat, sep="/")
+
+
 def iou_metric(logits: jnp.ndarray, labels: jnp.ndarray, thresh: float = 0.5):
     """Per-channel intersection-over-union of thresholded predictions.
 
