@@ -35,6 +35,14 @@ def main():
     ap.add_argument("--fps", type=float, default=30.0, help="playback rate")
     ap.add_argument("--segment", action="store_true", help="run ht/lt segmentation")
     ap.add_argument("--seg-ckpt", help="segmentation checkpoint (msgpack)")
+    ap.add_argument(
+        "--stereo", action="store_true",
+        help="logdir holds {id}_left/_right.png stereo pairs; depth is "
+        "computed by block matching instead of read from _depth.png",
+    )
+    ap.add_argument("--baseline", type=float, default=0.12,
+                    help="stereo baseline in metres (ZED: 0.12)")
+    ap.add_argument("--max-disp", type=int, default=64)
     ap.add_argument("--render-dir")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--preset", choices=["full", "small"], default="full")
@@ -103,7 +111,46 @@ def main():
                 cv2.resize(lt, (w, h)),
             )
 
-    replay = LoggedReplay(args.logdir, depth_factor)
+    if args.stereo:
+        # stereo-only sensor: depth from block matching on the rectified
+        # pair (ops/stereo.py), rgb from the left view — no RGBD camera
+        # needed (the reference requires an L515 here, online.cc:23-70)
+        from disinfect_slam_tpu.io.dataset import LoggedStereoReplay, ReplayFrame
+        from disinfect_slam_tpu.ops.stereo import StereoDepthEstimator
+
+        stereo_replay = LoggedStereoReplay(args.logdir)
+        est = StereoDepthEstimator(
+            fx=intrinsics[0], baseline_m=args.baseline,
+            max_disp=args.max_disp, max_depth=args.max_depth,
+        )
+
+        class _StereoAsRGBD:
+            entries = stereo_replay.entries
+
+            def __len__(self):
+                return len(stereo_replay)
+
+            def __iter__(self):
+                for fr in stereo_replay:
+                    depth = est(fr.left, fr.right)
+                    rgb = fr.left
+                    if rgb.ndim == 2:
+                        rgb = np.repeat(rgb[..., None], 3, axis=-1)
+                    pose = (
+                        fr.cam_T_world
+                        if fr.cam_T_world is not None
+                        else np.eye(4, dtype=np.float32)
+                    )
+                    yield ReplayFrame(
+                        fr.frame_id, pose, rgb, depth,
+                        np.zeros_like(depth), np.ones_like(depth),
+                    )
+
+        replay = _StereoAsRGBD()
+        print(f"[online] stereo replay: depth via block matching "
+              f"(baseline {args.baseline} m, max_disp {args.max_disp})")
+    else:
+        replay = LoggedReplay(args.logdir, depth_factor)
     print(f"[online] {len(replay)} frames @ {args.fps} fps playback")
 
     with DISINFSystem(
@@ -122,6 +169,8 @@ def main():
         def pose_thread():
             # plays the trajectory as the "SLAM" stream, slightly ahead
             for i, (fid, pose) in enumerate(replay.entries):
+                if pose is None:  # stereo capture without trajectory rows
+                    continue
                 system.feed_pose(int(i * 1000 * period), pose)
                 time.sleep(period * 0.5)
 

@@ -91,6 +91,53 @@ class LoggedReplay:
         return ReplayFrame(fid, pose, rgb, depth, ht, lt)
 
 
+@dataclass
+class StereoReplayFrame:
+    frame_id: int
+    cam_T_world: Optional[np.ndarray]  # 4x4 f32, None if no trajectory
+    left: np.ndarray  # f32 [H, W] or [H, W, 3] in [0, 255]
+    right: np.ndarray
+
+
+class LoggedStereoReplay:
+    """Replays a StereoFrameLogger logdir: {id}_left/_right.png pairs,
+    with poses when trajectory.txt has rows (stereo-only captures may
+    omit them — pose then comes from SLAM, like the reference's live
+    path zed_native.cc:24-33 -> slam_module.cc:100-120)."""
+
+    def __init__(self, logdir: str):
+        self.logdir = logdir
+        poses = {}
+        traj = os.path.join(logdir, "trajectory.txt")
+        if os.path.exists(traj):
+            with open(traj) as f:
+                for line in f:
+                    parts = line.split()
+                    if len(parts) != 13:
+                        continue
+                    poses[int(parts[0])] = _pose_from_row(
+                        np.asarray([float(x) for x in parts[1:]], np.float32)
+                    )
+        ids = sorted(
+            int(f.split("_")[0])
+            for f in os.listdir(logdir)
+            if f.endswith("_left.png")
+        )
+        self.entries: List[Tuple[int, Optional[np.ndarray]]] = [
+            (fid, poses.get(fid)) for fid in ids
+        ]
+
+    def __len__(self) -> int:
+        return len(self.entries)
+
+    def __iter__(self) -> Iterator[StereoReplayFrame]:
+        for fid, pose in self.entries:
+            base = os.path.join(self.logdir, str(fid))
+            left = read_image(base + "_left.png").astype(np.float32)
+            right = read_image(base + "_right.png").astype(np.float32)
+            yield StereoReplayFrame(fid, pose, left, right)
+
+
 def _quat_to_mat(qx, qy, qz, qw) -> np.ndarray:
     n = np.sqrt(qx * qx + qy * qy + qz * qz + qw * qw)
     qx, qy, qz, qw = qx / n, qy / n, qz / n, qw / n

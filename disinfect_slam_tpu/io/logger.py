@@ -63,6 +63,37 @@ class DataLogger:
                 self._q.task_done()
 
 
+class StereoFrameLogger(DataLogger):
+    """Logs stereo pairs as {id}_left.png / {id}_right.png plus an
+    optional matched trajectory — the run_zed_native capture layout
+    (run_zed_native.cc:63-91) for stereo-driven replays."""
+
+    def __init__(self, logdir: str, queue_depth: int = 32):
+        import os
+
+        os.makedirs(logdir, exist_ok=True)
+        self.logdir = logdir
+        self._traj = open(f"{logdir}/trajectory.txt", "w")
+        super().__init__(depth=queue_depth)
+
+    def save_data(self, item) -> None:
+        import numpy as np
+
+        from .png_io import write_image
+
+        fid, left, right, pose = item
+        write_image(f"{self.logdir}/{fid}_left.png", np.asarray(left, np.uint8))
+        write_image(f"{self.logdir}/{fid}_right.png", np.asarray(right, np.uint8))
+        if pose is not None:
+            row = " ".join(f"{v:.9f}" for v in np.asarray(pose)[:3, :4].reshape(-1))
+            self._traj.write(f"{fid} {row}\n")
+            self._traj.flush()
+
+    def close(self) -> None:
+        super().close()
+        self._traj.close()
+
+
 class FrameLogger(DataLogger):
     """Dataset producer: logs synced frames as {id}_rgb/_depth PNGs plus a
     matched trajectory.txt — the pseudo_online_capture replacement
