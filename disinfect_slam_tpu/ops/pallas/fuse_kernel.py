@@ -78,6 +78,14 @@ def _fuse_kernel(
     i = pl.program_id(0)
     n_tiles = pl.num_programs(0)
 
+    # static 0/1 channel collector (exact in bf16): G[p, cc] = (p % C == cc).
+    # Used to sum each row's C-wide selected group without the 2D->3D
+    # reshape, which this Mosaic stack cannot lower (infer-vector-layout:
+    # unsupported shape cast on tpu.reshape [512,PW*C]->[512,PW,C]).
+    gp = jax.lax.broadcasted_iota(jnp.int32, (pw * c, c), 0)
+    gc = jax.lax.broadcasted_iota(jnp.int32, (pw * c, c), 1)
+    g_mat = (gp % c == gc).astype(jnp.bfloat16)
+
     def _dma(tile, b):
         v0 = pl.multiple_of(v0_ref[tile * tb + b], 8)
         u0c = pl.multiple_of(u0_ref[tile * tb + b] * c, 128)
@@ -125,7 +133,19 @@ def _fuse_kernel(
         pcol = jax.lax.broadcasted_iota(jnp.int32, (512, pw * c), 1)
         dsel = pcol - lu_c[:, None] * c
         oh_wc = ((dsel >= 0) & (dsel < c)).astype(jnp.float32)
-        samp = (a * oh_wc).reshape(512, pw, c).sum(axis=1)  # [512, C]
+        m = a * oh_wc
+        # exact f32 group-sum via bf16 hi/mid/lo split matmuls against the
+        # 0/1 collector: each output element receives exactly one nonzero
+        # product per matmul, so the three-part sum reconstructs f32
+        m_hi = m.astype(jnp.bfloat16)
+        r2 = m - m_hi.astype(jnp.float32)
+        m_mid = r2.astype(jnp.bfloat16)
+        m_lo = (r2 - m_mid.astype(jnp.float32)).astype(jnp.bfloat16)
+        samp = (
+            jnp.dot(m_hi, g_mat, preferred_element_type=jnp.float32)
+            + jnp.dot(m_mid, g_mat, preferred_element_type=jnp.float32)
+            + jnp.dot(m_lo, g_mat, preferred_element_type=jnp.float32)
+        )  # [512, C]
 
         depth = samp[:, 0]
         d2r = samp[:, 1]
@@ -168,7 +188,10 @@ def _fuse_kernel(
         tsdf_out[b] = t_fin
         weight_out[b] = jnp.where(update, w_upd, w_old)
         prob_out[b] = jnp.where(update, prob_upd, p_old)
-        rgb_out[b] = jnp.where(update[:, None], rgb_upd, rgb_old)
+        # Mosaic on this stack cannot shape-cast an i1 [512]->[512,1]
+        # (the f32 cast is supported), so widen the mask via f32
+        updf = update.astype(jnp.float32)[:, None]
+        rgb_out[b] = jnp.where(updf > 0, rgb_upd, rgb_old)
         # carve input for free: the min-reduce runs on the row already in
         # registers instead of a separate 17M-element pass downstream
         minabs_out[b] = jnp.broadcast_to(jnp.min(jnp.abs(t_fin)), (128,))

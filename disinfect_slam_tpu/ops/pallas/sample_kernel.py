@@ -143,11 +143,14 @@ def _sample_kernel(
         oh_wc = ((d >= 0) & (d < c)).astype(jnp.float32)
         m = a * oh_wc
         if stage2 == "reshape":
-            # exact f32: each output group sums exactly one nonzero
+            # exact f32: each output group sums exactly one nonzero.
+            # NOTE: this Mosaic stack cannot lower the 2D->3D tpu.reshape
+            # ("infer-vector-layout: unsupported shape cast"), so the
+            # matmul path below is the default on hardware.
             out = m.reshape(512, pw, c).sum(axis=1)  # [512, C]
         else:
-            # matmul fallback (bf16 hi/mid/lo split; the f32 MXU path is
-            # broken on this stack)
+            # bf16 hi/mid/lo split matmuls (the f32 MXU path is broken on
+            # this stack); exact: one nonzero product term per output
             m_hi = m.astype(jnp.bfloat16)
             r2 = m - m_hi.astype(jnp.float32)
             m_mid = r2.astype(jnp.bfloat16)
@@ -177,7 +180,7 @@ def sample_patches(
     pw: int = DEFAULT_PW,
     tb: int = 8,
     interpret: bool = False,
-    stage2: str = "reshape",
+    stage2: str = "matmul",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Sample img at (v, u) per voxel -> ([V, 512, C] values, [V, 512]
     validity).  Samples outside the per-block patch come back invalid."""

@@ -120,8 +120,10 @@ def main():
             results[name] = {"error": repr(e)[:200]}
         print(f"[sweep] {name}: {results[name]}", flush=True)
 
-    # render variants on the final fused volume (best fusion config)
-    cfg = TSDFConfig(**{**base, "sampler": "pallas_fused"})
+    # render variants on the final fused volume (gather sampler: renderer
+    # timing is independent of the fusion sampler, and this section must
+    # survive a Pallas-sampler compile failure)
+    cfg = TSDFConfig(**{**base, "sampler": "gather"})
     vol = TSDFVolume.create(cfg)
     step = jax.jit(
         lambda v, f, m: integrate(v, f, cam, SE3.from_matrix(m), 4.0),
