@@ -1,9 +1,16 @@
 #!/usr/bin/env python
-"""Run the reconstruction HTTP service.
+"""Run the reconstruction HTTP service + interactive browser viewer.
 
   python apps/serve.py --port 8800 --mode slam --voxel 0.01
   # clients: POST /frame npz{rgb, depth, timestamp_ms[, pose]},
   #          GET /stats /pose /query /mesh /render
+
+With a replay attached, http://host:port/ serves the interactive viewer
+(orbit/zoom/pan, follow-cam, Start/Pause/Step, bbox query — the
+renderer_module.cc parity surface):
+
+  python apps/serve.py --replay /data/logdir --depth-factor 1000
+  python apps/serve.py --synthetic 60        # built-in orbit scene demo
 """
 
 import argparse
@@ -28,6 +35,16 @@ def main():
     ap.add_argument("--trunc", type=float, default=0.06)
     ap.add_argument("--max-depth", type=float, default=4.0)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--replay", default=None,
+                    help="logged dataset dir (trajectory.txt + PNGs) to "
+                         "drive via the viewer's Start/Pause controls")
+    ap.add_argument("--tum", action="store_true",
+                    help="--replay dir uses the TUM RGB-D layout")
+    ap.add_argument("--depth-factor", type=float, default=1000.0)
+    ap.add_argument("--synthetic", type=int, default=0, metavar="N",
+                    help="attach an N-frame synthetic orbit replay (demo)")
+    ap.add_argument("--fps", type=float, default=0.0,
+                    help="replay throttle (0 = as fast as fusion allows)")
     args = ap.parse_args()
 
     import jax
@@ -57,8 +74,39 @@ def main():
         )
 
     svc = ReconstructionService(system, mode=args.mode)
-    httpd = make_server(svc, args.host, args.port)
+
+    replay = None
+    if args.replay or args.synthetic:
+        from disinfect_slam_tpu.systems.server import ReplayDriver
+
+        frames = []
+        if args.replay:
+            from disinfect_slam_tpu.io.dataset import LoggedReplay, TUMReplay
+
+            src = (
+                TUMReplay(args.replay)
+                if args.tum
+                else LoggedReplay(args.replay, args.depth_factor)
+            )
+            for i, fr in enumerate(src):
+                pose = None if args.mode == "slam" else fr.cam_T_world
+                frames.append((fr.rgb, fr.depth, i * 33, fr.ht, fr.lt, pose))
+        else:
+            import bench  # repo-root synthetic orbit scene
+
+            K = (args.fx, args.fy, args.cx, args.cy)
+            for i, (pose, rgb, depth, ht, lt) in enumerate(
+                bench.make_orbit_frames(args.synthetic, args.width, args.height, K)
+            ):
+                p = None if args.mode == "slam" else pose
+                frames.append((rgb, depth, i * 33, ht, lt, p))
+        replay = ReplayDriver(svc, frames, fps=args.fps)
+        print(f"[serve] replay attached: {len(frames)} frames (paused; "
+              f"press Start in the viewer)")
+
+    httpd = make_server(svc, args.host, args.port, replay=replay)
     print(f"[serve] {args.mode} reconstruction on http://{args.host}:{args.port}")
+    print(f"[serve] interactive viewer: http://{args.host}:{args.port}/")
     httpd.serve_forever()
 
 

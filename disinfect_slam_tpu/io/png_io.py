@@ -43,6 +43,62 @@ def read_image(path: str, unchanged: bool = False) -> np.ndarray:
     raise RuntimeError("no image backend available (cv2 or PIL)")
 
 
+def encode_png(img: np.ndarray) -> bytes:
+    """Encode u8 gray/RGB/RGBA to in-memory PNG bytes (for HTTP serving,
+    the browser-viewer analogue of GLImage8UC4::LoadCuda->Draw,
+    reference utils/gl/image.h:27-56)."""
+    img = np.ascontiguousarray(img)
+    if _HAS_CV2:
+        out = img
+        if img.ndim == 3 and img.shape[2] >= 3:
+            out = np.ascontiguousarray(img[..., [2, 1, 0] + list(range(3, img.shape[2]))])
+        ok, buf = cv2.imencode(".png", out)
+        if not ok:
+            raise IOError("cv2.imencode failed")
+        return buf.tobytes()
+    if _HAS_PIL:
+        import io
+
+        b = io.BytesIO()
+        Image.fromarray(img).save(b, format="PNG")
+        return b.getvalue()
+    return _encode_png_stdlib(img)
+
+
+def _encode_png_stdlib(img: np.ndarray) -> bytes:
+    """Minimal pure-stdlib PNG encoder (u8 gray/RGB/RGBA), used only when
+    neither cv2 nor PIL is importable."""
+    import struct
+    import zlib
+
+    if img.dtype != np.uint8:
+        raise ValueError("stdlib PNG encoder supports uint8 only")
+    if img.ndim == 2:
+        color_type, arr = 0, img[..., None]
+    elif img.shape[2] == 3:
+        color_type, arr = 2, img
+    elif img.shape[2] == 4:
+        color_type, arr = 6, img
+    else:
+        raise ValueError(f"unsupported channel count {img.shape}")
+    h, w = arr.shape[:2]
+    raw = b"".join(b"\x00" + arr[i].tobytes() for i in range(h))
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + tag + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
 def write_image(path: str, img: np.ndarray) -> None:
     """Write an image; accepts u8 RGB/RGBA/gray or u16 gray."""
     img = np.asarray(img)

@@ -10,10 +10,19 @@ reconstruction itself is serialized by the TSDF queue anyway).
 Endpoints:
   POST /frame   npz{rgb, depth, timestamp_ms[, ht, lt, pose]} -> {pose, ok}
   GET  /pose?t=MS                -> npz{pose}
+  GET  /pose_json?t=MS           -> json{pose: [16 floats]}
   GET  /stats                    -> json
   GET  /query?bbox=x0,x1,y0,y1,z0,z1 -> npz{records [N,4]}
+  GET  /query_json?bbox=...      -> json{count}
   GET  /mesh                     -> npz{verts, faces}
-  GET  /render?fx=..&w=..&h=..   -> npz{rgba, normal, depth}
+  GET  /render?fx=..&w=..&h=..[&pose=16csv&view=rgba|normal&fmt=png]
+                                 -> npz{rgba, normal, depth} or image/png
+  GET  / (or /view)              -> interactive browser viewer (arcball
+                                    orbit/zoom/pan, follow-cam,
+                                    Start/Pause/Step replay, bbox query —
+                                    the renderer_module.cc:20-102 parity
+                                    surface)
+  GET  /ctrl?cmd=start|pause|step|status -> json replay status
 """
 
 from __future__ import annotations
@@ -103,13 +112,80 @@ class ReconstructionService:
         )
 
 
+class ReplayDriver:
+    """Start/Pause/Step control over a frame replay feeding the service —
+    the offline.cc:139-155 Start/Pause loop, controllable over HTTP.
+
+    `frames` is a sequence of (rgb, depth, timestamp_ms, ht, lt, pose)
+    tuples (ht/lt/pose may be None).  fps > 0 throttles playback."""
+
+    def __init__(self, service: ReconstructionService, frames, fps: float = 0.0):
+        self.service = service
+        self.frames = list(frames)
+        self.fps = fps
+        self.idx = 0
+        self._playing = threading.Event()
+        self._steps = 0
+        self._stop = False
+        self._lock = threading.Lock()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def _run(self):
+        import time
+
+        while not self._stop:
+            with self._lock:
+                want = self._playing.is_set() or self._steps > 0
+                if want and self._steps > 0:
+                    self._steps -= 1
+            if not want or self.idx >= len(self.frames):
+                time.sleep(0.05)
+                continue
+            rgb, depth, ts, ht, lt, pose = self.frames[self.idx]
+            t0 = time.perf_counter()
+            self.service.process_frame(rgb, depth, ts, ht, lt, pose)
+            self.idx += 1
+            if self.fps > 0:
+                budget = 1.0 / self.fps - (time.perf_counter() - t0)
+                if budget > 0:
+                    time.sleep(budget)
+
+    def start(self):
+        self._playing.set()
+
+    def pause(self):
+        self._playing.clear()
+
+    def step(self):
+        with self._lock:
+            self._steps += 1
+
+    def shutdown(self):
+        self._stop = True
+        self._playing.clear()
+
+    def status(self) -> dict:
+        return {
+            "playing": self._playing.is_set(),
+            "frame": self.idx,
+            "total": len(self.frames),
+            "done": self.idx >= len(self.frames),
+        }
+
+
 def _npz_bytes(**arrays) -> bytes:
     buf = io.BytesIO()
     np.savez_compressed(buf, **arrays)
     return buf.getvalue()
 
 
-def make_server(service: ReconstructionService, host="127.0.0.1", port=0):
+def make_server(
+    service: ReconstructionService,
+    host="127.0.0.1",
+    port=0,
+    replay: "ReplayDriver | None" = None,
+):
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):  # quiet
             pass
@@ -139,17 +215,52 @@ def make_server(service: ReconstructionService, host="127.0.0.1", port=0):
         def do_GET(self):
             url = urlparse(self.path)
             q = parse_qs(url.query)
-            if url.path == "/stats":
+            if url.path in ("/", "/view"):
+                from ..viz.viewer_html import VIEWER_HTML
+
+                self._send(200, VIEWER_HTML.encode(), "text/html; charset=utf-8")
+            elif url.path == "/stats":
+                stats = service.stats()
+                if replay is not None:
+                    stats["replay"] = replay.status()
+                self._send(200, json.dumps(stats).encode(), "application/json")
+            elif url.path == "/ctrl":
+                cmd = q.get("cmd", ["status"])[0]
+                if replay is None:
+                    self._send(400, b'{"error": "no replay attached"}',
+                               "application/json")
+                    return
+                if cmd == "start":
+                    replay.start()
+                elif cmd == "pause":
+                    replay.pause()
+                elif cmd == "step":
+                    replay.step()
                 self._send(
-                    200, json.dumps(service.stats()).encode(), "application/json"
+                    200, json.dumps(replay.status()).encode(), "application/json"
                 )
             elif url.path == "/pose":
                 t = int(q.get("t", ["0"])[0])
                 self._send(200, _npz_bytes(pose=service.pose(t)))
+            elif url.path == "/pose_json":
+                t = int(q.get("t", ["0"])[0])
+                pose = np.asarray(service.pose(t), np.float64).reshape(-1)
+                self._send(
+                    200,
+                    json.dumps({"pose": [float(x) for x in pose]}).encode(),
+                    "application/json",
+                )
             elif url.path == "/query":
                 vals = [float(x) for x in q["bbox"][0].split(",")]
                 rec = service.query(BoundingCube(*vals))
                 self._send(200, _npz_bytes(records=rec))
+            elif url.path == "/query_json":
+                vals = [float(x) for x in q["bbox"][0].split(",")]
+                rec = service.query(BoundingCube(*vals))
+                self._send(
+                    200, json.dumps({"count": int(len(rec))}).encode(),
+                    "application/json",
+                )
             elif url.path == "/mesh":
                 verts, faces = service.mesh()
                 self._send(200, _npz_bytes(verts=verts, faces=faces))
@@ -157,8 +268,20 @@ def make_server(service: ReconstructionService, host="127.0.0.1", port=0):
                 fx = float(q.get("fx", ["525"])[0])
                 w = int(q.get("w", ["640"])[0])
                 h = int(q.get("h", ["360"])[0])
-                rgba, normal, depth = service.render(fx, h, w)
-                self._send(200, _npz_bytes(rgba=rgba, normal=normal, depth=depth))
+                pose = None
+                if "pose" in q:
+                    vals = [float(x) for x in q["pose"][0].split(",")]
+                    pose = np.asarray(vals, np.float32).reshape(4, 4)
+                rgba, normal, depth = service.render(fx, h, w, pose=pose)
+                if q.get("fmt", ["npz"])[0] == "png":
+                    from ..io.png_io import encode_png
+
+                    img = rgba if q.get("view", ["normal"])[0] == "rgba" else normal
+                    self._send(200, encode_png(np.asarray(img)), "image/png")
+                else:
+                    self._send(
+                        200, _npz_bytes(rgba=rgba, normal=normal, depth=depth)
+                    )
             else:
                 self._send(404, b"not found", "text/plain")
 

@@ -68,3 +68,71 @@ def test_http_service_roundtrip():
             assert (r["depth"] > 0).mean() > 0.1
         finally:
             httpd.shutdown()
+
+
+def test_viewer_page_and_interactive_render():
+    """The browser-viewer surface: HTML page, explicit-pose PNG render,
+    pose_json/query_json, and Start/Pause/Step replay control
+    (renderer_module.cc:20-102 parity)."""
+    pose = look_at((0.01, 0.02, -0.01), (0.04, -0.03, 2.0))
+    depth = render_wall(W, H, K, pose, wall_z=2.0131)
+    rgb = np.full((H, W, 3), 120, np.float32)
+    frames = [
+        (rgb, depth, i * 33, None, None, pose) for i in range(3)
+    ]
+
+    from disinfect_slam_tpu.systems.server import ReplayDriver
+
+    with DISINFSystem(
+        K, depth_factor=1.0, voxel_size=0.05, truncation=0.15,
+        cfg=CFG_DENSE, half_scale=False,
+    ) as system:
+        svc = ReconstructionService(system, mode="disinf")
+        replay = ReplayDriver(svc, frames)
+        httpd = make_server(svc, replay=replay)
+        port = httpd.server_address[1]
+        t = threading.Thread(target=httpd.serve_forever, daemon=True)
+        t.start()
+        base = f"http://127.0.0.1:{port}"
+        try:
+            with urllib.request.urlopen(f"{base}/view", timeout=30) as r:
+                page = r.read().decode()
+            assert "<html" in page.lower() and "arcball" in page.lower()
+
+            # replay control: step one frame, then play out the rest
+            st = _get(f"{base}/ctrl?cmd=step")
+            assert st["total"] == 3
+            import time
+
+            for _ in range(300):
+                if _get(f"{base}/ctrl?cmd=status")["frame"] >= 1:
+                    break
+                time.sleep(0.05)
+            assert _get(f"{base}/ctrl?cmd=status")["frame"] == 1
+            _get(f"{base}/ctrl?cmd=start")
+            for _ in range(600):
+                if _get(f"{base}/ctrl?cmd=status")["done"]:
+                    break
+                time.sleep(0.05)
+            assert _get(f"{base}/ctrl?cmd=status")["done"]
+            _get(f"{base}/ctrl?cmd=pause")
+            stats = _get(f"{base}/stats")
+            assert stats["frames"] == 3 and stats["replay"]["done"]
+
+            # explicit virtual-camera pose render as PNG (the viewer's
+            # orbit request)
+            pose_csv = ",".join(str(float(x)) for x in np.asarray(pose).ravel())
+            with urllib.request.urlopen(
+                f"{base}/render?fx=52.7&w=64&h=48&fmt=png&view=normal&pose={pose_csv}",
+                timeout=120,
+            ) as r:
+                png = r.read()
+            assert png[:8] == b"\x89PNG\r\n\x1a\n"
+
+            pj = _get(f"{base}/pose_json?t=66")
+            assert len(pj["pose"]) == 16
+            qj = _get(f"{base}/query_json?bbox=-2,2,-2,2,0,3")
+            assert qj["count"] > 100
+        finally:
+            replay.shutdown()
+            httpd.shutdown()
