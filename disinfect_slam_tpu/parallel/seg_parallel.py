@@ -46,19 +46,19 @@ def make_mesh_2d(n_devices: Optional[int] = None, data: int = 0, devices=None) -
     return Mesh(np.array(devs).reshape(data, model), ("data", "model"))
 
 
-def _param_spec(path_leaf: Tuple[Any, ...], x: jnp.ndarray) -> P:
+def _param_spec(x: jnp.ndarray, tp_min_width: int = 64) -> P:
     """Shard conv kernels over output channels when divisible; replicate
     the rest."""
-    if x.ndim == 4 and x.shape[-1] % 2 == 0 and x.shape[-1] >= 64:
+    if x.ndim == 4 and x.shape[-1] % 2 == 0 and x.shape[-1] >= tp_min_width:
         return P(None, None, None, "model")
-    if x.ndim == 1 and x.shape[0] % 2 == 0 and x.shape[0] >= 64:
+    if x.ndim == 1 and x.shape[0] % 2 == 0 and x.shape[0] >= tp_min_width:
         return P("model")
     return P()
 
 
-def shard_params(params, mesh: Mesh):
+def shard_params(params, mesh: Mesh, tp_min_width: int = 64):
     def put(x):
-        spec = _param_spec((), x)
+        spec = _param_spec(x, tp_min_width)
         try:
             return jax.device_put(x, NamedSharding(mesh, spec))
         except ValueError:
