@@ -48,7 +48,9 @@ def main():
     ap.add_argument("--visible-buckets", metavar="N,N,...",
                     help="bucketed visible capacity, e.g. 8192,16384 "
                          "(picks per frame from the last visible count)")
-    ap.add_argument("--debug", action="store_true")
+    ap.add_argument("--debug", action="store_true",
+                    help="verbose logging + volume invariant validation "
+                         "after every frame (the sanitizer pass)")
     args = ap.parse_args()
 
     import logging
@@ -141,6 +143,11 @@ def main():
             )
         last_pose = frame.cam_T_world
         n += 1
+        if args.debug:
+            from disinfect_slam_tpu.utils.validate import validate_volume
+
+            with timer.span("validate"):
+                validate_volume(grid.snapshot())
         if n % 25 == 0:
             grid.block_until_ready()
             print(
@@ -159,6 +166,9 @@ def main():
         f"[offline] done: {n} frames, integrate {total_ms:.2f} ms/frame "
         f"({1e3 / max(total_ms, 1e-6):.1f} FPS), {grid.num_active_blocks()} blocks"
     )
+    if args.debug:
+        print(f"[offline] volume invariants OK every frame "
+              f"(validate {timer.mean_ms('validate'):.1f} ms/frame)")
 
     if args.save:
         with timer.span("gather"):

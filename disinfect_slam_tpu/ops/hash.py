@@ -102,9 +102,15 @@ def _insert_dense(
     )
     won = pending & (claims[idx] == cand_id)
 
+    # Cap acquisitions at max_new_per_round: the payload reset below only
+    # covers that many rows, so an uncapped winner would enter the pool
+    # with stale DEFAULT payload (prob=0 -> NaN in the log-odds fusion).
+    # Overflow candidates drop and retry next frame (fail-open, like the
+    # reference's lock-miss, voxel_hash.cu:83-89).
+    w = cfg.max_new_per_round
     rank = jnp.cumsum(won.astype(jnp.int32)) - 1
     heap_idx = vol.num_free - 1 - rank
-    ok = won & (heap_idx >= 0)
+    ok = won & (heap_idx >= 0) & (rank < w)
     pool_idx = vol.heap[jnp.clip(heap_idx, 0, cfg.num_blocks - 1)]
 
     block_table = vol.block_table.at[jnp.where(ok, idx, cfg.grid_cells)].set(
@@ -115,9 +121,9 @@ def _insert_dense(
     entry_pos = vol.entry_pos.at[wslot].set(block, mode="drop")
     num_free = vol.num_free - jnp.sum(ok.astype(jnp.int32))
 
-    # payload reset (voxel_mem.cu:43-51) via compacted winner rows
-    w = cfg.max_new_per_round
-    crank = jnp.where(ok & (rank < w), rank, w)
+    # payload reset (voxel_mem.cu:43-51) via compacted winner rows; ok
+    # implies rank < w, so every acquired block gets a reset row
+    crank = jnp.where(ok, rank, w)
     compact = (
         jnp.full((w,), cfg.num_blocks, jnp.int32).at[crank].set(pool_idx, mode="drop")
     )
@@ -237,10 +243,14 @@ def _claim_round(
     won = want & (claims[target] == cand_id)
 
     # Pool acquisition: winner i takes heap[num_free - 1 - rank_i]
-    # (stack pop order of AquireBlock, voxel_mem.cu:37-42).
+    # (stack pop order of AquireBlock, voxel_mem.cu:37-42).  Capped at
+    # max_new_per_round so the payload reset below covers every acquired
+    # block (an uncapped winner would fuse against stale DEFAULT payload);
+    # capped-out candidates stay pending for the next round/frame.
+    w = cfg.max_new_per_round
     rank = jnp.cumsum(won.astype(jnp.int32)) - 1
     heap_idx = vol.num_free - 1 - rank
-    can_alloc = won & (heap_idx >= 0)
+    can_alloc = won & (heap_idx >= 0) & (rank < w)
     pool_idx = vol.heap[jnp.clip(heap_idx, 0, cfg.num_blocks - 1)]
 
     # Write entries (scatter, unique slots by construction).
@@ -252,9 +262,8 @@ def _claim_round(
 
     # Reset payload rows of acquired blocks (voxel_mem.cu:43-51).  Compact
     # winners into a small buffer first so the scatter touches at most
-    # max_new_per_round rows instead of M.
-    w = cfg.max_new_per_round
-    crank = jnp.where(can_alloc & (rank < w), rank, w)
+    # max_new_per_round rows instead of M; can_alloc implies rank < w.
+    crank = jnp.where(can_alloc, rank, w)
     compact = (
         jnp.full((w,), cfg.num_blocks, jnp.int32).at[crank].set(pool_idx, mode="drop")
     )

@@ -58,6 +58,12 @@ class FrameInput(NamedTuple):
     lt: jnp.ndarray  # f32 [H, W] low-touch probability
 
 
+def _pow_log(x: jnp.ndarray, e: jnp.ndarray) -> jnp.ndarray:
+    """log(x**e) with C powf edge semantics: e == 0 -> 0 (powf(0,0)==1),
+    e > 0 with x == 0 -> -inf (powf(0,e)==0)."""
+    return jnp.where(e == 0.0, 0.0, e * jnp.log(x))
+
+
 def depth_to_range(cam: CameraParams) -> jnp.ndarray:
     """Per-pixel depth->range conversion factors [H, W].
 
@@ -494,12 +500,21 @@ def fuse_visible(
         (rgb_old * w_old[..., None] + rgb_new * w_new[..., None]) / w_safe[..., None]
     )
     w_upd = jnp.minimum(vx.round_half_away(w_comb), cfg.max_weight)
-    # log-space geometric fusion of ht/lt (voxel_tsdf.cu:196-202)
-    positive = jnp.exp((w_old * jnp.log(prob_old) + w_new * jnp.log(ht)) / w_safe)
-    negative = jnp.exp(
-        (w_old * jnp.log(1.0 - prob_old) + w_new * jnp.log(lt)) / w_safe
+    # log-space geometric fusion of ht/lt (voxel_tsdf.cu:196-202) with C
+    # powf semantics: powf(0, 0) == 1, so a zero-weight term contributes
+    # nothing even when its base is 0.  The naive w*log(x) form turns
+    # (w=0, x=0) into 0*(-inf) = NaN; this bites voxels first touched at
+    # depth ~ max_depth, whose w_new < 0.5 rounds the stored weight to 0
+    # while prob collapses to the sample.
+    positive = jnp.exp(
+        _pow_log(prob_old, w_old / w_safe) + _pow_log(ht, w_new / w_safe)
     )
-    prob_upd = positive / (positive + negative)
+    negative = jnp.exp(
+        _pow_log(1.0 - prob_old, w_old / w_safe) + _pow_log(lt, w_new / w_safe)
+    )
+    denom = positive + negative
+    prob_upd = jnp.where(denom > 0, positive / jnp.where(denom > 0, denom, 1.0),
+                         prob_old)
     if cfg.prob_eps > 0.0:
         prob_upd = jnp.clip(prob_upd, cfg.prob_eps, 1.0 - cfg.prob_eps)
 

@@ -176,11 +176,22 @@ def _fuse_kernel(
         )
         w_upd = jnp.minimum(_rha(w_comb), max_weight)
         p_old = prob_ref[b]
-        positive = jnp.exp((w_old * jnp.log(p_old) + w_new * jnp.log(ht)) / w_safe)
-        negative = jnp.exp(
-            (w_old * jnp.log(1.0 - p_old) + w_new * jnp.log(lt)) / w_safe
+        # C powf edge semantics (powf(0,0)==1): zero-weight terms must
+        # contribute nothing even at base 0 — see ops/integrate.py
+        e_old = w_old / w_safe
+        e_new = w_new / w_safe
+        positive = jnp.exp(
+            jnp.where(e_old == 0.0, 0.0, e_old * jnp.log(p_old))
+            + jnp.where(e_new == 0.0, 0.0, e_new * jnp.log(ht))
         )
-        prob_upd = positive / (positive + negative)
+        negative = jnp.exp(
+            jnp.where(e_old == 0.0, 0.0, e_old * jnp.log(1.0 - p_old))
+            + jnp.where(e_new == 0.0, 0.0, e_new * jnp.log(lt))
+        )
+        denom = positive + negative
+        prob_upd = jnp.where(
+            denom > 0, positive / jnp.where(denom > 0, denom, 1.0), p_old
+        )
         if prob_eps > 0.0:
             prob_upd = jnp.clip(prob_upd, prob_eps, 1.0 - prob_eps)
 

@@ -160,11 +160,18 @@ class OracleVolume:
             w_upd = np.minimum(round_away(w_old + w_new), self.max_weight)
             p_old = blk["prob"].astype(np.float64)
             with np.errstate(divide="ignore", invalid="ignore"):
-                pos = np.exp((w_old * np.log(p_old) + w_new * np.log(ht[vs, us])) / w_c)
+                # C powf semantics (powf(0,0)==1): zero-weight terms
+                # contribute nothing even at base 0 (see ops/integrate.py)
+                def _pow_log(x, e):
+                    return np.where(e == 0.0, 0.0, e * np.log(x))
+
+                e_old, e_new = w_old / w_c, w_new / w_c
+                pos = np.exp(_pow_log(p_old, e_old) + _pow_log(ht[vs, us], e_new))
                 neg = np.exp(
-                    (w_old * np.log(1 - p_old) + w_new * np.log(lt[vs, us])) / w_c
+                    _pow_log(1 - p_old, e_old) + _pow_log(lt[vs, us], e_new)
                 )
-                p_upd = pos / (pos + neg)
+                den = pos + neg
+                p_upd = np.where(den > 0, pos / np.where(den > 0, den, 1.0), p_old)
             blk["tsdf"] = np.where(upd, t_upd, blk["tsdf"]).astype(np.float32)
             blk["rgb"] = np.where(upd[:, None], rgb_upd, blk["rgb"]).astype(np.float32)
             blk["weight"] = np.where(upd, w_upd, blk["weight"]).astype(np.float32)

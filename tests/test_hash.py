@@ -138,6 +138,49 @@ def test_acquire_resets_payload():
     assert float(vol.tsdf[pool2, 0]) == RESET_TSDF
 
 
+def test_over_cap_insert_still_resets_every_block():
+    """Regression: with more unique winners than max_new_per_round, the
+    allocation must cap at the reset-buffer capacity — an uncapped winner
+    would enter the pool with stale DEFAULT payload (prob=0), which the
+    log-odds fusion turns into NaN on first touch."""
+    import pytest
+
+    from disinfect_slam_tpu.config import TINY_DENSE
+    from disinfect_slam_tpu.utils.validate import validate_volume
+
+    for cfg in (TINY, TINY_DENSE):
+        n = cfg.max_new_per_round + 100  # > reset capacity, < pool size? no:
+        # TINY pools hold 256 blocks == max_new_per_round; grow the pool so
+        # the heap isn't the binding constraint
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg, num_blocks_log2=10, max_candidates=1024,
+            **({"num_buckets_log2": 11} if cfg.backend == "hash" else {}),
+            **({"grid_log2": 6} if cfg.backend == "dense" else {}),
+        )
+        # coords must stay inside the dense grid extent (grid_log2=6 ->
+        # [-32, 31]); spread over a 2-D patch
+        ii = np.arange(n)
+        coords = np.stack([ii % 32, ii // 32, np.zeros(n)], axis=1).astype(
+            np.int32
+        )
+        vol = TSDFVolume.create(cfg)
+        vol, dropped = h.insert(vol, jnp.asarray(coords), jnp.ones(n, bool))
+        n_alloc = int(vol.num_active_blocks)
+        n_drop = int(jnp.sum(dropped))
+        rounds = cfg.insert_rounds if cfg.backend == "hash" else 1
+        assert n_alloc <= cfg.max_new_per_round * rounds
+        assert n_alloc + n_drop >= n  # nothing silently vanishes
+        # every allocated block must carry RESET payload
+        eb = np.asarray(vol.entry_block)
+        alloc = eb[eb >= 0]
+        assert (np.asarray(vol.tsdf[alloc]) == RESET_TSDF).all()
+        assert (np.asarray(vol.prob[alloc]) == RESET_PROB).all()
+        assert (np.asarray(vol.weight[alloc]) == 0.0).all()
+        assert validate_volume(vol) == []
+
+
 def test_delete_and_tombstone_probing():
     """Deleting an earlier entry must not break lookups of entries that
     probed past it (the tombstone analogue of list splicing)."""
