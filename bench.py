@@ -270,6 +270,11 @@ def main():
                 "img": f"{w}x{h}",
                 "voxel_m": cfg.voxel_size,
                 "fallback": fallback,
+                # north-star dataset status (BASELINE.md): the TUM rgbd_1
+                # sequence cannot be fetched in this image (zero egress),
+                # so the workload is the synthetic orbit of the same
+                # resolution/depth statistics
+                "dataset": "synthetic-orbit (TUM rgbd_1 unavailable: no egress)",
             }
         )
     )

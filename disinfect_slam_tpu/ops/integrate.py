@@ -444,10 +444,13 @@ def fuse_visible(
 
     kernel_ok = cfg.block_volume == 512 and cfg.max_visible % cfg.sample_tile == 0
     use_fused = cfg.sampler == "pallas_fused" and kernel_ok
-    use_pallas = (
-        cfg.sampler == "pallas"
-        or (cfg.sampler == "auto" and jax.default_backend() == "tpu")
-    ) and kernel_ok
+    # "auto" resolves to the stacked-channel gather: measured on v5e at
+    # full scale (640x480, 4 mm, 32k visible) the XLA gather integrates at
+    # 177 ms/frame vs 316 (pallas) / 413 (pallas_fused) — the patch
+    # kernels' per-block one-hot selection costs more VPU/MXU work than
+    # the ~140 M desc/s gather wall they avoid.  The kernels remain
+    # selectable for workloads with smaller patches.
+    use_pallas = cfg.sampler == "pallas" and kernel_ok
 
     if use_fused:
         return _fuse_visible_kernel(
@@ -463,21 +466,27 @@ def fuse_visible(
         v_for_min = jnp.where(in_img, vs, cam.img_h - 1)
         u0 = jnp.min(u_for_min, axis=1).astype(jnp.int32)
         v0 = jnp.min(v_for_min, axis=1).astype(jnp.int32)
-        samp, patch_ok = sample_patches(
+        # channel-split outputs: a [V, 512, 8] pallas output would get
+        # its minor dim lane-padded 8 -> 128 at the kernel boundary
+        # (8 GB at full scale)
+        chans, patch_ok = sample_patches(
             stacked, u0, v0, us, vs,
             ph=cfg.patch_h, pw=cfg.patch_w, tb=cfg.sample_tile,
             interpret=jax.default_backend() != "tpu",
+            as_channels=True,
         )
+        depth, d2r_s = chans[0], chans[1]
+        rgb_new = jnp.stack([chans[2], chans[3], chans[4]], axis=-1)
+        ht, lt = chans[5], chans[6]
         sample_ok = in_img & patch_ok
     else:
         samp = stacked[vs, us]  # [V, 512, 8]
         sample_ok = in_img
-
-    depth = samp[..., 0]
-    d2r_s = samp[..., 1]
-    rgb_new = samp[..., 2:5]
-    ht = samp[..., 5]
-    lt = samp[..., 6]
+        depth = samp[..., 0]
+        d2r_s = samp[..., 1]
+        rgb_new = samp[..., 2:5]
+        ht = samp[..., 5]
+        lt = samp[..., 6]
 
     depth_ok = (depth > 0) & (depth <= max_depth)
     sdf = d2r_s * (depth - z)

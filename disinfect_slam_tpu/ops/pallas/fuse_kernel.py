@@ -55,12 +55,19 @@ def _fuse_kernel(
     tsdf_ref,  # [TB, 512] f32
     weight_ref,  # [TB, 512] f32
     prob_ref,  # [TB, 512] f32
-    rgb_ref,  # [TB, 512, 3] f32
+    # rgb rides as three [TB, 512] planes: a [TB, 512, 3] pallas operand
+    # would get its minor dim lane-padded 3 -> 128 at the kernel boundary
+    # (8 GB at full scale; this OOM'd the round-2 sweep)
+    r_ref,
+    g_ref,
+    b_ref,
     # outputs
     tsdf_out,
     weight_out,
     prob_out,
-    rgb_out,
+    r_out,
+    g_out,
+    b_out,
     minabs_out,  # [TB, 128] min |tsdf| per updated row, lane-broadcast
     # scratch
     patch_ref,  # [2, TB, PH, PW*C]
@@ -79,9 +86,10 @@ def _fuse_kernel(
     n_tiles = pl.num_programs(0)
 
     # static 0/1 channel collector (exact in bf16): G[p, cc] = (p % C == cc).
-    # Used to sum each row's C-wide selected group without the 2D->3D
-    # reshape, which this Mosaic stack cannot lower (infer-vector-layout:
-    # unsupported shape cast on tpu.reshape [512,PW*C]->[512,PW,C]).
+    # Sums each row's C-wide selected group on the MXU — a per-channel
+    # masked lane reduce is ~20 us/block of serial vreg work (measured
+    # 2.3x slower end-to-end), and the 2D->3D reshape alternative cannot
+    # lower on this Mosaic stack.
     gp = jax.lax.broadcasted_iota(jnp.int32, (pw * c, c), 0)
     gc = jax.lax.broadcasted_iota(jnp.int32, (pw * c, c), 1)
     g_mat = (gp % c == gc).astype(jnp.bfloat16)
@@ -130,13 +138,13 @@ def _fuse_kernel(
             + jnp.dot(oh_v, p_mid, preferred_element_type=jnp.float32)
             + jnp.dot(oh_v, p_lo, preferred_element_type=jnp.float32)
         )  # [512, PW*C]
+        # column-group select: position p belongs to pixel column lu iff
+        # 0 <= p - lu*C < C; the bf16 hi/mid/lo split matmuls against the
+        # collector are exact (one nonzero product per output per matmul)
         pcol = jax.lax.broadcasted_iota(jnp.int32, (512, pw * c), 1)
         dsel = pcol - lu_c[:, None] * c
         oh_wc = ((dsel >= 0) & (dsel < c)).astype(jnp.float32)
         m = a * oh_wc
-        # exact f32 group-sum via bf16 hi/mid/lo split matmuls against the
-        # 0/1 collector: each output element receives exactly one nonzero
-        # product per matmul, so the three-part sum reconstructs f32
         m_hi = m.astype(jnp.bfloat16)
         r2 = m - m_hi.astype(jnp.float32)
         m_mid = r2.astype(jnp.bfloat16)
@@ -149,7 +157,7 @@ def _fuse_kernel(
 
         depth = samp[:, 0]
         d2r = samp[:, 1]
-        rgb_new = samp[:, 2:5]  # [512, 3]
+        r_new, g_new, b_new = samp[:, 2], samp[:, 3], samp[:, 4]
         ht = samp[:, 5]
         lt = samp[:, 6]
 
@@ -170,10 +178,10 @@ def _fuse_kernel(
         w_safe = jnp.where(w_comb == 0, 1.0, w_comb)
 
         tsdf_upd = (tsdf_ref[b] * w_old + tsdf_new * w_new) / w_safe
-        rgb_old = rgb_ref[b]  # [512, 3]
-        rgb_upd = _rha(
-            (rgb_old * w_old[:, None] + rgb_new * w_new[:, None]) / w_safe[:, None]
-        )
+        r_old, g_old, b_old = r_ref[b], g_ref[b], b_ref[b]
+        r_upd = _rha((r_old * w_old + r_new * w_new) / w_safe)
+        g_upd = _rha((g_old * w_old + g_new * w_new) / w_safe)
+        b_upd = _rha((b_old * w_old + b_new * w_new) / w_safe)
         w_upd = jnp.minimum(_rha(w_comb), max_weight)
         p_old = prob_ref[b]
         # C powf edge semantics (powf(0,0)==1): zero-weight terms must
@@ -199,10 +207,9 @@ def _fuse_kernel(
         tsdf_out[b] = t_fin
         weight_out[b] = jnp.where(update, w_upd, w_old)
         prob_out[b] = jnp.where(update, prob_upd, p_old)
-        # Mosaic on this stack cannot shape-cast an i1 [512]->[512,1]
-        # (the f32 cast is supported), so widen the mask via f32
-        updf = update.astype(jnp.float32)[:, None]
-        rgb_out[b] = jnp.where(updf > 0, rgb_upd, rgb_old)
+        r_out[b] = jnp.where(update, r_upd, r_old)
+        g_out[b] = jnp.where(update, g_upd, g_old)
+        b_out[b] = jnp.where(update, b_upd, b_old)
         # carve input for free: the min-reduce runs on the row already in
         # registers instead of a separate 17M-element pass downstream
         minabs_out[b] = jnp.broadcast_to(jnp.min(jnp.abs(t_fin)), (128,))
@@ -255,43 +262,27 @@ def fuse_rows(
         prob_eps=prob_eps,
     )
     row = lambda i, *_: (i, 0)
-    row3 = lambda i, *_: (i, 0, 0)
+    row_spec = pl.BlockSpec((tb, 512), row)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(vcap // tb,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((tb, 512), row),
-            pl.BlockSpec((tb, 512), row),
-            pl.BlockSpec((tb, 512), row),
-            pl.BlockSpec((tb, 512), row),
-            pl.BlockSpec((tb, 512), row),
-            pl.BlockSpec((tb, 512), row),
-            pl.BlockSpec((tb, 512), row),
-            pl.BlockSpec((tb, 512, 3), row3),
-        ],
-        out_specs=(
-            pl.BlockSpec((tb, 512), row),
-            pl.BlockSpec((tb, 512), row),
-            pl.BlockSpec((tb, 512), row),
-            pl.BlockSpec((tb, 512, 3), row3),
-            pl.BlockSpec((tb, 128), row),
-        ),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] + [row_spec] * 10,
+        out_specs=tuple([row_spec] * 6) + (pl.BlockSpec((tb, 128), row),),
         scratch_shapes=[
             pltpu.VMEM((2, tb, ph, pw * c), jnp.float32),
             pltpu.SemaphoreType.DMA((2, tb)),
         ],
     )
-    out_shape = (
-        jax.ShapeDtypeStruct((vcap, 512), jnp.float32),
-        jax.ShapeDtypeStruct((vcap, 512), jnp.float32),
-        jax.ShapeDtypeStruct((vcap, 512), jnp.float32),
-        jax.ShapeDtypeStruct((vcap, 512, 3), jnp.float32),
-        jax.ShapeDtypeStruct((vcap, 128), jnp.float32),
-    )
-    return pl.pallas_call(
+    out_shape = tuple(
+        jax.ShapeDtypeStruct((vcap, 512), jnp.float32) for _ in range(6)
+    ) + (jax.ShapeDtypeStruct((vcap, 128), jnp.float32),)
+    t_w, w_w, p_w, r_w, g_w, b_w, minabs = pl.pallas_call(
         kernel,
         out_shape=out_shape,
         grid_spec=grid_spec,
         interpret=interpret,
-    )(u0, v0, img_flat, u, v, z, gate, tsdf, weight, prob, rgb)
+    )(
+        u0, v0, img_flat, u, v, z, gate, tsdf, weight, prob,
+        rgb[..., 0], rgb[..., 1], rgb[..., 2],
+    )
+    return t_w, w_w, p_w, jnp.stack([r_w, g_w, b_w], axis=-1), minabs

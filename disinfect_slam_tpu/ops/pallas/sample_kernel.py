@@ -10,13 +10,14 @@ block project into a small contiguous image patch.  Per visible block:
 
   1. DMA the block's (PH, PW, C) patch from the HBM image into VMEM
      (bulk copy: ~40 KB, amortized over 512 samples);
-  2. select each voxel's pixel with two MXU matmuls instead of gathers:
-       A   = onehot_v [512, PH] @ patch [PH, PW*C]      (row select)
-       out = (A * onehot_wc [512, PW*C]) @ G [PW*C, C]  (column select)
-     where onehot_* are built from iota compares in-register and G is a
-     static 0/1 channel-collector matrix.  Each output element receives
-     exactly one product term, so the selection is numerically exact in
-     f32 (no accumulation error).
+  2. select each voxel's pixel in-register instead of gathering:
+       A       = onehot_v [512, PH] @ patch [PH, PW*C]   (MXU row select)
+       out[cc] = sum_p A * (p - lu*C == cc)              (VPU lane reduce)
+     The one-hot row select runs as three bf16 matmuls over a hi/mid/lo
+     split of the patch (the f32 MXU path miscompiles on this stack;
+     each output element receives exactly one product term per matmul so
+     the sum reconstructs f32 exactly).  The per-channel column select is
+     a masked lane reduce with exactly one nonzero per row — exact f32.
 
 Out-of-patch voxels (blocks whose screen footprint exceeds the static
 patch, i.e. very close to the camera) are flagged invalid and must be
@@ -24,7 +25,10 @@ handled by the caller (they skip fusion for the frame).
 
 Layout notes: voxels ride the sublane dim (512 = 4 x 128-row f32 tiles),
 patch pixels the lane dim; PH/PW*C are padded to tile boundaries by
-Mosaic automatically.
+Mosaic automatically.  Kernel outputs are one [V, 512] array per channel
+— a [V, 512, C] output would get its minor dim lane-padded C -> 128 in
+the pallas boundary layout (an 8 GB allocation at full scale; this is
+what OOM'd the round-2 sweep).
 """
 
 from __future__ import annotations
@@ -47,15 +51,6 @@ DEFAULT_PH = 32
 DEFAULT_PW = 48
 
 
-def _selector_matrix(pw: int, c: int) -> np.ndarray:
-    """Static [PW*C, C] collector: G[w*C + cc, c'] = (cc == c')."""
-    g = np.zeros((pw * c, c), np.float32)
-    for w in range(pw):
-        for cc in range(c):
-            g[w * c + cc, cc] = 1.0
-    return g
-
-
 def _sample_kernel(
     # scalar prefetch
     u0_ref,  # [V] i32 patch origin x per block
@@ -64,22 +59,24 @@ def _sample_kernel(
     img_ref,  # [H, W*C] f32 in ANY/HBM (flattened channels)
     lu_ref,  # [TB, 512] i32 in-patch... absolute pixel x per voxel
     lv_ref,  # [TB, 512] i32 absolute pixel y per voxel
-    g_ref,  # [PW*C, C] f32 static selector
-    # outputs
-    out_ref,  # [TB, 512, C] f32 samples
-    valid_ref,  # [TB, 512] f32 1.0 where sample is in-patch
-    # scratch
-    patch_ref,  # [TB, PH, PW*C] f32
-    sems,  # DMA semaphores [TB]
-    *,
+    # outputs: C x [TB, 512] channel samples, then validity
+    *refs,  # out_ref_0..out_ref_{C-1}, valid_ref, patch_ref, sems
     tb: int,
     ph: int,
     pw: int,
     c: int,
     img_h: int,
     img_w: int,
-    stage2: str,
 ):
+    out_refs = refs[:c]
+    valid_ref = refs[c]
+    patch_ref = refs[c + 1]  # [2, TB, PH, PW*C] f32 scratch
+    sems = refs[c + 2]  # DMA semaphores [2, TB]
+
+    # static 0/1 channel collector, exact in bf16: G[p, cc] = (p % C == cc)
+    gp = jax.lax.broadcasted_iota(jnp.int32, (pw * c, c), 0)
+    gc = jax.lax.broadcasted_iota(jnp.int32, (pw * c, c), 1)
+    g_mat = (gp % c == gc).astype(jnp.bfloat16)
     i = pl.program_id(0)
     n_tiles = pl.num_programs(0)
 
@@ -136,39 +133,33 @@ def _sample_kernel(
             + jnp.dot(oh_v, p_lo, preferred_element_type=jnp.float32)
         )  # [512, PW*C]
 
-        # window select without integer division: position p belongs to
-        # pixel column lu iff 0 <= p - lu*C < C
+        # column-group select: position p belongs to pixel column lu iff
+        # 0 <= p - lu*C < C; bf16 hi/mid/lo split matmuls against the 0/1
+        # collector are exact (one nonzero product per output per matmul)
+        # and beat a per-channel masked lane reduce (serial vreg work) by
+        # keeping the reduction on the MXU.
         pcol = jax.lax.broadcasted_iota(jnp.int32, (512, pw * c), 1)
         d = pcol - lu_c[:, None] * c
         oh_wc = ((d >= 0) & (d < c)).astype(jnp.float32)
         m = a * oh_wc
-        if stage2 == "reshape":
-            # exact f32: each output group sums exactly one nonzero.
-            # NOTE: this Mosaic stack cannot lower the 2D->3D tpu.reshape
-            # ("infer-vector-layout: unsupported shape cast"), so the
-            # matmul path below is the default on hardware.
-            out = m.reshape(512, pw, c).sum(axis=1)  # [512, C]
-        else:
-            # bf16 hi/mid/lo split matmuls (the f32 MXU path is broken on
-            # this stack); exact: one nonzero product term per output
-            m_hi = m.astype(jnp.bfloat16)
-            r2 = m - m_hi.astype(jnp.float32)
-            m_mid = r2.astype(jnp.bfloat16)
-            m_lo = (r2 - m_mid.astype(jnp.float32)).astype(jnp.bfloat16)
-            gb = g_ref[:].astype(jnp.bfloat16)
-            out = (
-                jnp.dot(m_hi, gb, preferred_element_type=jnp.float32)
-                + jnp.dot(m_mid, gb, preferred_element_type=jnp.float32)
-                + jnp.dot(m_lo, gb, preferred_element_type=jnp.float32)
-            )  # [512, C]
+        m_hi = m.astype(jnp.bfloat16)
+        r2 = m - m_hi.astype(jnp.float32)
+        m_mid = r2.astype(jnp.bfloat16)
+        m_lo = (r2 - m_mid.astype(jnp.float32)).astype(jnp.bfloat16)
+        out = (
+            jnp.dot(m_hi, g_mat, preferred_element_type=jnp.float32)
+            + jnp.dot(m_mid, g_mat, preferred_element_type=jnp.float32)
+            + jnp.dot(m_lo, g_mat, preferred_element_type=jnp.float32)
+        )  # [512, C]
 
         vmask = in_patch.astype(jnp.float32)
-        out_ref[b] = out * vmask[:, None]
+        for cc in range(c):
+            out_refs[cc][b] = out[:, cc] * vmask
         valid_ref[b] = vmask
 
 
 @functools.partial(
-    jax.jit, static_argnames=("ph", "pw", "tb", "interpret", "stage2")
+    jax.jit, static_argnames=("ph", "pw", "tb", "interpret", "as_channels")
 )
 def sample_patches(
     img: jnp.ndarray,  # [H, W, C] f32 stacked frame channels
@@ -180,10 +171,13 @@ def sample_patches(
     pw: int = DEFAULT_PW,
     tb: int = 8,
     interpret: bool = False,
-    stage2: str = "matmul",
+    as_channels: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Sample img at (v, u) per voxel -> ([V, 512, C] values, [V, 512]
-    validity).  Samples outside the per-block patch come back invalid."""
+    """Sample img at (v, u) per voxel.  Returns ([V, 512, C] values,
+    [V, 512] validity), or (tuple of C [V, 512] arrays, validity) with
+    as_channels=True — callers fusing at full scale should take the
+    channel form to avoid materializing the stacked array.  Samples
+    outside the per-block patch come back invalid."""
     img_h, img_w, c = img.shape
     vcap = u0.shape[0]
     assert vcap % tb == 0, (vcap, tb)
@@ -196,7 +190,6 @@ def sample_patches(
     v0 = jnp.clip((v0 // 8) * 8, 0, ((img_h - ph) // 8) * 8)
 
     img_flat = img.reshape(img_h, img_w * c)
-    g = jnp.asarray(_selector_matrix(pw, c))
 
     kernel = functools.partial(
         _sample_kernel,
@@ -206,34 +199,32 @@ def sample_patches(
         c=c,
         img_h=img_h,
         img_w=img_w,
-        stage2=stage2,
     )
-    out_shape = (
-        jax.ShapeDtypeStruct((vcap, 512, c), jnp.float32),
-        jax.ShapeDtypeStruct((vcap, 512), jnp.float32),
+    row_spec = pl.BlockSpec((tb, 512), lambda i, *_: (i, 0))
+    out_shape = tuple(
+        jax.ShapeDtypeStruct((vcap, 512), jnp.float32) for _ in range(c + 1)
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # img stays in HBM
-            pl.BlockSpec((tb, 512), lambda i, *_: (i, 0)),
-            pl.BlockSpec((tb, 512), lambda i, *_: (i, 0)),
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # selector
+            row_spec,
+            row_spec,
         ],
-        out_specs=(
-            pl.BlockSpec((tb, 512, c), lambda i, *_: (i, 0, 0)),
-            pl.BlockSpec((tb, 512), lambda i, *_: (i, 0)),
-        ),
+        out_specs=tuple(row_spec for _ in range(c + 1)),
         scratch_shapes=[
             pltpu.VMEM((2, tb, ph, pw * c), jnp.float32),
             pltpu.SemaphoreType.DMA((2, tb)),
         ],
     )
-    samples, valid = pl.pallas_call(
+    outs = pl.pallas_call(
         kernel,
         out_shape=out_shape,
         grid_spec=grid_spec,
         interpret=interpret,
-    )(u0, v0, img_flat, u, v, g)
-    return samples, valid > 0.5
+    )(u0, v0, img_flat, u, v)
+    chans, valid = outs[:c], outs[c] > 0.5
+    if as_channels:
+        return chans, valid
+    return jnp.stack(chans, axis=-1), valid

@@ -20,6 +20,17 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "tests"))
 
 
+def _error_summary(e: Exception) -> str:
+    """Surface the root-cause line: the axon remote compiler hides OOM /
+    Mosaic failures behind 'HTTP 500: tpu_compile_helper exit 1' and a
+    wall of log noise."""
+    msg = str(e)
+    keys = ("Ran out of memory", "Mosaic failed", "unsupported", "RESOURCE")
+    lines = [ln.strip() for ln in msg.splitlines() if any(k in ln for k in keys)]
+    head = repr(e)[:200]
+    return (lines[0][:300] + " | " + head) if lines else repr(e)[:500]
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=30)
@@ -117,7 +128,7 @@ def main():
             }
             del vol, step
         except Exception as e:  # keep the sweep alive per variant
-            results[name] = {"error": repr(e)[:200]}
+            results[name] = {"error": _error_summary(e)}
         print(f"[sweep] {name}: {results[name]}", flush=True)
 
     # render variants on the final fused volume (gather sampler: renderer
@@ -170,7 +181,7 @@ def main():
             ms = (time.perf_counter() - t0) / 3 * 1e3
             results[name] = {"ms": round(ms, 2)}
         except Exception as e:  # keep the sweep alive per variant
-            results[name] = {"error": repr(e)[:200]}
+            results[name] = {"error": _error_summary(e)}
         print(f"[sweep] {name}: {results[name]}", flush=True)
 
     with open("/tmp/tpu_sweep.json", "w") as f:
