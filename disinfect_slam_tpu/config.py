@@ -102,8 +102,12 @@ class TSDFConfig:
     # "sort":   jnp.unique over packed keys (any backend)
     # "filter": dense backend only — presence-check against the block
     #           table, then compact only the (few) genuinely-new keys;
-    #           skips the ~1M-key sort entirely
-    alloc_dedup: str = "sort"
+    #           skips the ~1M-key sort entirely.
+    # TPU A/B at 640x480/4mm (r2): filter 173.5 ms/frame (32 s compile)
+    # vs sort 176.3 ms (605 s compile); cull_occluded hurts both
+    # (225-229 ms) — the mip build + extra gate costs more than the
+    # skipped fusion work in closed indoor scenes.
+    alloc_dedup: str = "filter"
     # bucketed visible capacity (TSDFGrid host path only): compile the
     # frame step at these smaller max_visible values too and pick per
     # frame from the previous frame's visible count — fuse/carve cost
