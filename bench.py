@@ -75,10 +75,12 @@ def _verify_sampler(jax, jnp, w, h) -> bool:
         rng = np.random.default_rng(0)
         v_blocks = 64
         img = jnp.asarray(rng.uniform(0, 255, (h, w, 8)).astype(np.float32))
-        u0 = rng.integers(0, w - 48, v_blocks).astype(np.int32)
-        v0 = rng.integers(0, h - 32, v_blocks).astype(np.int32)
-        u = (u0[:, None] + rng.integers(0, 32, (v_blocks, 512))).astype(np.int32)
-        v = (v0[:, None] + rng.integers(0, 24, (v_blocks, 512))).astype(np.int32)
+        # footprints <= 16x16: covered by the 24x32 default patch even
+        # after origin alignment (u0%16, v0%8)
+        u0 = rng.integers(0, w - 32, v_blocks).astype(np.int32)
+        v0 = rng.integers(0, h - 24, v_blocks).astype(np.int32)
+        u = (u0[:, None] + rng.integers(0, 16, (v_blocks, 512))).astype(np.int32)
+        v = (v0[:, None] + rng.integers(0, 16, (v_blocks, 512))).astype(np.int32)
         s, valid = sample_patches(
             img, jnp.asarray(u0), jnp.asarray(v0), jnp.asarray(u), jnp.asarray(v)
         )

@@ -117,9 +117,12 @@ class TSDFConfig:
     # that frame (the reference's lock-fail semantics); the next frame
     # re-buckets.  Each bucket must divide by sample_tile.
     visible_buckets: tuple = ()
-    patch_h: int = 32
-    patch_w: int = 48
-    sample_tile: int = 8
+    # Pallas sampler patch (pixels): sized to the measured p90 block
+    # footprint (9x9 px at 640x480/4mm, max 12x12) plus DMA-alignment
+    # slack; pw must be a power of two (column-select fold tree)
+    patch_h: int = 24
+    patch_w: int = 32
+    sample_tile: int = 16
 
     # ------------------------------------------------------------------
     @property

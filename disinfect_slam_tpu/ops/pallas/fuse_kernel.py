@@ -85,15 +85,6 @@ def _fuse_kernel(
     i = pl.program_id(0)
     n_tiles = pl.num_programs(0)
 
-    # static 0/1 channel collector (exact in bf16): G[p, cc] = (p % C == cc).
-    # Sums each row's C-wide selected group on the MXU — a per-channel
-    # masked lane reduce is ~20 us/block of serial vreg work (measured
-    # 2.3x slower end-to-end), and the 2D->3D reshape alternative cannot
-    # lower on this Mosaic stack.
-    gp = jax.lax.broadcasted_iota(jnp.int32, (pw * c, c), 0)
-    gc = jax.lax.broadcasted_iota(jnp.int32, (pw * c, c), 1)
-    g_mat = (gp % c == gc).astype(jnp.bfloat16)
-
     def _dma(tile, b):
         v0 = pl.multiple_of(v0_ref[tile * tb + b], 8)
         u0c = pl.multiple_of(u0_ref[tile * tb + b] * c, 128)
@@ -139,21 +130,18 @@ def _fuse_kernel(
             + jnp.dot(oh_v, p_lo, preferred_element_type=jnp.float32)
         )  # [512, PW*C]
         # column-group select: position p belongs to pixel column lu iff
-        # 0 <= p - lu*C < C; the bf16 hi/mid/lo split matmuls against the
-        # collector are exact (one nonzero product per output per matmul)
+        # 0 <= p - lu*C < C.  Masked fold tree, all channels at once:
+        # exactly one nonzero f32 term per output element (exact); see
+        # sample_kernel.py for why this beats the former N=C matmuls.
         pcol = jax.lax.broadcasted_iota(jnp.int32, (512, pw * c), 1)
         dsel = pcol - lu_c[:, None] * c
         oh_wc = ((dsel >= 0) & (dsel < c)).astype(jnp.float32)
         m = a * oh_wc
-        m_hi = m.astype(jnp.bfloat16)
-        r2 = m - m_hi.astype(jnp.float32)
-        m_mid = r2.astype(jnp.bfloat16)
-        m_lo = (r2 - m_mid.astype(jnp.float32)).astype(jnp.bfloat16)
-        samp = (
-            jnp.dot(m_hi, g_mat, preferred_element_type=jnp.float32)
-            + jnp.dot(m_mid, g_mat, preferred_element_type=jnp.float32)
-            + jnp.dot(m_lo, g_mat, preferred_element_type=jnp.float32)
-        )  # [512, C]
+        fold = pw * c
+        while fold > c:
+            fold //= 2
+            m = m[:, :fold] + m[:, fold:2 * fold]
+        samp = m  # [512, C]
 
         depth = samp[:, 0]
         d2r = samp[:, 1]
@@ -240,7 +228,7 @@ def fuse_rows(
     prob_eps: float = 0.0,
     ph: int = DEFAULT_PH,
     pw: int = DEFAULT_PW,
-    tb: int = 8,
+    tb: int = 16,
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Fused sample+update over gathered pool rows; returns updated
@@ -249,6 +237,8 @@ def fuse_rows(
     img_h, img_w, c = img.shape
     vcap = u0.shape[0]
     assert vcap % tb == 0
+    # the column-select fold tree halves PW*C down to C
+    assert pw & (pw - 1) == 0 and c & (c - 1) == 0, (pw, c)
 
     ualign = max(128 // c, 1)
     u0 = jnp.clip((u0 // ualign) * ualign, 0, ((img_w - pw) // ualign) * ualign)

@@ -11,13 +11,17 @@ block project into a small contiguous image patch.  Per visible block:
   1. DMA the block's (PH, PW, C) patch from the HBM image into VMEM
      (bulk copy: ~40 KB, amortized over 512 samples);
   2. select each voxel's pixel in-register instead of gathering:
-       A       = onehot_v [512, PH] @ patch [PH, PW*C]   (MXU row select)
-       out[cc] = sum_p A * (p - lu*C == cc)              (VPU lane reduce)
+       A    = onehot_v [512, PH] @ patch [PH, PW*C]   (MXU row select)
+       samp = fold-tree(A * colmask)                  (VPU, 5 adds)
      The one-hot row select runs as three bf16 matmuls over a hi/mid/lo
      split of the patch (the f32 MXU path miscompiles on this stack;
      each output element receives exactly one product term per matmul so
-     the sum reconstructs f32 exactly).  The per-channel column select is
-     a masked lane reduce with exactly one nonzero per row — exact f32.
+     the sum reconstructs f32 exactly).  The column select zeroes all
+     lanes except the voxel's C-wide pixel group and halves the lane
+     width log2(PW) times — each output is a sum with exactly one
+     nonzero f32 term (exact), replacing the former stage-2 N=C matmuls
+     (6% MXU utilization) and their hi/mid/lo splits of the [512, PW*C]
+     intermediate, which together dominated the kernel's runtime.
 
 Out-of-patch voxels (blocks whose screen footprint exceeds the static
 patch, i.e. very close to the camera) are flagged invalid and must be
@@ -43,12 +47,15 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 # patch extent in pixels; a block (8 voxels across, diagonal ~14 voxels)
-# fits while fx * 8 * voxel_size * sqrt(3) / z <= PH, i.e. z >= ~0.5 m at
+# fits while fx * 8 * voxel_size * sqrt(3) / z <= PH, i.e. z >= ~0.7 m at
 # 4 mm voxels with fx=525.  Origins are tile-aligned (v0 % 8 == 0,
-# u0 % 16 == 0 so u0*C lands on a 128-lane boundary), so the patch is
-# padded by one alignment step beyond the nominal footprint.
-DEFAULT_PH = 32
-DEFAULT_PW = 48
+# u0 % 16 == 0 so u0*C lands on a 128-lane boundary), so the patch
+# covers footprints up to PH-8 x PW-16 past the aligned origin.  Sized
+# from measured screen footprints at the bench workload (p90 9x9 px,
+# max 12x12): 24x32 fits everything with alignment slack to spare and
+# halves both stage-1 matmul work and patch DMA vs the former 32x48.
+DEFAULT_PH = 24
+DEFAULT_PW = 32
 
 
 def _sample_kernel(
@@ -73,10 +80,6 @@ def _sample_kernel(
     patch_ref = refs[c + 1]  # [2, TB, PH, PW*C] f32 scratch
     sems = refs[c + 2]  # DMA semaphores [2, TB]
 
-    # static 0/1 channel collector, exact in bf16: G[p, cc] = (p % C == cc)
-    gp = jax.lax.broadcasted_iota(jnp.int32, (pw * c, c), 0)
-    gc = jax.lax.broadcasted_iota(jnp.int32, (pw * c, c), 1)
-    g_mat = (gp % c == gc).astype(jnp.bfloat16)
     i = pl.program_id(0)
     n_tiles = pl.num_programs(0)
 
@@ -134,23 +137,22 @@ def _sample_kernel(
         )  # [512, PW*C]
 
         # column-group select: position p belongs to pixel column lu iff
-        # 0 <= p - lu*C < C; bf16 hi/mid/lo split matmuls against the 0/1
-        # collector are exact (one nonzero product per output per matmul)
-        # and beat a per-channel masked lane reduce (serial vreg work) by
-        # keeping the reduction on the MXU.
+        # 0 <= p - lu*C < C.  Zero every other lane, then a fold tree
+        # halves the lane width log2(PW) times down to C — each output
+        # element is a sum with exactly one nonzero f32 term (exact).
+        # All C channels fold simultaneously (a *per-channel* masked
+        # reduce was 2.3x slower; the former N=C stage-2 matmuls ran the
+        # MXU at 6% utilization and needed hi/mid/lo splits of this
+        # whole [512, PW*C] intermediate).
         pcol = jax.lax.broadcasted_iota(jnp.int32, (512, pw * c), 1)
         d = pcol - lu_c[:, None] * c
         oh_wc = ((d >= 0) & (d < c)).astype(jnp.float32)
         m = a * oh_wc
-        m_hi = m.astype(jnp.bfloat16)
-        r2 = m - m_hi.astype(jnp.float32)
-        m_mid = r2.astype(jnp.bfloat16)
-        m_lo = (r2 - m_mid.astype(jnp.float32)).astype(jnp.bfloat16)
-        out = (
-            jnp.dot(m_hi, g_mat, preferred_element_type=jnp.float32)
-            + jnp.dot(m_mid, g_mat, preferred_element_type=jnp.float32)
-            + jnp.dot(m_lo, g_mat, preferred_element_type=jnp.float32)
-        )  # [512, C]
+        fold = pw * c
+        while fold > c:
+            fold //= 2
+            m = m[:, :fold] + m[:, fold:2 * fold]
+        out = m  # [512, C]
 
         vmask = in_patch.astype(jnp.float32)
         for cc in range(c):
@@ -169,7 +171,7 @@ def sample_patches(
     v: jnp.ndarray,  # [V, 512] i32 absolute pixel y per voxel
     ph: int = DEFAULT_PH,
     pw: int = DEFAULT_PW,
-    tb: int = 8,
+    tb: int = 16,
     interpret: bool = False,
     as_channels: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -181,6 +183,8 @@ def sample_patches(
     img_h, img_w, c = img.shape
     vcap = u0.shape[0]
     assert vcap % tb == 0, (vcap, tb)
+    # the column-select fold tree halves PW*C down to C
+    assert pw & (pw - 1) == 0 and c & (c - 1) == 0, (pw, c)
     grid = (vcap // tb,)
 
     # align origins to the DMA tiling (sublane 8, lane 128 => u0*C % 128);
