@@ -145,7 +145,8 @@ class _SplatPrep(NamedTuple):
 
 
 def _prep_splat_blocks(
-    vol, cam, cam_T_world, max_depth, band, overflow_cap, ph, pw
+    vol, cam, cam_T_world, max_depth, band, overflow_cap, ph, pw,
+    surf_cap=None,
 ) -> Tuple[_SplatPrep, jnp.ndarray]:
     """Shared host-side prep: project, bbox per block, split into
     patch-kernel blocks (footprint fits an aligned [ph, pw] window) and
@@ -158,7 +159,7 @@ def _prep_splat_blocks(
     n_pix = hgt * wid
 
     uf, vf, depth_q, surf, vis = _project_for_splat(
-        vol, cam, cam_T_world, max_depth, band
+        vol, cam, cam_T_world, max_depth, band, surf_cap
     )  # [V,512] f32, f32, i32, bool; VisibleSet
 
     u0px = jnp.floor(uf).astype(jnp.int32)
@@ -241,6 +242,7 @@ def splat_depth_pallas(
     pw: int = DEFAULT_PW,
     tb: int = 8,
     interpret: bool = False,
+    surf_cap=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Depth + hit images via the Pallas splat z-buffer.
 
@@ -252,8 +254,13 @@ def splat_depth_pallas(
     occur when the camera is inside/next to geometry).
     """
     hgt, wid = cam.img_h, cam.img_w
+    if surf_cap is None:
+        from ..render_fast import DEFAULT_SURF_CAP
+
+        surf_cap = DEFAULT_SURF_CAP
     prep, _pool = _prep_splat_blocks(
-        vol, cam, cam_T_world, max_depth, band, overflow_cap, ph, pw
+        vol, cam, cam_T_world, max_depth, band, overflow_cap, ph, pw,
+        surf_cap,
     )
     zbuf = _zbuf_pallas(prep, hgt, wid, ph, pw, tb, interpret)
     hit = (zbuf < BIG).reshape(hgt, wid)
@@ -368,6 +375,7 @@ def splat_render_pallas(
     pw: int = DEFAULT_PW,
     tb: int = 8,
     interpret: bool = False,
+    surf_cap=None,
 ):
     """Full splat render (rgba + normal + depth + hit) without scatters:
     the z-buffer and payload passes both run as patch kernels, with the
@@ -378,8 +386,13 @@ def splat_render_pallas(
 
     hgt, wid = cam.img_h, cam.img_w
     n_pix = hgt * wid
+    if surf_cap is None:
+        from ..render_fast import DEFAULT_SURF_CAP
+
+        surf_cap = DEFAULT_SURF_CAP
     prep, pool = _prep_splat_blocks(
-        vol, cam, cam_T_world, max_depth, band, overflow_cap, ph, pw
+        vol, cam, cam_T_world, max_depth, band, overflow_cap, ph, pw,
+        surf_cap,
     )
     zbuf = _zbuf_pallas(prep, hgt, wid, ph, pw, tb, interpret)
 

@@ -27,13 +27,51 @@ import jax.numpy as jnp
 from ..core import voxel as vx
 from ..core.geometry import SE3, CameraParams
 from ..core.state import TSDFVolume
-from .integrate import gather_visible
+from .integrate import VisibleSet, gather_visible
 from .raycast import RaycastResult
 
 _BIG = jnp.int32(2**30)
 
+# visible blocks kept for splatting (those containing surface-band
+# voxels); sized ~4x the surface blocks of a dense indoor frame at the
+# bench workload.  Excess surface blocks are dropped for the frame
+# (fail-open, like the fusion visible cap).
+DEFAULT_SURF_CAP = 8192
 
-def _project_for_splat(vol, cam, cam_T_world, max_depth, band):
+
+def _surf_visible(vol, cam, cam_T_world, band: float, cap: int) -> VisibleSet:
+    """Visible blocks restricted to those with any voxel in the surface
+    band (row min |tsdf| < band), compacted to a static cap.
+
+    Most visible blocks hold no surface: allocation creates a shell of
+    +/- truncation around observed depth, and the band is ~1 voxel wide.
+    Every splat cost after this (projection, z-buffer merge, payload) is
+    proportional to the kept count, so the filter is the single biggest
+    render lever.  Min/max merges are order-independent, so compaction
+    does not change the rendered images (test_splat vs the unfiltered
+    scatter path).
+    """
+    cfg = vol.cfg
+    vis = gather_visible(vol, cam, cam_T_world)
+    pool = jnp.clip(vis.pool_idx, 0, cfg.num_blocks - 1)
+    band_tsdf = band * cfg.voxel_size / cfg.truncation
+    minabs = jnp.min(jnp.abs(vol.tsdf[pool]), axis=-1)
+    has = vis.mask & (minabs < band_tsdf)
+    cap = min(cap, cfg.max_visible)
+    order = jnp.argsort(jnp.where(has, 0, 1), stable=True)[:cap]
+    keep = jnp.take(has, order)
+    return VisibleSet(
+        entry_idx=jnp.where(keep, jnp.take(vis.entry_idx, order), cfg.num_entries),
+        block_pos=jnp.where(
+            keep[:, None], jnp.take(vis.block_pos, order, axis=0), 0
+        ),
+        pool_idx=jnp.where(keep, jnp.take(vis.pool_idx, order), cfg.num_blocks),
+        mask=keep,
+        count=jnp.minimum(jnp.sum(has.astype(jnp.int32)), cap),
+    )
+
+
+def _project_for_splat(vol, cam, cam_T_world, max_depth, band, surf_cap=None):
     """Shared splat pass-1 quantities: float pixel coords, quantized
     corrected depth, and the surface-band mask, per visible voxel.
 
@@ -44,7 +82,10 @@ def _project_for_splat(vol, cam, cam_T_world, max_depth, band):
     """
     cfg = vol.cfg
     hgt, wid = cam.img_h, cam.img_w
-    vis = gather_visible(vol, cam, cam_T_world)
+    if surf_cap is not None:
+        vis = _surf_visible(vol, cam, cam_T_world, band, surf_cap)
+    else:
+        vis = gather_visible(vol, cam, cam_T_world)
     bv = cfg.block_volume
 
     offs = vx.index_to_offset(jnp.arange(bv, dtype=jnp.int32), cfg)
@@ -86,6 +127,7 @@ def splat_render(
     cam_T_world: SE3,
     max_depth: float,
     band: float = 1.25,
+    surf_cap: int | None = DEFAULT_SURF_CAP,
 ) -> RaycastResult:
     """Render rgba + normal-shaded views by splatting surface voxels.
 
@@ -93,13 +135,17 @@ def splat_render(
     distance from the zero crossing to the nearest voxel center (~0.87
     voxels on the diagonal), else surface sheets fall between layers and
     the render goes sparse.
+
+    surf_cap: keep only visible blocks containing band voxels, up to
+    this many (None = splat every visible block, the pre-filter-free
+    behavior).
     """
     cfg = vol.cfg
     hgt, wid = cam.img_h, cam.img_w
     n_pix = hgt * wid
 
     uf2, vf2, depth_q2, surf2, vis = _project_for_splat(
-        vol, cam, cam_T_world, max_depth, band
+        vol, cam, cam_T_world, max_depth, band, surf_cap
     )
     surf = surf2.reshape(-1)
     pool = jnp.clip(vis.pool_idx, 0, cfg.num_blocks - 1)
