@@ -443,14 +443,17 @@ def fuse_visible(
     )
 
     kernel_ok = cfg.block_volume == 512 and cfg.max_visible % cfg.sample_tile == 0
+    on_tpu = jax.default_backend() == "tpu"
+    # "auto" resolves to the transposed Pallas patch sampler on TPU:
+    # measured on v5e at full scale (640x480, 4 mm, 32k visible) it
+    # integrates at 83.5 ms/frame vs 174.7 for the XLA gather (the
+    # ~140 M desc/s gather wall) — bit-exact (max |dtsdf| = 0).  The
+    # voxels-on-lanes layout is what makes the kernel win; see
+    # ops/pallas/sample_kernel.py.  Elsewhere (CPU) the gather wins.
     use_fused = cfg.sampler == "pallas_fused" and kernel_ok
-    # "auto" resolves to the stacked-channel gather: measured on v5e at
-    # full scale (640x480, 4 mm, 32k visible) the XLA gather integrates at
-    # 177 ms/frame vs 316 (pallas) / 413 (pallas_fused) — the patch
-    # kernels' per-block one-hot selection costs more VPU/MXU work than
-    # the ~140 M desc/s gather wall they avoid.  The kernels remain
-    # selectable for workloads with smaller patches.
-    use_pallas = cfg.sampler == "pallas" and kernel_ok
+    use_pallas = kernel_ok and (
+        cfg.sampler == "pallas" or (cfg.sampler == "auto" and on_tpu)
+    )
 
     if use_fused:
         return _fuse_visible_kernel(

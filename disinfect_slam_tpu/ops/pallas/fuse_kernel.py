@@ -35,7 +35,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .sample_kernel import DEFAULT_PH, DEFAULT_PW
+from .sample_kernel import DEFAULT_PH, DEFAULT_PW, _NT_DNUMS
 
 
 def _rha(x):
@@ -105,6 +105,9 @@ def _fuse_kernel(
         for b in range(tb):
             _dma(i + 1, b).start()
 
+    rows_i = jax.lax.broadcasted_iota(jnp.int32, (ph, 512), 0)
+    pos_i = jax.lax.broadcasted_iota(jnp.int32, (pw * c, 512), 0)
+    slot = jax.lax.rem(i, 2)
     for b in range(tb):
         u0 = u0_ref[i * tb + b]
         v0 = v0_ref[i * tb + b]
@@ -116,38 +119,36 @@ def _fuse_kernel(
         lu_c = jnp.clip(lu, 0, pw - 1)
         lv_c = jnp.clip(lv, 0, ph - 1)
 
-        # --- selection (see sample_kernel.py) ---
-        rows = jax.lax.broadcasted_iota(jnp.int32, (512, ph), 1)
-        oh_v = (rows == lv_c[:, None]).astype(jnp.bfloat16)
-        p_full = patch_ref[jax.lax.rem(i, 2), b]
+        # --- transposed selection, voxels on lanes end-to-end (see
+        # sample_kernel.py for the layout rationale and exactness) ---
+        oh_t = (rows_i == lv_c[None, :]).astype(jnp.bfloat16)  # [PH, 512]
+        p_full = patch_ref[slot, b]
         p_hi = p_full.astype(jnp.bfloat16)
         r1 = p_full - p_hi.astype(jnp.float32)
         p_mid = r1.astype(jnp.bfloat16)
         p_lo = (r1 - p_mid.astype(jnp.float32)).astype(jnp.bfloat16)
-        a = (
-            jnp.dot(oh_v, p_hi, preferred_element_type=jnp.float32)
-            + jnp.dot(oh_v, p_mid, preferred_element_type=jnp.float32)
-            + jnp.dot(oh_v, p_lo, preferred_element_type=jnp.float32)
-        )  # [512, PW*C]
-        # column-group select: position p belongs to pixel column lu iff
-        # 0 <= p - lu*C < C.  Masked fold tree, all channels at once:
-        # exactly one nonzero f32 term per output element (exact); see
-        # sample_kernel.py for why this beats the former N=C matmuls.
-        pcol = jax.lax.broadcasted_iota(jnp.int32, (512, pw * c), 1)
-        dsel = pcol - lu_c[:, None] * c
-        oh_wc = ((dsel >= 0) & (dsel < c)).astype(jnp.float32)
-        m = a * oh_wc
+        a_t = (
+            jax.lax.dot_general(p_hi, oh_t, _NT_DNUMS,
+                                preferred_element_type=jnp.float32)
+            + jax.lax.dot_general(p_mid, oh_t, _NT_DNUMS,
+                                  preferred_element_type=jnp.float32)
+            + jax.lax.dot_general(p_lo, oh_t, _NT_DNUMS,
+                                  preferred_element_type=jnp.float32)
+        )  # [PW*C, 512]
+        dsel = pos_i - lu_c[None, :] * c
+        m = a_t * ((dsel >= 0) & (dsel < c)).astype(jnp.float32)
         fold = pw * c
         while fold > c:
             fold //= 2
-            m = m[:, :fold] + m[:, fold:2 * fold]
-        samp = m  # [512, C]
+            m = m[:fold, :] + m[fold:2 * fold, :]
+        # m [C, 512]: single-sublane channel rows feed the fusion math
+        # as natural [512] lane vectors — no relayout
 
-        depth = samp[:, 0]
-        d2r = samp[:, 1]
-        r_new, g_new, b_new = samp[:, 2], samp[:, 3], samp[:, 4]
-        ht = samp[:, 5]
-        lt = samp[:, 6]
+        depth = m[0, :]
+        d2r = m[1, :]
+        r_new, g_new, b_new = m[2, :], m[3, :], m[4, :]
+        ht = m[5, :]
+        lt = m[6, :]
 
         # --- fusion math (voxel_tsdf.cu:149-205) ---
         z = z_ref[b]

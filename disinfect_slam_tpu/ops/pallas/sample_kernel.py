@@ -10,18 +10,25 @@ block project into a small contiguous image patch.  Per visible block:
 
   1. DMA the block's (PH, PW, C) patch from the HBM image into VMEM
      (bulk copy: ~40 KB, amortized over 512 samples);
-  2. select each voxel's pixel in-register instead of gathering:
-       A    = onehot_v [512, PH] @ patch [PH, PW*C]   (MXU row select)
-       samp = fold-tree(A * colmask)                  (VPU, 5 adds)
-     The one-hot row select runs as three bf16 matmuls over a hi/mid/lo
-     split of the patch (the f32 MXU path miscompiles on this stack;
-     each output element receives exactly one product term per matmul so
-     the sum reconstructs f32 exactly).  The column select zeroes all
-     lanes except the voxel's C-wide pixel group and halves the lane
-     width log2(PW) times — each output is a sum with exactly one
-     nonzero f32 term (exact), replacing the former stage-2 N=C matmuls
-     (6% MXU utilization) and their hi/mid/lo splits of the [512, PW*C]
-     intermediate, which together dominated the kernel's runtime.
+  2. select each voxel's pixel in-register instead of gathering, with
+     voxels riding the LANE dimension end-to-end:
+       A_T  = dot_general(patch [PH, PW*C], onehot_T [PH, 512],
+                          contract dim0 x dim0)        -> [PW*C, 512]
+       samp = sublane fold-tree(A_T * colmask_T)       -> [C, 512]
+     The row select runs as three bf16 matmuls over a hi/mid/lo split
+     of the patch (the f32 MXU path miscompiles on this stack; each
+     output element receives exactly one product term per matmul so the
+     sum reconstructs f32 exactly).  The column select zeroes all rows
+     except the voxel's C-wide pixel group and halves the sublane count
+     log2(PW) times — each output is a sum with exactly one nonzero f32
+     term (exact).
+
+     Layout is the whole ballgame here: the output refs are [TB, 512]
+     with voxels on lanes, so any formulation that computes with voxels
+     on sublanes pays a [512] sublane->lane relayout per channel write —
+     measured 264 ms/frame at 32k blocks, swamping matmuls and DMA
+     combined.  The transposed form writes each channel as a
+     single-sublane row and runs at 55 ms for the same work.
 
 Out-of-patch voxels (blocks whose screen footprint exceeds the static
 patch, i.e. very close to the camera) are flagged invalid and must be
@@ -56,6 +63,10 @@ from jax.experimental.pallas import tpu as pltpu
 # halves both stage-1 matmul work and patch DMA vs the former 32x48.
 DEFAULT_PH = 24
 DEFAULT_PW = 32
+
+# dot_general dimension numbers contracting lhs dim0 with rhs dim0 — the
+# MXU-native lhsT form; keeps voxels on lanes through the selection
+_NT_DNUMS = (((0,), (0,)), ((), ()))
 
 
 def _sample_kernel(
@@ -107,56 +118,56 @@ def _sample_kernel(
         for b in range(tb):
             _dma(i + 1, b).start()
 
+    rows_i = jax.lax.broadcasted_iota(jnp.int32, (ph, 512), 0)
+    pos_i = jax.lax.broadcasted_iota(jnp.int32, (pw * c, 512), 0)
+    slot = jax.lax.rem(i, 2)
     for b in range(tb):
         u0 = u0_ref[i * tb + b]
         v0 = v0_ref[i * tb + b]
         _dma(i, b).wait()
 
-        lu = lu_ref[b] - u0  # [512] local x
+        lu = lu_ref[b] - u0  # [512] local x, voxels on lanes
         lv = lv_ref[b] - v0  # [512] local y
         in_patch = (lu >= 0) & (lu < pw) & (lv >= 0) & (lv < ph)
         lu_c = jnp.clip(lu, 0, pw - 1)
         lv_c = jnp.clip(lv, 0, ph - 1)
 
-        rows = jax.lax.broadcasted_iota(jnp.int32, (512, ph), 1)
-        # the f32 MXU path miscompiles on this Mosaic stack (output lanes
-        # broadcast); bf16 is correct, so run the one-hot selection as
-        # three bf16 matmuls over a hi/mid/lo split of the patch — each
-        # output element receives exactly one product term per matmul, so
-        # the sum reconstructs the f32 value to ~1 ulp
-        oh_v = (rows == lv_c[:, None]).astype(jnp.bfloat16)  # [512, PH]
-        p_full = patch_ref[jax.lax.rem(i, 2), b]
+        # transposed one-hot row select on the MXU (lhsT contraction is
+        # the MXU-native form).  The f32 MXU path miscompiles on this
+        # stack (output lanes broadcast); three bf16 matmuls over a
+        # hi/mid/lo split of the patch reconstruct f32 exactly (each
+        # output element receives exactly one product term per matmul).
+        oh_t = (rows_i == lv_c[None, :]).astype(jnp.bfloat16)  # [PH, 512]
+        p_full = patch_ref[slot, b]
         p_hi = p_full.astype(jnp.bfloat16)
         r1 = p_full - p_hi.astype(jnp.float32)
         p_mid = r1.astype(jnp.bfloat16)
         p_lo = (r1 - p_mid.astype(jnp.float32)).astype(jnp.bfloat16)
-        a = (
-            jnp.dot(oh_v, p_hi, preferred_element_type=jnp.float32)
-            + jnp.dot(oh_v, p_mid, preferred_element_type=jnp.float32)
-            + jnp.dot(oh_v, p_lo, preferred_element_type=jnp.float32)
-        )  # [512, PW*C]
+        a_t = (
+            jax.lax.dot_general(p_hi, oh_t, _NT_DNUMS,
+                                preferred_element_type=jnp.float32)
+            + jax.lax.dot_general(p_mid, oh_t, _NT_DNUMS,
+                                  preferred_element_type=jnp.float32)
+            + jax.lax.dot_general(p_lo, oh_t, _NT_DNUMS,
+                                  preferred_element_type=jnp.float32)
+        )  # [PW*C, 512] — voxels stay on lanes
 
-        # column-group select: position p belongs to pixel column lu iff
-        # 0 <= p - lu*C < C.  Zero every other lane, then a fold tree
-        # halves the lane width log2(PW) times down to C — each output
-        # element is a sum with exactly one nonzero f32 term (exact).
-        # All C channels fold simultaneously (a *per-channel* masked
-        # reduce was 2.3x slower; the former N=C stage-2 matmuls ran the
-        # MXU at 6% utilization and needed hi/mid/lo splits of this
-        # whole [512, PW*C] intermediate).
-        pcol = jax.lax.broadcasted_iota(jnp.int32, (512, pw * c), 1)
-        d = pcol - lu_c[:, None] * c
-        oh_wc = ((d >= 0) & (d < c)).astype(jnp.float32)
-        m = a * oh_wc
+        # column-group select: patch row p belongs to pixel column lu
+        # iff 0 <= p - lu*C < C.  Zero every other row, then a fold tree
+        # halves the sublane count log2(PW) times down to C — each
+        # output is a sum with exactly one nonzero f32 term (exact).
+        d = pos_i - lu_c[None, :] * c
+        m = a_t * ((d >= 0) & (d < c)).astype(jnp.float32)
         fold = pw * c
         while fold > c:
             fold //= 2
-            m = m[:, :fold] + m[:, fold:2 * fold]
-        out = m  # [512, C]
-
+            m = m[:fold, :] + m[fold:2 * fold, :]
+        # m [C, 512]: each channel is one sublane row -> writes need no
+        # relayout (the [512, C] form cost a sublane->lane transpose per
+        # channel write: 264 ms/frame at 32k blocks, the dominant cost)
         vmask = in_patch.astype(jnp.float32)
         for cc in range(c):
-            out_refs[cc][b] = out[:, cc] * vmask
+            out_refs[cc][b] = m[cc, :] * vmask
         valid_ref[b] = vmask
 
 

@@ -33,10 +33,11 @@ from .raycast import RaycastResult
 _BIG = jnp.int32(2**30)
 
 # visible blocks kept for splatting (those containing surface-band
-# voxels); sized ~4x the surface blocks of a dense indoor frame at the
-# bench workload.  Excess surface blocks are dropped for the frame
-# (fail-open, like the fusion visible cap).
-DEFAULT_SURF_CAP = 8192
+# voxels); the bench workload measures 11.9k surface blocks of 22.4k
+# visible at steady state, so 16k holds everything with headroom.
+# Excess surface blocks are dropped for the frame (fail-open, like the
+# fusion visible cap).
+DEFAULT_SURF_CAP = 16384
 
 
 def _surf_visible(vol, cam, cam_T_world, band: float, cap: int) -> VisibleSet:

@@ -31,8 +31,7 @@ V = 32768
 PH, PW = 24, 32
 
 
-def make_kernel(mode, tb):
-    group = 8  # blocks per block-diagonal matmul (VMEM-bounded)
+def make_kernel(mode, tb, group=8):  # blocks per block-diagonal matmul (VMEM-bounded)
 
     def kernel(u0_ref, v0_ref, img_ref, lu_ref, lv_ref, out_ref,
                patch_ref, sems):
@@ -116,8 +115,8 @@ def make_kernel(mode, tb):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("mode", "tb"))
-def run(img_flat, u0, v0, u, v, mode, tb):
+@functools.partial(jax.jit, static_argnames=("mode", "tb", "group"))
+def run(img_flat, u0, v0, u, v, mode, tb, group=8):
     out_spec = pl.BlockSpec((tb, 512 * (C + 1)), lambda i, *_: (i, 0))
     row_spec = pl.BlockSpec((tb, 512), lambda i, *_: (i, 0))
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -131,7 +130,7 @@ def run(img_flat, u0, v0, u, v, mode, tb):
         ],
     )
     return pl.pallas_call(
-        make_kernel(mode, tb),
+        make_kernel(mode, tb, group),
         out_shape=jax.ShapeDtypeStruct((V, 512 * (C + 1)), jnp.float32),
         grid_spec=grid_spec,
     )(u0, v0, img_flat, u, v)
@@ -148,9 +147,9 @@ def main():
     u0, v0 = jnp.asarray(u0_np), jnp.asarray(v0_np)
     u, v = jnp.asarray(u_np), jnp.asarray(v_np)
 
-    for mode, tb in (("empty", 16), ("empty", 64), ("bd", 16), ("bd", 64)):
+    for mode, tb, group in (("bd", 4, 4), ("bd", 8, 8), ("bd", 16, 16)):
         try:
-            out = run(img, u0, v0, u, v, mode, tb)
+            out = run(img, u0, v0, u, v, mode, tb, group)
             jax.block_until_ready(out)
             if mode == "bd":
                 # verify correctness on first 64 blocks
@@ -158,15 +157,15 @@ def main():
                 ref = img_np[v_np[:64], u_np[:64]]  # [64, 512, C]
                 ok = np.allclose(o[:, :C].transpose(0, 2, 1), ref, atol=1e-4)
                 exact = np.array_equal(o[:, :C].transpose(0, 2, 1), ref)
-                print(f"  bd tb={tb} correct={ok} exact={exact}", flush=True)
+                print(f"  bd tb={tb} g={group} correct={ok} exact={exact}", flush=True)
             t0 = time.perf_counter()
             for _ in range(10):
-                out = run(img, u0, v0, u, v, mode, tb)
+                out = run(img, u0, v0, u, v, mode, tb, group)
                 jax.block_until_ready(out)
             ms = (time.perf_counter() - t0) / 10 * 1e3
-            print(f"{mode}_tb{tb}: {ms:.2f} ms", flush=True)
+            print(f"{mode}_tb{tb}_g{group}: {ms:.2f} ms", flush=True)
         except Exception as e:
-            print(f"{mode}_tb{tb}: FAIL {str(e)[:300]}", flush=True)
+            print(f"{mode}_tb{tb}_g{group}: FAIL {str(e)[:300]}", flush=True)
     print("DONE", flush=True)
 
 
