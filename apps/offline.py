@@ -35,9 +35,11 @@ def main():
     ap.add_argument("--save", help="dump VoxelSpatialTSDF binary here")
     ap.add_argument("--mesh", help="extract + save OBJ mesh here")
     ap.add_argument("--render-dir", help="write raycast PNGs here")
-    ap.add_argument("--renderer", choices=["raycast", "splat", "splat_pallas"],
-                    default="raycast",
-                    help="parity ray marcher or the splat fast paths")
+    ap.add_argument("--renderer",
+                    choices=["auto", "raycast", "splat", "splat_pallas"],
+                    default="auto",
+                    help="parity ray marcher or the splat fast paths; "
+                         "auto = pallas splat on TPU, raycast elsewhere")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     ap.add_argument(
         "--preset", choices=["full", "small"], default="full",

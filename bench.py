@@ -249,6 +249,19 @@ def main():
         for _ in range(10):
             eng.infer_one(rgb_u8)
         seg_ms = (time.perf_counter() - t0) / 10 * 1e3
+        # device-only time (input pre-staged): separates network compute
+        # from the host<->device transfer, which dominates through the
+        # axon relay and overlaps with fusion in the online pipeline
+        staged_img = jax.device_put(jnp.asarray(rgb_u8, jnp.float32))
+        probs = eng._forward(eng.params, staged_img)
+        jax.block_until_ready(probs)
+        t0 = time.perf_counter()
+        for _ in range(10):
+            probs = eng._forward(eng.params, staged_img)
+            jax.block_until_ready(probs)
+        seg_dev_ms = (time.perf_counter() - t0) / 10 * 1e3
+        print(f"[bench] seg device-only {seg_dev_ms:.2f} ms "
+              f"(end-to-end {seg_ms:.2f} incl transfer)", file=sys.stderr)
     except Exception as e:  # pragma: no cover
         print(f"[bench] seg bench skipped: {e}", file=sys.stderr)
 

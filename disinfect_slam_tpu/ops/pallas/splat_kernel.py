@@ -1,27 +1,32 @@
-"""Pallas TPU kernel: surface-splat z-buffer (depth-only render).
+"""Pallas TPU kernels: surface-splat z-buffer + payload (scatter-free).
 
 The XLA splat renderer (ops/render_fast.py) builds its z-buffer with an
 elementwise scatter-min of ~4 descriptors per visible voxel — the
-measured TPU wall for such scatters is ~140M descriptors/s, which makes
-the depth pass the dominant cost of frame-to-model tracking.  This
-kernel inverts that: the z-buffer lives in VMEM for the whole pass
-(full-image output block revisited by every grid step — sequential TPU
-grid, so read-modify-write accumulation is safe), and each visible
-block min-merges a [PH, PW] patch covering its projected footprint:
+measured TPU wall for such scatters makes the depth pass the dominant
+cost of frame-to-model tracking.  These kernels invert that: the
+z-buffer lives in VMEM for the whole pass (full-image output block
+revisited by every grid step — sequential TPU grid, so
+read-modify-write accumulation is safe) and each surface block
+min-merges a COMPACT patch covering its projected footprint.
 
-  patch[qv, qu] = min over the block's 512 voxels k of
-                  dq_k  where (qv - lv_k) in {0, 1} and (qu - lu_k) in {0, 1}
+Layout lessons baked in (PROGRESS.md findings 8-10):
+  - voxels stay on LANES end-to-end; patch rows (y) ride sublanes.
+    Per patch column qu, a double-masked [CH, 512] lane-reduce computes
+    one [CH, 1] column, placed by a static lane mask — no
+    sublane<->lane relayouts (the per-voxel-row formulation cost 22
+    us/block; this runs ~3 us/block, measured 39.5 ms vs 265 ms for
+    12k blocks end-to-end).
+  - the compact [CH, CW] patch sits in a [24, 256] scratch whose pad
+    area stays BIG from a one-time init; placement into the
+    128/8-aligned VMEM window is two dynamic `pltpu.roll`s (traced
+    shifts work on both axes on this stack).
+  - `pl.multiple_of` annotations on the window origins are mandatory —
+    without them Mosaic rejects the dynamic window RMW.
 
-i.e. the same 2x2 pixel footprint per voxel as the reference path
-(render_fast.py splat pass 1), computed as a broadcast compare +
-min-reduce on the VPU instead of a scatter.  Blocks whose footprint
-exceeds the aligned patch window (very close to the camera) fall back
-to the XLA scatter on a small compacted set; the merged result is
-bit-identical to the XLA z-buffer (test_splat_kernel.py).
-
-Alignment: patch window origins are tile-aligned (v0 % 8 == 0,
-u0 % 128 == 0 — Mosaic dynamic-slice rule) and the z-buffer is padded
-to multiples of (8, 128) and cropped after.
+Blocks whose footprint exceeds the compact patch (CW-2 x CH-2 px
+before the +1 of the 2x2 splat) fall back to a capped XLA scatter; the
+merged result is bit-identical to the XLA z-buffer
+(test_splat_kernel.py).
 """
 
 from __future__ import annotations
@@ -35,76 +40,89 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 BIG = 2**30  # python int: jnp constants would be captured consts in the kernel
-DEFAULT_PH = 32
-DEFAULT_PW = 256
+# compact patch extent: footprints (bbox + the 2x2 splat's +1) must fit
+CW = 32  # patch columns (x): bbox width <= CW - 2
+CH = 16  # patch rows (y): bbox height <= CH - 2
+_WIN_H, _WIN_W = 24, 256  # aligned VMEM window (CH + sublane slack, 2 lane tiles)
 
 
 def _splat_kernel(
     # scalar prefetch
-    u0_ref,  # [S] i32, 128-aligned patch window origin per block
-    v0_ref,  # [S] i32, 8-aligned
-    n_ref,  # [1] i32, number of live blocks (rest skipped)
+    bu_ref,  # [S] i32 RAW footprint bbox origin x per block
+    bv_ref,  # [S] i32 RAW bbox origin y
+    n_ref,  # [1] i32 number of live blocks (rest skipped)
     # inputs (blocked rows)
-    lu_ref,  # [TB, 512] i32, window-relative voxel pixel x (floor)
-    lv_ref,  # [TB, 512] i32, window-relative voxel pixel y (floor)
-    dq_ref,  # [TB, 512] i32, quantized corrected depth (BIG = dead voxel)
+    lu_ref,  # [TB, 512] i32 bbox-relative voxel pixel x (floor)
+    lv_ref,  # [TB, 512] i32 bbox-relative voxel pixel y (floor)
+    dq_ref,  # [TB, 512] i32 quantized corrected depth (BIG = dead voxel)
     # output
     zbuf_ref,  # [HPAD, WPAD] i32, full image (same block every step)
+    # scratch
+    patch_ref,  # [TB, 24, 256] i32; pad area stays BIG after init
     *,
     tb: int,
-    ph: int,
-    pw: int,
+    hpad: int,
+    wpad: int,
 ):
     i = pl.program_id(0)
 
     @pl.when(i == 0)
     def _():
         zbuf_ref[...] = jnp.full(zbuf_ref.shape, BIG, jnp.int32)
+        patch_ref[...] = jnp.full(patch_ref.shape, BIG, jnp.int32)
 
+    qv_iota = jax.lax.broadcasted_iota(jnp.int32, (CH, 512), 0)
+    lane_row = jax.lax.broadcasted_iota(jnp.int32, (CH, 128), 1)
     for b in range(tb):
         idx = i * tb + b
 
         @pl.when(idx < n_ref[0])
         def _(b=b, idx=idx):
-            u0 = pl.multiple_of(u0_ref[idx], 128)
-            v0 = pl.multiple_of(v0_ref[idx], 8)
-            lu = lu_ref[b]  # [512]
+            lu = lu_ref[b]  # [512] voxels on lanes
             lv = lv_ref[b]
             dq = dq_ref[b]
-            cols = jax.lax.broadcasted_iota(jnp.int32, (512, pw), 1)
-            mcol = (cols == lu[:, None]) | (cols == lu[:, None] + 1)
-            rows = []
-            for qv in range(ph):
-                rmask = (lv == qv) | (lv == qv - 1)
-                vals = jnp.where(rmask, dq, BIG)  # [512]
-                rows.append(jnp.min(jnp.where(mcol, vals[:, None], BIG), axis=0))
-            patch = jnp.stack(rows)  # [PH, PW]
-            win = zbuf_ref[pl.ds(v0, ph), pl.ds(u0, pw)]
-            zbuf_ref[pl.ds(v0, ph), pl.ds(u0, pw)] = jnp.minimum(win, patch)
+            # voxel contributes to patch row qv iff lv in {qv-1, qv}
+            # (the 2x2 footprint); one [CH, 512] mask for all rows
+            rmask = (qv_iota == lv[None, :]) | (qv_iota == lv[None, :] + 1)
+            vals0 = jnp.where(rmask, dq[None, :], BIG)  # [CH, 512]
+            acc = jnp.full((CH, 128), BIG, jnp.int32)
+            for qu in range(CW):
+                cmask = (lu == qu) | (lu == qu - 1)  # [512]
+                col = jnp.min(jnp.where(cmask[None, :], vals0, BIG),
+                              axis=1, keepdims=True)  # [CH, 1]
+                acc = jnp.minimum(acc, jnp.where(lane_row == qu, col, BIG))
+            patch_ref[b, 0:CH, 0:128] = acc
+
+            bu = bu_ref[idx]
+            bv = bv_ref[idx]
+            u0a = pl.multiple_of(
+                jnp.minimum((bu >> 7) << 7, wpad - _WIN_W), 128)
+            v0a = pl.multiple_of(
+                jnp.minimum((bv >> 3) << 3, hpad - _WIN_H), 8)
+            p = patch_ref[b]
+            p = pltpu.roll(p, bv - v0a, axis=0)
+            p = pltpu.roll(p, bu - u0a, axis=1)
+            win = zbuf_ref[pl.ds(v0a, _WIN_H), pl.ds(u0a, _WIN_W)]
+            zbuf_ref[pl.ds(v0a, _WIN_H), pl.ds(u0a, _WIN_W)] = jnp.minimum(
+                win, p)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("hpad", "wpad", "ph", "pw", "tb", "interpret"),
-)
+@functools.partial(jax.jit, static_argnames=("hpad", "wpad", "tb", "interpret"))
 def splat_zbuf_rows(
-    lu: jnp.ndarray,  # [S, 512] i32 window-relative
+    lu: jnp.ndarray,  # [S, 512] i32 bbox-relative
     lv: jnp.ndarray,  # [S, 512] i32
     dq: jnp.ndarray,  # [S, 512] i32 (BIG = dead)
-    u0: jnp.ndarray,  # [S] i32 aligned window origins
-    v0: jnp.ndarray,  # [S] i32
+    bu: jnp.ndarray,  # [S] i32 raw bbox origins
+    bv: jnp.ndarray,  # [S] i32
     n_real: jnp.ndarray,  # [] or [1] i32
     hpad: int,
     wpad: int,
-    ph: int = DEFAULT_PH,
-    pw: int = DEFAULT_PW,
     tb: int = 8,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Min-merge per-block footprint patches into a [hpad, wpad] z-buffer."""
+    """Min-merge per-block compact patches into a [hpad, wpad] z-buffer."""
     s = lu.shape[0]
     assert s % tb == 0 and hpad % 8 == 0 and wpad % 128 == 0
-    assert ph % 8 == 0 and pw % 128 == 0
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(s // tb,),
@@ -114,27 +132,36 @@ def splat_zbuf_rows(
             pl.BlockSpec((tb, 512), lambda i, *_: (i, 0)),
         ],
         out_specs=pl.BlockSpec((hpad, wpad), lambda i, *_: (0, 0)),
+        scratch_shapes=[pltpu.VMEM((tb, _WIN_H, _WIN_W), jnp.int32)],
     )
     return pl.pallas_call(
-        functools.partial(_splat_kernel, tb=tb, ph=ph, pw=pw),
+        functools.partial(_splat_kernel, tb=tb, hpad=hpad, wpad=wpad),
         out_shape=jax.ShapeDtypeStruct((hpad, wpad), jnp.int32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(u0, v0, n_real.reshape(1), lu, lv, dq)
+    )(bu, bv, n_real.reshape(1), lu, lv, dq)
 
 
 def _pad_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+def _pads(hgt: int, wid: int) -> Tuple[int, int]:
+    """Padded z-buffer dims: every aligned window must fit, and the +1
+    splat pixel of edge voxels must land inside the pad."""
+    hpad = _pad_up(((hgt - 1) >> 3 << 3) + _WIN_H, 8)
+    wpad = _pad_up(((wid - 1) >> 7 << 7) + _WIN_W, 128)
+    return hpad, wpad
+
+
 class _SplatPrep(NamedTuple):
     """Block data prepared for the patch kernels + the overflow fallback."""
 
-    lu: jnp.ndarray  # [S, 512] window-relative floor pixel x (kept order)
+    lu: jnp.ndarray  # [S, 512] bbox-relative floor pixel x (kept order)
     lv: jnp.ndarray  # [S, 512]
     dq_k: jnp.ndarray  # [S, 512] quantized depth, BIG = dead (kept order)
-    u0o: jnp.ndarray  # [S] aligned window origins (kept order)
-    v0o: jnp.ndarray  # [S]
+    buo: jnp.ndarray  # [S] raw bbox origins (kept order)
+    bvo: jnp.ndarray  # [S]
     n_real: jnp.ndarray  # [] live kept-block count
     order: jnp.ndarray  # [S] block permutation (kept first)
     lorder: jnp.ndarray  # [cap] leftover block indices (into original rows)
@@ -145,13 +172,13 @@ class _SplatPrep(NamedTuple):
 
 
 def _prep_splat_blocks(
-    vol, cam, cam_T_world, max_depth, band, overflow_cap, ph, pw,
+    vol, cam, cam_T_world, max_depth, band, overflow_cap,
     surf_cap=None,
 ) -> Tuple[_SplatPrep, jnp.ndarray]:
     """Shared host-side prep: project, bbox per block, split into
-    patch-kernel blocks (footprint fits an aligned [ph, pw] window) and
-    overflow blocks (compacted XLA scatter, capped).  Returns the prep
-    plus the visible-set pool indices for payload packing."""
+    patch-kernel blocks (footprint fits the compact patch) and overflow
+    blocks (compacted XLA scatter, capped).  Returns the prep plus the
+    visible-set pool indices for payload packing."""
     from ..render_fast import _project_for_splat
 
     cfg = vol.cfg
@@ -166,23 +193,18 @@ def _prep_splat_blocks(
     v0px = jnp.floor(vf).astype(jnp.int32)
     dq = jnp.where(surf, depth_q, BIG)
 
-    # per-block footprint bbox over live voxels (footprint = +1 px in each
-    # direction for the 2x2 splat)
+    # per-block footprint bbox over live voxels (+1 px in each direction
+    # from the 2x2 splat)
     bu_min = jnp.min(jnp.where(surf, u0px, BIG), axis=1)
     bu_max = jnp.max(jnp.where(surf, u0px + 1, -BIG), axis=1)
     bv_min = jnp.min(jnp.where(surf, v0px, BIG), axis=1)
     bv_max = jnp.max(jnp.where(surf, v0px + 1, -BIG), axis=1)
     nonempty = vis.mask & (bu_min <= bu_max)
 
-    hpad = _pad_up(hgt + 1, max(ph, 8))
-    wpad = _pad_up(wid + 1, max(pw, 128))
-    u0b = jnp.clip((bu_min >> 7) << 7, 0, wpad - pw)
-    v0b = jnp.clip((bv_min >> 3) << 3, 0, hpad - ph)
+    hpad, wpad = _pads(hgt, wid)
     fits = (
-        (bu_min >= u0b)
-        & (bu_max < u0b + pw)
-        & (bv_min >= v0b)
-        & (bv_max < v0b + ph)
+        (bu_max - bu_min < CW - 1)
+        & (bv_max - bv_min < CH - 1)
         & (bu_min >= 0)
         & (bv_min >= 0)
     )
@@ -192,8 +214,10 @@ def _prep_splat_blocks(
     # compact kept blocks to the front (stable), pass live count
     order = jnp.argsort(jnp.where(keep, 0, 1), stable=True)
     n_real = jnp.sum(keep).astype(jnp.int32)
-    lu = jnp.take(u0px - u0b[:, None], order, axis=0)
-    lv = jnp.take(v0px - v0b[:, None], order, axis=0)
+    bu_k = jnp.take(jnp.maximum(bu_min, 0), order)
+    bv_k = jnp.take(jnp.maximum(bv_min, 0), order)
+    lu = jnp.take(u0px, order, axis=0) - bu_k[:, None]
+    lv = jnp.take(v0px, order, axis=0) - bv_k[:, None]
     dq_k = jnp.take(dq, order, axis=0)
 
     # overflow blocks: footprint pixel indices for the XLA scatter
@@ -212,7 +236,7 @@ def _prep_splat_blocks(
             dq4.append(ldq.reshape(-1))
     prep = _SplatPrep(
         lu=lu, lv=lv, dq_k=dq_k,
-        u0o=jnp.take(u0b, order), v0o=jnp.take(v0b, order),
+        buo=bu_k, bvo=bv_k,
         n_real=n_real, order=order, lorder=lorder,
         lpix=jnp.concatenate(pix4), ldqs=jnp.concatenate(dq4),
         hpad=hpad, wpad=wpad,
@@ -221,11 +245,11 @@ def _prep_splat_blocks(
     return prep, pool
 
 
-def _zbuf_pallas(prep: _SplatPrep, hgt, wid, ph, pw, tb, interpret):
+def _zbuf_pallas(prep: _SplatPrep, hgt, wid, tb, interpret):
     """Kernel pass + overflow scatter -> merged flat z-buffer [n_pix]."""
     zpad = splat_zbuf_rows(
-        prep.lu, prep.lv, prep.dq_k, prep.u0o, prep.v0o, prep.n_real,
-        prep.hpad, prep.wpad, ph=ph, pw=pw, tb=tb, interpret=interpret,
+        prep.lu, prep.lv, prep.dq_k, prep.buo, prep.bvo, prep.n_real,
+        prep.hpad, prep.wpad, tb=tb, interpret=interpret,
     )
     zbuf = zpad[:hgt, :wid].reshape(-1)
     return zbuf.at[prep.lpix].min(prep.ldqs, mode="drop")
@@ -238,8 +262,6 @@ def splat_depth_pallas(
     max_depth: float,
     band: float = 1.25,
     overflow_cap: int = 512,
-    ph: int = DEFAULT_PH,
-    pw: int = DEFAULT_PW,
     tb: int = 8,
     interpret: bool = False,
     surf_cap=None,
@@ -248,8 +270,8 @@ def splat_depth_pallas(
 
     Matches render_fast.splat_render's pass-1 z-buffer exactly (same
     projection, band, 2x2 footprint, depth quantization).  Blocks whose
-    footprint does not fit an aligned [ph, pw] window (or that touch
-    negative pixel coords) go through a compacted XLA scatter capped at
+    footprint does not fit the compact patch (or that touch negative
+    pixel coords) go through a compacted XLA scatter capped at
     `overflow_cap` blocks; blocks beyond the cap are dropped (they only
     occur when the camera is inside/next to geometry).
     """
@@ -259,10 +281,9 @@ def splat_depth_pallas(
 
         surf_cap = DEFAULT_SURF_CAP
     prep, _pool = _prep_splat_blocks(
-        vol, cam, cam_T_world, max_depth, band, overflow_cap, ph, pw,
-        surf_cap,
+        vol, cam, cam_T_world, max_depth, band, overflow_cap, surf_cap
     )
-    zbuf = _zbuf_pallas(prep, hgt, wid, ph, pw, tb, interpret)
+    zbuf = _zbuf_pallas(prep, hgt, wid, tb, interpret)
     hit = (zbuf < BIG).reshape(hgt, wid)
     depth = jnp.where(hit, zbuf.reshape(hgt, wid).astype(jnp.float32) / 4096.0, 0.0)
     return depth, hit
@@ -276,69 +297,91 @@ _PMIN = -(2**31)  # int32 sentinel == (uint32 0) ^ 0x80000000
 
 def _payload_kernel(
     # scalar prefetch
-    u0_ref,
-    v0_ref,
+    bu_ref,
+    bv_ref,
     n_ref,
     # inputs
-    lu_ref,  # [TB, 512] i32
+    lu_ref,  # [TB, 512] i32 bbox-relative
     lv_ref,  # [TB, 512] i32
     dq_ref,  # [TB, 512] i32 (BIG = dead)
     pk_ref,  # [TB, 512] i32 sign-flipped packed payload
     zbuf_ref,  # [HPAD, WPAD] i32 final z-buffer (read-only, full block)
     # output
     pbuf_ref,  # [HPAD, WPAD] i32 sign-flipped payload buffer
+    # scratch
+    patch_ref,  # [TB, 24, 256] i32; pad area stays _PMIN after init
     *,
     tb: int,
-    ph: int,
-    pw: int,
+    hpad: int,
+    wpad: int,
 ):
     """Winner-takes-max payload splat: a voxel paints a patch pixel only
     when its quantized depth equals the final z-buffer there (same rule
     as the XLA pass 2); ties resolve by max packed value.  uint32
-    ordering is preserved by the ^0x80000000 sign flip on the host."""
+    ordering is preserved by the ^0x80000000 sign flip on the host.
+    Transposed like the z pass; the final z window is back-rolled into
+    compact patch coords for the equality test."""
     i = pl.program_id(0)
 
     @pl.when(i == 0)
     def _():
         pbuf_ref[...] = jnp.full(pbuf_ref.shape, _PMIN, jnp.int32)
+        patch_ref[...] = jnp.full(patch_ref.shape, _PMIN, jnp.int32)
 
+    qv_iota = jax.lax.broadcasted_iota(jnp.int32, (CH, 512), 0)
+    lane_row = jax.lax.broadcasted_iota(jnp.int32, (CH, 128), 1)
     for b in range(tb):
         idx = i * tb + b
 
         @pl.when(idx < n_ref[0])
         def _(b=b, idx=idx):
-            u0 = pl.multiple_of(u0_ref[idx], 128)
-            v0 = pl.multiple_of(v0_ref[idx], 8)
+            bu = bu_ref[idx]
+            bv = bv_ref[idx]
+            u0a = pl.multiple_of(
+                jnp.minimum((bu >> 7) << 7, wpad - _WIN_W), 128)
+            v0a = pl.multiple_of(
+                jnp.minimum((bv >> 3) << 3, hpad - _WIN_H), 8)
+            rx = bu - u0a
+            ry = bv - v0a
+            zwin = zbuf_ref[pl.ds(v0a, _WIN_H), pl.ds(u0a, _WIN_W)]
+            # back-roll the window so compact patch coords line up
+            zc = pltpu.roll(zwin, _WIN_H - ry, axis=0)
+            zc = pltpu.roll(zc, _WIN_W - rx, axis=1)  # [24, 256]
+            zc16 = zc[0:CH, 0:128]
+
             lu = lu_ref[b]
             lv = lv_ref[b]
             dq = dq_ref[b]
             pk = pk_ref[b]
-            zwin = zbuf_ref[pl.ds(v0, ph), pl.ds(u0, pw)]  # [PH, PW]
-            cols = jax.lax.broadcasted_iota(jnp.int32, (512, pw), 1)
-            mcol = (cols == lu[:, None]) | (cols == lu[:, None] + 1)
-            rows = []
-            for qv in range(ph):
-                rmask = (lv == qv) | (lv == qv - 1)
-                vdq = jnp.where(rmask, dq, BIG)  # [512]
-                win = mcol & (vdq[:, None] == zwin[qv][None, :]) & (
-                    vdq[:, None] < BIG
-                )
-                rows.append(
-                    jnp.max(jnp.where(win, pk[:, None], _PMIN), axis=0)
-                )
-            patch = jnp.stack(rows)  # [PH, PW]
-            cur = pbuf_ref[pl.ds(v0, ph), pl.ds(u0, pw)]
-            pbuf_ref[pl.ds(v0, ph), pl.ds(u0, pw)] = jnp.maximum(cur, patch)
+            rmask = (qv_iota == lv[None, :]) | (qv_iota == lv[None, :] + 1)
+            vals0 = jnp.where(rmask, dq[None, :], BIG)  # [CH, 512]
+            pk0 = pk[None, :]  # [1, 512] broadcast over rows
+            acc = jnp.full((CH, 128), _PMIN, jnp.int32)
+            for qu in range(CW):
+                cmask = (lu == qu) | (lu == qu - 1)  # [512]
+                # z value of this patch column, one per row
+                zcol = jnp.min(
+                    jnp.where(lane_row == qu, zc16, BIG),
+                    axis=1, keepdims=True)  # [CH, 1]
+                win = cmask[None, :] & (vals0 == zcol) & (vals0 < BIG)
+                pcol = jnp.max(jnp.where(win, pk0, _PMIN),
+                               axis=1, keepdims=True)  # [CH, 1]
+                acc = jnp.maximum(
+                    acc, jnp.where(lane_row == qu, pcol, _PMIN))
+            patch_ref[b, 0:CH, 0:128] = acc
+
+            p = patch_ref[b]
+            p = pltpu.roll(p, ry, axis=0)
+            p = pltpu.roll(p, rx, axis=1)
+            cur = pbuf_ref[pl.ds(v0a, _WIN_H), pl.ds(u0a, _WIN_W)]
+            pbuf_ref[pl.ds(v0a, _WIN_H), pl.ds(u0a, _WIN_W)] = jnp.maximum(
+                cur, p)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("hpad", "wpad", "ph", "pw", "tb", "interpret"),
-)
+@functools.partial(jax.jit, static_argnames=("hpad", "wpad", "tb", "interpret"))
 def splat_payload_rows(
-    lu, lv, dq, pk, u0, v0, n_real, zpad,
-    hpad: int, wpad: int,
-    ph: int = DEFAULT_PH, pw: int = DEFAULT_PW, tb: int = 8,
+    lu, lv, dq, pk, bu, bv, n_real, zpad,
+    hpad: int, wpad: int, tb: int = 8,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Max-merge winner payload patches against the final padded z-buffer."""
@@ -355,13 +398,14 @@ def splat_payload_rows(
             pl.BlockSpec((hpad, wpad), lambda i, *_: (0, 0)),
         ],
         out_specs=pl.BlockSpec((hpad, wpad), lambda i, *_: (0, 0)),
+        scratch_shapes=[pltpu.VMEM((tb, _WIN_H, _WIN_W), jnp.int32)],
     )
     return pl.pallas_call(
-        functools.partial(_payload_kernel, tb=tb, ph=ph, pw=pw),
+        functools.partial(_payload_kernel, tb=tb, hpad=hpad, wpad=wpad),
         out_shape=jax.ShapeDtypeStruct((hpad, wpad), jnp.int32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(u0, v0, n_real.reshape(1), lu, lv, dq, pk, zpad)
+    )(bu, bv, n_real.reshape(1), lu, lv, dq, pk, zpad)
 
 
 def splat_render_pallas(
@@ -371,17 +415,15 @@ def splat_render_pallas(
     max_depth: float,
     band: float = 1.25,
     overflow_cap: int = 512,
-    ph: int = DEFAULT_PH,
-    pw: int = DEFAULT_PW,
     tb: int = 8,
     interpret: bool = False,
     surf_cap=None,
 ):
     """Full splat render (rgba + normal + depth + hit) without scatters:
-    the z-buffer and payload passes both run as patch kernels, with the
-    same capped XLA fallback for oversized footprints.  Output equals
-    render_fast.splat_render bit-for-bit (shared projection, packing,
-    winner rule, and image assembly)."""
+    the z-buffer and payload passes both run as compact patch kernels,
+    with the same capped XLA fallback for oversized footprints.  Output
+    equals render_fast.splat_render bit-for-bit (shared projection,
+    packing, winner rule, and image assembly)."""
     from ..render_fast import images_from_buffers, pack_payload
 
     hgt, wid = cam.img_h, cam.img_w
@@ -391,10 +433,9 @@ def splat_render_pallas(
 
         surf_cap = DEFAULT_SURF_CAP
     prep, pool = _prep_splat_blocks(
-        vol, cam, cam_T_world, max_depth, band, overflow_cap, ph, pw,
-        surf_cap,
+        vol, cam, cam_T_world, max_depth, band, overflow_cap, surf_cap
     )
-    zbuf = _zbuf_pallas(prep, hgt, wid, ph, pw, tb, interpret)
+    zbuf = _zbuf_pallas(prep, hgt, wid, tb, interpret)
 
     # re-pad the merged z-buffer so the payload kernel sees the leftover
     # depths too (pad area stays BIG => never matched)
@@ -408,8 +449,8 @@ def splat_render_pallas(
     ppad = splat_payload_rows(
         prep.lu, prep.lv, prep.dq_k,
         jnp.take(pk_flip, prep.order, axis=0),
-        prep.u0o, prep.v0o, prep.n_real, zpad,
-        prep.hpad, prep.wpad, ph=ph, pw=pw, tb=tb, interpret=interpret,
+        prep.buo, prep.bvo, prep.n_real, zpad,
+        prep.hpad, prep.wpad, tb=tb, interpret=interpret,
     )
     pbuf = jax.lax.bitcast_convert_type(
         ppad[:hgt, :wid].reshape(-1), jnp.uint32

@@ -41,12 +41,13 @@ class DenseSLAM:
         max_depth: float = 4.0,
         cfg: Optional[TSDFConfig] = None,
         max_rmse: float = 0.08,
-        splat_impl: str = "xla",
+        splat_impl: str = "auto",
     ):
         # splat_impl: "xla" scatter z-buffer or "pallas" patch kernel
         # (ops/pallas/splat_kernel.py) for the model depth render --
-        # bit-identical outputs, the kernel avoids the descriptor-bound
-        # scatter on TPU
+        # bit-identical outputs; "auto" picks pallas on TPU (97 ms vs
+        # 1.6 s at bench scale: the kernel avoids the descriptor-bound
+        # scatter) and xla elsewhere
         import dataclasses
 
         if cfg is None:
@@ -70,7 +71,9 @@ class DenseSLAM:
         def _step(vol, frame, pose_mat):
             return integrate(vol, frame, cam, SE3.from_matrix(pose_mat), md)
 
-        use_pallas = splat_impl == "pallas"
+        use_pallas = splat_impl == "pallas" or (
+            splat_impl == "auto" and jax.default_backend() == "tpu"
+        )
 
         @jax.jit
         def _model_depth(vol, pose_mat):

