@@ -202,9 +202,15 @@ def main():
     # secondary benches must never sink the headline number
     ray_ms = splat_ms = float("nan")
     try:
-        from disinfect_slam_tpu.ops.render_fast import splat_render
+        if on_accel:
+            # bit-identical to splat_render; 97 vs 910 ms at this scale
+            from disinfect_slam_tpu.ops.pallas.splat_kernel import (
+                splat_render_pallas as _splat,
+            )
+        else:
+            from disinfect_slam_tpu.ops.render_fast import splat_render as _splat
 
-        sp = jax.jit(lambda v, m: splat_render(v, cam, SE3.from_matrix(m), max_depth))
+        sp = jax.jit(lambda v, m: _splat(v, cam, SE3.from_matrix(m), max_depth))
         s = sp(vol, staged[0][1])
         jax.block_until_ready(s.rgba)
         t0 = time.perf_counter()
@@ -253,12 +259,20 @@ def main():
         # from the host<->device transfer, which dominates through the
         # axon relay and overlaps with fusion in the online pipeline
         staged_img = jax.device_put(jnp.asarray(rgb_u8, jnp.float32))
-        probs = eng._forward(eng.params, staged_img)
+
+        @jax.jit
+        def _seg_step(img):
+            probs = eng._forward(eng.params, img)
+            # chain the output into the next input: unchained same-input
+            # loops report nonsense through the axon relay
+            return img + jnp.sum(probs) * 0.0, probs
+
+        staged_img, probs = _seg_step(staged_img)
         jax.block_until_ready(probs)
         t0 = time.perf_counter()
         for _ in range(10):
-            probs = eng._forward(eng.params, staged_img)
-            jax.block_until_ready(probs)
+            staged_img, probs = _seg_step(staged_img)
+        jax.block_until_ready(probs)
         seg_dev_ms = (time.perf_counter() - t0) / 10 * 1e3
         print(f"[bench] seg device-only {seg_dev_ms:.2f} ms "
               f"(end-to-end {seg_ms:.2f} incl transfer)", file=sys.stderr)

@@ -31,6 +31,30 @@ INFER_W, INFER_H = 640, 352
 OUTPUT_W, OUTPUT_H = 640, 360
 
 
+def _linear_resize_matrix(n_in: int, n_out: int) -> jnp.ndarray:
+    """Dense [n_out, n_in] row-stochastic linear-resample matrix with
+    half-pixel centers and triangle anti-aliasing on downscale — the
+    same kernel jax.image.resize(..., "linear") applies, but as a
+    matrix so the resize runs on the MXU.  (jax.image.resize lowers to
+    a gather chain on TPU: measured 27 ms for a 640x480 image vs <1 ms
+    for the two-matmul form.)"""
+    scale = n_in / n_out
+    s = max(scale, 1.0)
+    src = (jnp.arange(n_out, dtype=jnp.float32) + 0.5) * scale - 0.5
+    j = jnp.arange(n_in, dtype=jnp.float32)
+    w = jnp.maximum(0.0, 1.0 - jnp.abs(j[None, :] - src[:, None]) / s)
+    return w / jnp.sum(w, axis=1, keepdims=True)
+
+
+def resize_linear(img: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
+    """[H, W, C] -> [out_h, out_w, C] linear resize via two matmuls."""
+    h, w, c = img.shape
+    a_v = _linear_resize_matrix(h, out_h)
+    a_u = _linear_resize_matrix(w, out_w)
+    tmp = jnp.einsum("oh,hwc->owc", a_v, img)
+    return jnp.einsum("pw,owc->opc", a_u, tmp)
+
+
 class ConvBlock(nn.Module):
     features: int
     stride: int = 1
@@ -72,7 +96,11 @@ class UNetSeg(nn.Module):
         # decoder
         for w, skip in zip(reversed(self.widths), reversed(skips)):
             n, h, w_, c = skip.shape
-            x = jax.image.resize(x, (n, h, w_, x.shape[-1]), "nearest")
+            # stage shapes are exact halvings, so nearest upsample is a
+            # 2x repeat — identical output to jax.image.resize("nearest")
+            # but a broadcast instead of a (descriptor-bound) gather
+            x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+            x = x[:, :h, :w_, :]
             x = nn.Conv(w, (3, 3), padding="SAME", use_bias=False, dtype=self.dtype)(x)
             x = nn.GroupNorm(num_groups=min(32, w), dtype=self.dtype)(x)
             x = nn.silu(x)
@@ -109,7 +137,8 @@ class FastSeg(nn.Module):
             y = nn.GroupNorm(num_groups=32, dtype=self.dtype)(y)
             x = x + nn.silu(y)
         logits = nn.Conv(self.num_classes, (1, 1), dtype=jnp.float32)(x)
-        return jax.image.resize(logits, (n, h, w, self.num_classes), "linear")
+        up = jax.vmap(lambda l: resize_linear(l, h, w))(logits)
+        return up
 
 
 def create_model(widths=(32, 64, 128, 256), dtype=jnp.bfloat16, arch: str = "unet"):
@@ -158,12 +187,10 @@ class InferenceEngine:
         @jax.jit
         def _forward(params, img):
             # img: f32 [H, W, 3] in [0, 255] at arbitrary size
-            x = jax.image.resize(img, (INFER_H, INFER_W, 3), "linear") / 255.0
+            x = resize_linear(img, INFER_H, INFER_W) / 255.0
             logits = self.model.apply(params, x[None])[0]  # [h, w, 2]
             probs = jax.nn.sigmoid(logits)
-            probs = jax.image.resize(
-                probs, (self.out_h, self.out_w, 2), "linear"
-            )
+            probs = resize_linear(probs, self.out_h, self.out_w)
             return probs
 
         self._forward = _forward
