@@ -124,17 +124,45 @@ def extract_mesh(vol: TSDFVolume, max_tris: int = 1 << 18) -> Mesh:
 
 def extract_mesh_chunked(
     vol: TSDFVolume,
-    max_tris_per_chunk: int = 1 << 16,
-    chunk: int = 1024,
+    max_tris_per_chunk: int = 1 << 18,
+    chunk: int = 512,
 ):
-    """Memory-bounded extraction: iterates the live blocks in fixed-size
-    chunks (one compiled program reused across chunks) and concatenates
-    compacted host triangles.  Returns [N, 3, 3] float32."""
-    import jax
+    """Memory-bounded extraction: iterates the candidate blocks in
+    fixed-size chunks (one compiled program reused across chunks) and
+    concatenates compacted host triangles.  Returns [N, 3, 3] float32.
 
-    live = np.asarray(vol.entry_block) >= 0
-    block_pos = np.asarray(vol.entry_pos)[live]
-    pool_idx = np.asarray(vol.entry_block)[live]
+    Blocks that provably produce no triangles (single-signed corner
+    field, bounded conservatively through neighbors) are skipped before
+    chunking."""
+    import jax
+    import jax.numpy as jnp
+
+    cfg = vol.cfg
+
+    @jax.jit
+    def _candidates(v):
+        live_d = v.entry_block >= 0
+        pool_d = jnp.clip(v.entry_block, 0, cfg.num_blocks - 1)
+        rows = v.tsdf[pool_d]
+        bmin = jnp.where(live_d, jnp.min(rows, axis=1), jnp.inf)
+        bmax = jnp.where(live_d, jnp.max(rows, axis=1), -jnp.inf)
+        fmin, fmax = bmin, bmax
+        for d in ((1, 0, 0), (0, 1, 0), (0, 0, 1),
+                  (1, 1, 0), (1, 0, 1), (0, 1, 1), (1, 1, 1)):
+            ncoord = v.entry_pos + jnp.asarray(d, jnp.int32)
+            npool = h.lookup(v, ncoord)
+            nhit = (npool >= 0) & live_d
+            nrows = v.tsdf[jnp.clip(npool, 0, cfg.num_blocks - 1)]
+            fmin = jnp.where(nhit, jnp.minimum(fmin, jnp.min(nrows, axis=1)),
+                             fmin)
+            fmax = jnp.where(nhit, jnp.maximum(fmax, jnp.max(nrows, axis=1)),
+                             fmax)
+        return live_d & (fmin < 0) & (fmax > 0)
+
+    cand = np.asarray(_candidates(vol))
+
+    block_pos = np.asarray(vol.entry_pos)[cand]
+    pool_idx = np.asarray(vol.entry_block)[cand]
     n = len(pool_idx)
     if n == 0:
         return np.zeros((0, 3, 3), np.float32)
@@ -142,7 +170,10 @@ def extract_mesh_chunked(
     fn = jax.jit(
         lambda v, bp, pi, m: _extract_from_blocks(v, bp, pi, m, max_tris_per_chunk)
     )
-    outs = []
+    # dispatch every chunk before reading any back: device work and the
+    # (relay-latency-bound) D2H transfers pipeline instead of
+    # ping-ponging per chunk
+    meshes = []
     for s0 in range(0, n, chunk):
         bp = np.zeros((chunk, 3), np.int32)
         pi = np.full((chunk,), vol.cfg.num_blocks, np.int32)
@@ -152,9 +183,81 @@ def extract_mesh_chunked(
         bp[:k] = block_pos[sel]
         pi[:k] = pool_idx[sel]
         m[:k] = True
-        mesh = fn(vol, jnp.asarray(bp), jnp.asarray(pi), jnp.asarray(m))
-        outs.append(compact_mesh(mesh))
+        meshes.append(fn(vol, jnp.asarray(bp), jnp.asarray(pi), jnp.asarray(m)))
+    outs = []
+    clipped = 0
+    for mesh in meshes:
+        cnt = int(mesh.count)
+        if cnt >= max_tris_per_chunk:
+            clipped += 1
+        outs.append(np.asarray(mesh.vertices[:cnt]))
+    if clipped:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "mesh extraction clipped %d/%d chunks at %d tris; "
+            "lower `chunk` or raise `max_tris_per_chunk` for the full mesh",
+            clipped, len(meshes), max_tris_per_chunk)
     return np.concatenate(outs, axis=0)
+
+
+def _block_fields(vol, block_pos, pool_idx, mask):
+    """Assemble per-block (bl+1)^3 tsdf + observed fields from pool row
+    gathers and the 7 positive-neighbor blocks' boundary slabs — static
+    slices and pastes only.  The former per-corner-point read_voxels +
+    [V, 512, 8] advanced-indexing gathers were descriptor-bound (~1.6 s
+    per 1024-block chunk on v5e); this runs the same sampling as row
+    gathers (bytes-bound).
+
+    Field layout: [V, z, y, x] with 9 per axis (in-block voxel index is
+    x + 8y + 64z, core/voxel.py index_to_offset).  Missing neighbors
+    fill with the default payload (tsdf=+1, weight=0 -> unobserved),
+    matching Retrieve's default-on-miss (voxel_hash.cuh:104-112)."""
+    from ..core.state import DEFAULT_TSDF
+
+    cfg = vol.cfg
+    bl = cfg.block_len
+    vcap = block_pos.shape[0]
+    s = bl + 1
+
+    def rows_of(pool, hit):
+        p = jnp.clip(pool, 0, cfg.num_blocks - 1)
+        t = jnp.where(hit[:, None], vol.tsdf[p], DEFAULT_TSDF)
+        w = jnp.where(hit[:, None], vol.weight[p], 0.0)
+        return (t.reshape(vcap, bl, bl, bl), w.reshape(vcap, bl, bl, bl))
+
+    own_hit = mask & (pool_idx >= 0) & (pool_idx < cfg.num_blocks)
+    t_own, w_own = rows_of(pool_idx, own_hit)
+
+    tf = jnp.full((vcap, s, s, s), DEFAULT_TSDF, jnp.float32)
+    wf = jnp.zeros((vcap, s, s, s), jnp.float32)
+    tf = tf.at[:, :bl, :bl, :bl].set(t_own)
+    wf = wf.at[:, :bl, :bl, :bl].set(w_own)
+
+    # paste the +neighbor boundary slabs; d = (dx, dy, dz)
+    for d in ((1, 0, 0), (0, 1, 0), (0, 0, 1),
+              (1, 1, 0), (1, 0, 1), (0, 1, 1), (1, 1, 1)):
+        ncoord = block_pos + jnp.asarray(d, jnp.int32)
+        npool = h.lookup(vol, ncoord)
+        nhit = mask & (npool >= 0)
+        t_n, w_n = rows_of(npool, nhit)
+        dx, dy, dz = d
+        # source: the neighbor's 0-plane(s) along each offset axis;
+        # destination: the field's bl-index along those axes
+        sx = slice(0, 1) if dx else slice(0, bl)
+        sy = slice(0, 1) if dy else slice(0, bl)
+        sz = slice(0, 1) if dz else slice(0, bl)
+        ddx = slice(bl, s) if dx else slice(0, bl)
+        ddy = slice(bl, s) if dy else slice(0, bl)
+        ddz = slice(bl, s) if dz else slice(0, bl)
+        tf = tf.at[:, ddz, ddy, ddx].set(t_n[:, sz, sy, sx])
+        wf = wf.at[:, ddz, ddy, ddx].set(w_n[:, sz, sy, sx])
+
+    # observed = carries fused data: weight > 0 OR tsdf moved off the
+    # reset/default value (far-depth fusion rounds weight to 0 while
+    # still writing tsdf, voxel_tsdf.cu:182,192)
+    obs = (wf > 0) | (jnp.abs(tf) < 0.999)
+    return tf, obs
 
 
 def _extract_from_blocks(
@@ -168,64 +271,73 @@ def _extract_from_blocks(
     vcap = block_pos.shape[0]
     bl = cfg.block_len
 
-    # sample a (bl+1)^3 field per block (corners reach into +1 neighbors)
-    grid = jnp.arange(bl + 1, dtype=jnp.int32)
-    gx, gy, gz = jnp.meshgrid(grid, grid, grid, indexing="ij")
-    local = jnp.stack([gx, gy, gz], axis=-1).reshape(-1, 3)  # [(bl+1)^3, 3]
-    base = vx.block_to_point(block_pos, cfg)  # [V, 3]
-    pts = base[:, None, :] + local[None, :, :]  # [V, P, 3]
-    n_pts = (bl + 1) ** 3
-    flat = pts.reshape(-1, 3)
-    tsdf, _, weight, _ = h.read_voxels(vol, flat)
-    # observed = carries fused data: weight > 0 OR tsdf moved off the
-    # reset/default value (far-depth fusion rounds weight to 0 while
-    # still writing tsdf, voxel_tsdf.cu:182,192)
-    observed = ((weight > 0) | (jnp.abs(tsdf) < 0.999)).reshape(vcap, n_pts)
-    tsdf = tsdf.reshape(vcap, n_pts)
+    tf, obs = _block_fields(vol, block_pos, pool_idx, mask)
 
-    # cell corner indices within the sampled field
-    s = bl + 1
-    cell = jnp.arange(bl, dtype=jnp.int32)
-    cx, cy, cz = jnp.meshgrid(cell, cell, cell, indexing="ij")
-    cflat = jnp.stack([cx, cy, cz], -1).reshape(-1, 3)  # [bl^3, 3]
-    corner_off = jnp.asarray(_CORNER_OFFSETS)  # [8, 3]
-    cc = cflat[:, None, :] + corner_off[None, :, :]  # [bl^3, 8, 3]
-    cidx = cc[..., 0] * s * s + cc[..., 1] * s + cc[..., 2]  # [bl^3, 8]
-
-    f = tsdf[:, cidx]  # [V, bl^3, 8]
-    ok = jnp.all(observed[:, cidx], axis=-1) & mask[:, None]  # [V, bl^3]
-
-    # world positions of cell corners
-    cpos = (cflat[None, :, None, :] + corner_off[None, None, :, :] + base[:, None, None, :])
-    cpos = cpos.astype(jnp.float32) * cfg.voxel_size  # [V, bl^3, 8, 3]
-
-    tets = jnp.asarray(_TETS)  # [6, 4]
+    # per-corner slabs: corner c = (dx, dy, dz) -> field[z+dz, y+dy, x+dx]
+    # as a static slice, flattened to the in-block cell order x + 8y + 64z
+    f8, o8 = [], []
+    for (dx, dy, dz) in _CORNER_OFFSETS:
+        f8.append(tf[:, dz:dz + bl, dy:dy + bl, dx:dx + bl].reshape(vcap, -1))
+        o8.append(obs[:, dz:dz + bl, dy:dy + bl, dx:dx + bl].reshape(vcap, -1))
     vcount = vcap * (bl ** 3)
-    fv = f.reshape(vcount, 8)
-    pv = cpos.reshape(vcount, 8, 3)
-    okv = ok.reshape(vcount)
+    fv_all = jnp.stack([a.reshape(-1) for a in f8], axis=1)  # [N, 8]
+    okv_all = mask.repeat(bl ** 3) & jnp.all(
+        jnp.stack([a.reshape(-1) for a in o8], axis=1), axis=1)
+
+    # --- cell compaction: only cells with mixed corner signs emit
+    # triangles (~5% at the bench workload); the 12-pass tetrahedra
+    # pipeline below costs ~400 ms/chunk over all cells but ~25 ms over
+    # the compacted set.  Capacity max_tris//2 cells (a producing cell
+    # emits >= 2 tris on average); overflow cells drop exactly like the
+    # triangle-capacity drop below.
+    cell_cap = max(256, max_tris // 2)
+    cand = okv_all & (jnp.min(fv_all, axis=1) < 0) & (jnp.max(fv_all, axis=1) >= 0)
+    crank = jnp.cumsum(cand.astype(jnp.int32)) - 1
+    cslot = jnp.where(cand & (crank < cell_cap), crank, cell_cap)
+    cids = (
+        jnp.full((cell_cap,), vcount, jnp.int32)
+        .at[cslot]
+        .set(jnp.arange(vcount, dtype=jnp.int32), mode="drop")
+    )
+    kept = cids < vcount
+    cids_safe = jnp.clip(cids, 0, vcount - 1)
+    fv = fv_all[cids_safe]  # [C, 8]
+    okv = kept  # compacted cells are observed+masked by construction
+
+    # world positions of cell corners: base + cell offset + corner offset
+    base = vx.block_to_point(block_pos, cfg)  # [V, 3]
+    blk_of = cids_safe >> (3 * cfg.block_len_log2)
+    coffc = vx.index_to_offset(
+        cids_safe & (bl ** 3 - 1), cfg)  # [C, 3] (x, y, z)
+    cell0 = (base[blk_of] + coffc).astype(jnp.float32) * cfg.voxel_size
+    vsz = cfg.voxel_size
+    corner_pos = [
+        cell0 + jnp.asarray([dx * vsz, dy * vsz, dz * vsz], jnp.float32)
+        for (dx, dy, dz) in _CORNER_OFFSETS
+    ]  # 8 x [C, 3]
 
     tri_vs = []
     tri_valid = []
     for t in range(6):
-        corners = tets[t]  # [4]
-        ft = fv[:, corners]  # [N, 4]
-        pt = pv[:, corners]  # [N, 4, 3]
+        corners = [int(c) for c in _TETS[t]]
+        ft = jnp.stack([fv[:, c] for c in corners], axis=1)  # [N, 4]
+        pt = jnp.stack([corner_pos[c] for c in corners], axis=1)  # [N, 4, 3]
         case = (
             (ft[:, 0] < 0).astype(jnp.int32)
             | ((ft[:, 1] < 0).astype(jnp.int32) << 1)
             | ((ft[:, 2] < 0).astype(jnp.int32) << 2)
             | ((ft[:, 3] < 0).astype(jnp.int32) << 3)
         )
-        # interpolated vertex on each of the 6 tet edges
-        ea = jnp.asarray(_TET_EDGES[:, 0])
-        eb = jnp.asarray(_TET_EDGES[:, 1])
-        fa = ft[:, ea]  # [N, 6]
-        fb = ft[:, eb]
+        # interpolated vertex on each of the 6 tet edges (static stacks,
+        # not index gathers)
+        fa = jnp.stack([ft[:, int(a)] for a, _ in _TET_EDGES], 1)  # [N, 6]
+        fb = jnp.stack([ft[:, int(b)] for _, b in _TET_EDGES], 1)
+        pa = jnp.stack([pt[:, int(a)] for a, _ in _TET_EDGES], 1)  # [N, 6, 3]
+        pb = jnp.stack([pt[:, int(b)] for _, b in _TET_EDGES], 1)
         denom = fa - fb
         alpha = jnp.where(jnp.abs(denom) > 1e-12, fa / jnp.where(denom == 0, 1.0, denom), 0.5)
         alpha = jnp.clip(alpha, 0.0, 1.0)
-        everts = pt[:, ea] + alpha[..., None] * (pt[:, eb] - pt[:, ea])  # [N, 6, 3]
+        everts = pa + alpha[..., None] * (pb - pa)  # [N, 6, 3]
 
         # outward direction: from the centroid of inside (tsdf < 0)
         # corners toward the centroid of outside corners; used to orient
@@ -239,15 +351,28 @@ def _extract_from_blocks(
         cent_pos = jnp.sum(pt * pos[..., None], axis=1) / n_pos
         outward = cent_pos - cent_neg  # [N, 3]
 
-        table = jnp.asarray(_TET_TABLE)  # [16, 2, 3]
-        tris = table[case]  # [N, 2, 3] edge ids or -1
         for k in range(2):
-            tk = tris[:, k]  # [N, 3]
-            valid = okv & (tk[:, 0] >= 0)
-            tk_safe = jnp.clip(tk, 0, 5)
-            v3 = jnp.take_along_axis(
-                everts, tk_safe[:, :, None].astype(jnp.int32), axis=1
-            )  # [N, 3, 3]
+            # table lookup by 16-case arithmetic select (no gathers):
+            # edge ids for this (case, k) slot, then vertex select over
+            # the 6 edge verts — each an exact one-term sum
+            tk0 = jnp.zeros_like(case) - 1
+            tk1 = jnp.zeros_like(case) - 1
+            tk2 = jnp.zeros_like(case) - 1
+            for c in range(16):
+                e0, e1, e2 = (int(x) for x in _TET_TABLE[c, k])
+                hitc = case == c
+                tk0 = jnp.where(hitc, e0, tk0)
+                tk1 = jnp.where(hitc, e1, tk1)
+                tk2 = jnp.where(hitc, e2, tk2)
+            valid = okv & (tk0 >= 0)
+            v3_parts = []
+            for tke in (tk0, tk1, tk2):
+                acc = jnp.zeros((everts.shape[0], 3), jnp.float32)
+                for e in range(6):
+                    acc = jnp.where(
+                        (tke == e)[:, None], everts[:, e], acc)
+                v3_parts.append(acc)
+            v3 = jnp.stack(v3_parts, axis=1)  # [N, 3, 3]
             nrm = jnp.cross(v3[:, 1] - v3[:, 0], v3[:, 2] - v3[:, 0])
             flip = jnp.sum(nrm * outward, axis=-1) < 0
             v3 = jnp.where(flip[:, None, None], v3[:, [0, 2, 1]], v3)
@@ -267,9 +392,11 @@ def _extract_from_blocks(
 
 
 def compact_mesh(mesh: Mesh) -> np.ndarray:
-    """Host-side: [count, 3, 3] float32 triangle array."""
+    """Host-side: [count, 3, 3] float32 triangle array.  Slices on
+    device first so only real rows cross the (bandwidth-limited)
+    device->host link."""
     n = int(mesh.count)
-    return np.asarray(mesh.vertices)[:n]
+    return np.asarray(mesh.vertices[:n])
 
 
 def merge_vertices(tris: np.ndarray, tol: float = 1e-5):
