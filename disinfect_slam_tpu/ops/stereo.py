@@ -46,10 +46,18 @@ def _to_gray(img: jnp.ndarray) -> jnp.ndarray:
 
 
 def _box(x: jnp.ndarray, ph: int, pw: int) -> jnp.ndarray:
-    """Windowed sum over the trailing two axes, SAME padding."""
-    dims = (1,) * (x.ndim - 2) + (ph, pw)
+    """Windowed sum over the trailing two axes, SAME padding.
+
+    Separable: two 1-D reduce_windows (ph + pw adds per output) instead
+    of one 2-D window (ph * pw adds) — 4x fewer ops at the default 7x9
+    patch, and XLA vectorizes 1-D windows better."""
+    dims_v = (1,) * (x.ndim - 2) + (ph, 1)
+    dims_h = (1,) * (x.ndim - 2) + (1, pw)
+    x = jax.lax.reduce_window(
+        x, jnp.asarray(0, x.dtype), jax.lax.add, dims_v, (1,) * x.ndim, "SAME"
+    )
     return jax.lax.reduce_window(
-        x, jnp.asarray(0, x.dtype), jax.lax.add, dims, (1,) * x.ndim, "SAME"
+        x, jnp.asarray(0, x.dtype), jax.lax.add, dims_h, (1,) * x.ndim, "SAME"
     )
 
 
@@ -117,13 +125,20 @@ def block_match(
 
     # --- left-right consistency without recomputing: the right-view cost
     # volume is the left one sheared along x: cost_R[d, y, x] =
-    # cost_L[d, y, x + d]
+    # cost_L[d, y, x + d].  The shear is D static left-shifts (slices),
+    # not a [D, H, W] gather — the gather form was ~20M descriptors
+    # (~140 ms on v5e), the slices fuse for free.
     d_idx = jnp.arange(max_disp, dtype=jnp.int32)
     h, w = best.shape
     x_idx = jnp.arange(w, dtype=jnp.int32)
-    shifted_x = jnp.clip(x_idx[None, :] + d_idx[:, None], 0, w - 1)  # [D, W]
-    cost_r = jnp.take_along_axis(
-        cost, jnp.broadcast_to(shifted_x[:, None, :], cost.shape), axis=2
+    cost_r = jnp.stack(
+        [
+            jnp.concatenate(
+                [cost[d, :, d:], jnp.repeat(cost[d, :, -1:], d, axis=1)],
+                axis=1,
+            ) if d else cost[0]
+            for d in range(max_disp)
+        ]
     )
     best_r = jnp.argmin(cost_r, axis=0).astype(jnp.int32)  # [H, W]
     # disparity the right view assigns to the pixel that left matched
