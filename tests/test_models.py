@@ -122,3 +122,19 @@ def test_iou_and_eval_step():
     ev = jax.jit(make_eval_step(model))
     out = ev(params, jnp.zeros((2, 32, 32, 3)), jnp.zeros((2, 32, 32, 2)))
     assert np.isfinite(float(out["loss"])) and out["iou"].shape == (2,)
+
+
+def test_resize_linear_matches_jax_image():
+    """The MXU matmul resize must reproduce jax.image.resize('linear')
+    (same half-pixel triangle kernel) — it replaced it in the inference
+    engine because the gather-lowered original cost 27 ms/call on TPU."""
+    import jax
+
+    from disinfect_slam_tpu.models.segmentation import resize_linear
+
+    rng = np.random.default_rng(7)
+    img = jnp.asarray(rng.uniform(0, 255, (48, 64, 3)).astype(np.float32))
+    for oh, ow in ((35, 64), (36, 64), (96, 128), (48, 64)):
+        a = np.asarray(resize_linear(img, oh, ow))
+        b = np.asarray(jax.image.resize(img, (oh, ow, 3), "linear"))
+        assert np.max(np.abs(a - b)) < 1e-3, (oh, ow)
