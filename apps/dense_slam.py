@@ -34,8 +34,11 @@ def main():
     ap.add_argument("--mesh")
     ap.add_argument("--save", help="volume checkpoint (.npz)")
     ap.add_argument("--preset", choices=["full", "small"], default="full")
-    ap.add_argument("--splat", choices=["xla", "pallas"], default="xla",
-                    help="model-depth renderer: XLA scatter or Pallas patch kernel")
+    ap.add_argument("--splat", choices=["auto", "xla", "pallas"],
+                    default="auto",
+                    help="model-depth renderer: auto = Pallas patch kernel "
+                         "on TPU (bit-identical, ~10x faster), XLA scatter "
+                         "elsewhere")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
