@@ -99,6 +99,21 @@ class DenseSLAM:
         self._step = _step
         self._model_depth = _model_depth
 
+        tracker = self.tracker
+
+        @jax.jit
+        def _track_frame(vol, prev_cam_T_world, depth, seed):
+            # one program for render-model -> pyramids -> multilevel ICP:
+            # the split form round-tripped the model depth through the
+            # host (1.2 MB D2H + re-upload) and paid a dispatch+sync per
+            # stage, which dominates frame time on a remote-attached TPU
+            md_img = _model_depth(vol, prev_cam_T_world)
+            pyr_ref = tracker._prep(md_img)
+            pyr_cur = tracker._prep(depth)
+            return tracker._track(seed, pyr_cur, pyr_ref, prev_cam_T_world)
+
+        self._track_frame = _track_frame
+
     # ------------------------------------------------------------------
     def process_frame(
         self,
@@ -124,21 +139,17 @@ class DenseSLAM:
         if self.frame_count == 0:
             cam_T_world = np.eye(4, dtype=np.float32)
         else:
-            # render the model from the last pose and track against it
-            model_depth = np.asarray(
-                self._model_depth(self.volume, jnp.asarray(np.linalg.inv(self.world_T_cam)))
-            )
-            pyr_ref = self.tracker._prep(jnp.asarray(model_depth))
-            pyr_cur = self.tracker._prep(jnp.asarray(depth, jnp.float32))
+            # render the model from the last pose and track against it —
+            # one fused device program (see _track_frame)
             seed = self.world_T_cam
             if gyro_prior is not None:
                 seed = seed.copy()
                 seed[:3, :3] = seed[:3, :3] @ np.asarray(gyro_prior).T
-            T, rmse, inl = self.tracker._track(
-                jnp.asarray(seed),
-                pyr_cur,
-                pyr_ref,
+            T, rmse, inl = self._track_frame(
+                self.volume,
                 jnp.asarray(np.linalg.inv(self.world_T_cam)),
+                jnp.asarray(depth, jnp.float32),
+                jnp.asarray(seed),
             )
             ok = (
                 bool(np.isfinite(float(rmse)))
