@@ -89,3 +89,18 @@ def test_chunked_extraction_matches_single_shot(sphere_vol):
         return t[np.lexsort(flat.T[::-1])]
 
     np.testing.assert_allclose(sort(tris_chunked), sort(tris_single), atol=1e-5)
+
+
+def test_chunked_clip_warning_fires(sphere_vol, caplog):
+    """Per-chunk triangle caps must WARN when they clip (round-1 shipped
+    a silent 79% drop at bench scale — never again)."""
+    import logging
+
+    from disinfect_slam_tpu.ops.mesh import extract_mesh_chunked
+
+    with caplog.at_level(logging.WARNING):
+        tris_small = extract_mesh_chunked(
+            sphere_vol, max_tris_per_chunk=256, chunk=64)
+    assert any("clipped" in r.message for r in caplog.records)
+    tris_full = extract_mesh_chunked(sphere_vol)
+    assert len(tris_full) > len(tris_small)

@@ -71,3 +71,17 @@ def test_pallas_full_render_matches_xla(eye):
     # the diffuse shade by +/-2 (buffers themselves are bit-identical)
     nd = np.abs(np.asarray(res.normal).astype(int) - np.asarray(ref.normal).astype(int))
     assert nd.max() <= 2, nd.max()
+
+
+def test_surf_cap_filter_is_lossless_when_cap_holds():
+    """The surface-band prefilter must not change the rendered images
+    while the cap covers every surface block (min/max merges are
+    order-independent)."""
+    vol, cam, pose_np = _fused_scene()
+    import jax.numpy as jnp
+
+    pose = SE3.from_matrix(jnp.asarray(pose_np))
+    a = splat_render(vol, cam, pose, MAX_DEPTH, surf_cap=None)
+    b = splat_render(vol, cam, pose, MAX_DEPTH)  # default cap
+    np.testing.assert_array_equal(np.asarray(a.rgba), np.asarray(b.rgba))
+    np.testing.assert_array_equal(np.asarray(a.depth), np.asarray(b.depth))
