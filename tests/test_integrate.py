@@ -216,3 +216,54 @@ def test_prob_eps_prevents_nan():
     w = np.asarray(vol.weight)[pool]
     assert np.isfinite(p).all()
     assert (p[w > 0] >= 1e-6).all()
+
+
+def test_alloc_tile_compaction_matches_sort_path():
+    """The two-level (tile) candidate compaction engages on streams
+    >= 2^17 keys; allocation + fusion must match the sort-dedup path
+    voxel-for-voxel (up to pool ordering)."""
+    import dataclasses
+
+    from disinfect_slam_tpu.ops.gather import gather_valid
+
+    w2, h2 = 304, 224  # 304*224*2 DDA steps = 136192 keys >= 2^17
+    k2 = (250.0, 250.0, 151.5, 111.5)
+    intr = CameraIntrinsics.create(*k2)
+    cam2 = CameraParams.create(intr, h2, w2)
+    pose_np = look_at((0.033, -0.041, 0.017), (0.11, 0.07, 2.0131))
+    depth = render_sphere(
+        w2, h2, k2, pose_np, center=(0.013, -0.021, 1.007), radius=0.613
+    ).astype(np.float32)
+    frame = FrameInput(
+        rgb=jnp.asarray(checker_rgb(w2, h2)),
+        depth=jnp.asarray(depth),
+        ht=jnp.full((h2, w2), 0.5, jnp.float32),
+        lt=jnp.full((h2, w2), 0.5, jnp.float32),
+    )
+
+    outs = {}
+    for dedup in ("sort", "filter"):
+        cfg = dataclasses.replace(
+            CFG_DENSE, max_candidates=8192, max_visible=8192,
+            max_new_per_round=4096, grid_log2=6, alloc_dedup=dedup,
+        )
+        vol = TSDFVolume.create(cfg)
+        step = jax.jit(
+            lambda v, f, p: integrate(v, f, cam2, p, MAX_DEPTH),
+            donate_argnums=0,
+        )
+        for _ in range(2):
+            vol = step(vol, frame, SE3.from_matrix(pose_np))
+        g = gather_valid(vol)
+        m = np.asarray(g.mask)
+        rows = np.concatenate(
+            [np.asarray(g.position)[m],
+             np.asarray(g.tsdf)[m][:, None],
+             np.asarray(g.weight)[m][:, None],
+             np.asarray(g.prob)[m][:, None]], axis=1)
+        outs[dedup] = rows[np.lexsort(rows[:, :3].T[::-1])]
+
+    # check the stream size really triggers the tile path
+    assert w2 * h2 * 2 >= (1 << 17)
+    assert outs["sort"].shape == outs["filter"].shape
+    np.testing.assert_array_equal(outs["sort"], outs["filter"])
