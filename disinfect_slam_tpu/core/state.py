@@ -24,6 +24,9 @@ Payload semantics (voxel_types.cu):
 
 from __future__ import annotations
 
+from functools import partial
+
+import jax
 import jax.numpy as jnp
 from flax import struct
 
@@ -71,22 +74,13 @@ class TSDFVolume:
     @classmethod
     def create(cls, cfg: TSDFConfig) -> "TSDFVolume":
         cfg.validate()
-        e, b, v = cfg.num_entries, cfg.num_blocks, cfg.block_volume
-        table_size = cfg.grid_cells if cfg.backend == "dense" else 1
-        return cls(
-            entry_pos=jnp.zeros((e, 3), jnp.int32),
-            entry_block=jnp.full((e,), EMPTY, jnp.int32),
-            block_table=jnp.full((table_size,), EMPTY, jnp.int32),
-            # Stack pops from the top: heap[num_free - 1] first, matching
-            # AquireBlock's atomicSub order (voxel_mem.cu:37-42).
-            heap=jnp.arange(b, dtype=jnp.int32),
-            num_free=jnp.asarray(b, jnp.int32),
-            tsdf=jnp.full((b, v), DEFAULT_TSDF, jnp.float32),
-            weight=jnp.zeros((b, v), jnp.float32),
-            rgb=jnp.zeros((b, v, 3), jnp.float32),
-            prob=jnp.full((b, v), DEFAULT_PROB, jnp.float32),
-            cfg=cfg,
-        )
+        # one jitted program instead of ~10 eager array inits: on
+        # remote-attached TPUs every eager op is its own compile
+        # round-trip (minutes of cold-start for a fresh process), while
+        # a single jitted create both compiles once and lands in the
+        # persistent compile cache
+        return _create_volume(cfg)
+
 
     @property
     def num_active_blocks(self) -> jnp.ndarray:
@@ -107,3 +101,23 @@ class TSDFVolume:
         ):
             total += f.size * f.dtype.itemsize
         return total
+
+
+@partial(jax.jit, static_argnums=0)
+def _create_volume(cfg: TSDFConfig) -> "TSDFVolume":
+    e, b, v = cfg.num_entries, cfg.num_blocks, cfg.block_volume
+    table_size = cfg.grid_cells if cfg.backend == "dense" else 1
+    return TSDFVolume(
+        entry_pos=jnp.zeros((e, 3), jnp.int32),
+        entry_block=jnp.full((e,), EMPTY, jnp.int32),
+        block_table=jnp.full((table_size,), EMPTY, jnp.int32),
+        # Stack pops from the top: heap[num_free - 1] first, matching
+        # AquireBlock's atomicSub order (voxel_mem.cu:37-42).
+        heap=jnp.arange(b, dtype=jnp.int32),
+        num_free=jnp.asarray(b, jnp.int32),
+        tsdf=jnp.full((b, v), DEFAULT_TSDF, jnp.float32),
+        weight=jnp.zeros((b, v), jnp.float32),
+        rgb=jnp.zeros((b, v, 3), jnp.float32),
+        prob=jnp.full((b, v), DEFAULT_PROB, jnp.float32),
+        cfg=cfg,
+    )

@@ -71,11 +71,23 @@ class ReconstructionService:
         return self.system.tsdf.tsdf.snapshot()
 
     def stats(self):
-        vol = self._volume()
+        # drain the queue, then read the counter under the grid lock —
+        # but skip the full volume snapshot _volume() would take: the
+        # snapshot's dozen eager device ops each pay a cold compile on
+        # remote-attached TPUs, and stats is the viewer's liveness probe
+        if self.mode == "slam":
+            vol = self.system.volume
+            count = int(vol.num_active_blocks)
+            vsz = vol.cfg.voxel_size
+        else:
+            self.system.tsdf.flush()
+            grid = self.system.tsdf.tsdf
+            count = grid.num_active_blocks()
+            vsz = grid.cfg.voxel_size
         return {
             "frames": self.frames,
-            "active_blocks": int(vol.num_active_blocks),
-            "voxel_size": vol.cfg.voxel_size,
+            "active_blocks": count,
+            "voxel_size": vsz,
             "mode": self.mode,
         }
 

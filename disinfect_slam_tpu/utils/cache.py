@@ -22,6 +22,9 @@ def enable(cache_dir: str | None = None) -> None:
         )
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
+        # NOTE: tempting to set this to 0 so sub-second eager ops cache
+        # too, but a 0-threshold run deadlocked inside the remote-compile
+        # client on this stack; 2.0 s is the proven setting
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
     except Exception:
         pass
