@@ -105,6 +105,17 @@ def main():
             max_new_per_round=2048,
             grid_log2=7,
         )
+    elif args.voxel < 0.008:
+        # sub-8mm voxels at VGA put ~30k blocks in view; the default
+        # capacities (16k visible / 2^16 blocks) silently saturate, so
+        # scale up to the bench-class working set
+        cfg = TSDFConfig(
+            num_buckets_log2=19,
+            num_blocks_log2=17,
+            max_candidates=32768,
+            max_visible=32768,
+            max_new_per_round=8192,
+        )
     if args.visible_buckets:
         import dataclasses
 
