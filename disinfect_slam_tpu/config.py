@@ -125,6 +125,21 @@ class TSDFConfig:
     patch_h: int = 24
     patch_w: int = 32
     sample_tile: int = 16
+    # Pallas sampler precision: number of bf16 matmul splits in the
+    # one-hot row select.  3 = bit-exact f32 (default); 2 = relative
+    # error <= 2^-16 (~61 um on a 4 m depth — far below a voxel, and the
+    # MXU stage drops by a third); 1 = plain bf16 (depth error up to
+    # ~16 mm at 4 m: NOT suitable for fusion, kept for A/B probes).
+    sampler_splits: int = 3
+    # Allocation-DDA pixel stride: candidate blocks are generated from
+    # every s-th pixel in x and y (s*s fewer candidate keys).  Coverage
+    # is exact while every visible block's screen footprint spans >= s
+    # px, i.e. s <= fx * block_len * voxel_size / max_depth (4.2 px at
+    # fx=525, 32 mm blocks, 4 m max depth -> stride 2 loses nothing
+    # there); a block grazed by a single finer-than-stride ray defers to
+    # a later frame (fail-open, like the reference's lock-miss drop,
+    # voxel_hash.cu:83-89).
+    alloc_stride: int = 1
 
     # ------------------------------------------------------------------
     @property
@@ -195,6 +210,12 @@ class TSDFConfig:
         assert self.truncation > self.voxel_size
         assert 3 * self.coord_bits <= 30, "packed block coord must fit int32"
         assert self.backend in ("hash", "dense")
+        assert self.patch_w & (self.patch_w - 1) == 0, (
+            "patch_w must be a power of two (sampler column-select fold "
+            f"tree); got {self.patch_w}"
+        )
+        assert self.sampler_splits in (1, 2, 3), self.sampler_splits
+        assert self.alloc_stride >= 1, self.alloc_stride
         if self.backend == "hash":
             assert self.max_probe >= self.entries_per_bucket
             assert self.num_blocks <= self.num_entries

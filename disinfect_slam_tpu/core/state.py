@@ -63,9 +63,15 @@ class TSDFVolume:
     num_free: jnp.ndarray  # int32 [] stack top (= number of free blocks)
 
     # --- voxel payloads, SoA (B blocks x 512 voxels) ---
+    # Widths match VoxelRGBW {u8 rgb[3], u8 weight} / VoxelTSDF {f32} /
+    # VoxelSEGM {f32} (voxel_types.cuh:10-43): 12 B per voxel like the
+    # reference's 4+4+4 B, half the HBM of the former all-f32 layout.
+    # The fusion math always produced integral rgb/weight
+    # (voxel_tsdf.cu:189-194), so u8 storage is parity, not loss;
+    # readers widen to f32 in-flight.
     tsdf: jnp.ndarray  # f32 [B, V]
-    weight: jnp.ndarray  # f32 [B, V] integral-valued, clamped to max_weight
-    rgb: jnp.ndarray  # f32 [B, V, 3] integral-valued in [0, 255]
+    weight: jnp.ndarray  # u8 [B, V] integral-valued, clamped to max_weight
+    rgb: jnp.ndarray  # u8 [B, V, 3]
     prob: jnp.ndarray  # f32 [B, V] high-touch probability
 
     cfg: TSDFConfig = struct.field(pytree_node=False)
@@ -116,8 +122,8 @@ def _create_volume(cfg: TSDFConfig) -> "TSDFVolume":
         heap=jnp.arange(b, dtype=jnp.int32),
         num_free=jnp.asarray(b, jnp.int32),
         tsdf=jnp.full((b, v), DEFAULT_TSDF, jnp.float32),
-        weight=jnp.zeros((b, v), jnp.float32),
-        rgb=jnp.zeros((b, v, 3), jnp.float32),
+        weight=jnp.zeros((b, v), jnp.uint8),
+        rgb=jnp.zeros((b, v, 3), jnp.uint8),
         prob=jnp.full((b, v), DEFAULT_PROB, jnp.float32),
         cfg=cfg,
     )

@@ -48,4 +48,9 @@ def load_volume(path: str) -> TSDFVolume:
         fields["visible_buckets"] = tuple(fields["visible_buckets"])
     cfg = TSDFConfig(**fields)
     kwargs = {f: jnp.asarray(data[f]) for f in _FIELDS}
+    # forward-compat: checkpoints written before the u8 payload layout
+    # (VoxelRGBW parity) stored integral f32 rgb/weight — narrow exactly
+    for f, dt in (("weight", jnp.uint8), ("rgb", jnp.uint8)):
+        if kwargs[f].dtype != dt:
+            kwargs[f] = kwargs[f].astype(dt)
     return TSDFVolume(cfg=cfg, **kwargs)

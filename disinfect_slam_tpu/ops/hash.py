@@ -129,7 +129,7 @@ def _insert_dense(
     )
     v = cfg.block_volume
     tsdf = vol.tsdf.at[compact].set(jnp.full((w, v), RESET_TSDF, jnp.float32), mode="drop")
-    weight = vol.weight.at[compact].set(jnp.zeros((w, v), jnp.float32), mode="drop")
+    weight = vol.weight.at[compact].set(jnp.zeros((w, v), jnp.uint8), mode="drop")
     prob = vol.prob.at[compact].set(jnp.full((w, v), RESET_PROB, jnp.float32), mode="drop")
 
     vol = vol.replace(
@@ -271,7 +271,7 @@ def _claim_round(
     tsdf = vol.tsdf.at[compact].set(
         jnp.full((w, v), RESET_TSDF, jnp.float32), mode="drop"
     )
-    weight = vol.weight.at[compact].set(jnp.zeros((w, v), jnp.float32), mode="drop")
+    weight = vol.weight.at[compact].set(jnp.zeros((w, v), jnp.uint8), mode="drop")
     prob = vol.prob.at[compact].set(
         jnp.full((w, v), RESET_PROB, jnp.float32), mode="drop"
     )
@@ -352,8 +352,12 @@ def read_voxels(
     pool_safe = jnp.where(hit, pool, 0)
     vidx = vx.offset_to_index(vx.point_to_offset(point, cfg), cfg)
     tsdf = jnp.where(hit, vol.tsdf[pool_safe, vidx], DEFAULT_TSDF)
-    rgb = jnp.where(hit[:, None], vol.rgb[pool_safe, vidx], 0.0)
-    weight = jnp.where(hit, vol.weight[pool_safe, vidx], 0.0)
+    rgb = jnp.where(
+        hit[:, None], vol.rgb[pool_safe, vidx].astype(jnp.float32), 0.0
+    )
+    weight = jnp.where(
+        hit, vol.weight[pool_safe, vidx].astype(jnp.float32), 0.0
+    )
     prob = jnp.where(hit, vol.prob[pool_safe, vidx], DEFAULT_PROB)
     return tsdf, rgb, weight, prob
 

@@ -145,10 +145,17 @@ def generate_candidates(
 ) -> jnp.ndarray:
     """Per-pixel DDA along the camera ray over [-trunc, +trunc] around the
     surface sample, emitting packed candidate block keys [H*W*S]
-    (sentinel-keyed where invalid).  Mirrors voxel_tsdf.cu:104-147."""
+    (sentinel-keyed where invalid).  Mirrors voxel_tsdf.cu:104-147.
+
+    cfg.alloc_stride subsamples the pixel grid (each sampled ray still
+    emits its full DDA walk); see the coverage bound in config.py."""
     hgt, wid = frame_depth.shape
-    u = jnp.arange(wid, dtype=jnp.float32)
-    v = jnp.arange(hgt, dtype=jnp.float32)
+    s = cfg.alloc_stride
+    if s > 1:
+        frame_depth = frame_depth[::s, ::s]
+        d2r = d2r[::s, ::s]
+    u = jnp.arange(0, wid, s, dtype=jnp.float32)
+    v = jnp.arange(0, hgt, s, dtype=jnp.float32)
     uu, vv = jnp.meshgrid(u, v)
     pos_cam = cam.intrinsics_inv.project(
         jnp.stack([uu, vv, jnp.ones_like(uu)], axis=-1)
@@ -251,6 +258,13 @@ def allocate_blocks(
 # ----------------------------------------------------------------------
 # Stage 2: visibility sweep + on-device compaction (GatherVisible rework)
 # ----------------------------------------------------------------------
+class IntegrateStats(NamedTuple):
+    """Per-frame device-scalar stats from integrate(return_stats=True)."""
+
+    visible_count: jnp.ndarray  # i32 [] visible blocks this frame
+    sampler_skipped: jnp.ndarray  # i32 [] patch-overflow blocks deferred
+
+
 class VisibleSet(NamedTuple):
     """Compacted visible blocks; count stays on device (no host sync)."""
 
@@ -404,8 +418,12 @@ def fuse_visible(
     """Weighted running-average fusion over [max_visible, 512] voxels.
 
     Formula-identical to tsdf_integrate_kernel (voxel_tsdf.cu:149-205).
-    Returns (volume, min|tsdf| per visible row) — the carve reduction is
-    computed on the in-flight rows so carving never re-reads the pool.
+    Returns (volume, min|tsdf| per visible row, sampler-skipped block
+    count) — the carve reduction is computed on the in-flight rows so
+    carving never re-reads the pool; the skipped count (patch-overflow
+    blocks that deferred fusion this frame) is 0 on the gather path and
+    on the fused kernel (which handles overflow identically but does
+    not count it).
     """
     cfg = vol.cfg
     vcap, bv = cfg.max_visible, cfg.block_volume
@@ -477,6 +495,11 @@ def fuse_visible(
             ph=cfg.patch_h, pw=cfg.patch_w, tb=cfg.sample_tile,
             interpret=jax.default_backend() != "tpu",
             as_channels=True,
+            splits=cfg.sampler_splits,
+            # live-count early exit: tiles past vis.count skip DMA+MXU
+            # work entirely; their garbage outputs are masked by
+            # vis.mask (update requires it) below
+            count=vis.count,
         )
         depth, d2r_s = chans[0], chans[1]
         rgb_new = jnp.stack([chans[2], chans[3], chans[4]], axis=-1)
@@ -491,6 +514,15 @@ def fuse_visible(
         ht = samp[..., 5]
         lt = samp[..., 6]
 
+    # Observability of the patch-size limit (ADVICE r2): blocks whose
+    # screen footprint exceeds the static patch skip fusion this frame
+    # (only happens closer than ~0.7 m at 4 mm voxels).  Count them so
+    # close-range overflow is visible instead of silent.
+    row_live = vis.mask & (jnp.arange(vcap) < vis.count)
+    skipped = jnp.sum(
+        (row_live[:, None] & in_img & ~sample_ok).any(axis=1).astype(jnp.int32)
+    )
+
     depth_ok = (depth > 0) & (depth <= max_depth)
     sdf = d2r_s * (depth - z)
     sdf_ok = sdf > -cfg.truncation
@@ -501,8 +533,9 @@ def fuse_visible(
 
     pool = jnp.clip(vis.pool_idx, 0, cfg.num_blocks - 1)  # [V]
     tsdf_old = vol.tsdf[pool]  # [V, 512]
-    w_old = vol.weight[pool]
-    rgb_old = vol.rgb[pool]  # [V, 512, 3]
+    # u8 payloads (VoxelRGBW parity) gather as bytes, widen in-flight
+    w_old = vol.weight[pool].astype(jnp.float32)
+    rgb_old = vol.rgb[pool].astype(jnp.float32)  # [V, 512, 3]
     prob_old = vol.prob[pool]
 
     w_comb = w_old + w_new
@@ -512,12 +545,15 @@ def fuse_visible(
         (rgb_old * w_old[..., None] + rgb_new * w_new[..., None]) / w_safe[..., None]
     )
     w_upd = jnp.minimum(vx.round_half_away(w_comb), cfg.max_weight)
-    # log-space geometric fusion of ht/lt (voxel_tsdf.cu:196-202) with C
-    # powf semantics: powf(0, 0) == 1, so a zero-weight term contributes
-    # nothing even when its base is 0.  The naive w*log(x) form turns
-    # (w=0, x=0) into 0*(-inf) = NaN; this bites voxels first touched at
-    # depth ~ max_depth, whose w_new < 0.5 rounds the stored weight to 0
-    # while prob collapses to the sample.
+    # log-space geometric fusion of ht/lt (voxel_tsdf.cu:196-202).
+    # DELIBERATE divergence from the reference in one corner: the
+    # reference computes expf(w * logf(p)), which is NaN when w == 0 and
+    # p == 0 (0 * -inf) — hit by voxels first touched near max_depth,
+    # whose w_new < 0.5 rounds the stored weight to 0.  Here the
+    # zero-exponent term contributes nothing (powf(0,0)==1 semantics),
+    # and a zero denominator keeps p_old, so those voxels stay finite
+    # where the reference would poison them.  The oracle encodes the
+    # same guard, so tests pin THIS behavior, not the reference's NaN.
     positive = jnp.exp(
         _pow_log(prob_old, w_old / w_safe) + _pow_log(ht, w_new / w_safe)
     )
@@ -535,15 +571,17 @@ def fuse_visible(
     rgb_w = jnp.where(update[..., None], rgb_upd, rgb_old)
     prob_w = jnp.where(update, prob_upd, prob_old)
 
-    # scatter rows back (padded rows drop via OOB index)
+    # scatter rows back (padded rows drop via OOB index); rgb/weight are
+    # integral by construction (rounded in the update, preserved by the
+    # where), so the u8 narrowing is exact
     wpool = jnp.where(vis.mask, vis.pool_idx, cfg.num_blocks)
     vol = vol.replace(
         tsdf=vol.tsdf.at[wpool].set(tsdf_w, mode="drop"),
-        weight=vol.weight.at[wpool].set(w_w, mode="drop"),
-        rgb=vol.rgb.at[wpool].set(rgb_w, mode="drop"),
+        weight=vol.weight.at[wpool].set(w_w.astype(jnp.uint8), mode="drop"),
+        rgb=vol.rgb.at[wpool].set(rgb_w.astype(jnp.uint8), mode="drop"),
         prob=vol.prob.at[wpool].set(prob_w, mode="drop"),
     )
-    return vol, jnp.min(jnp.abs(tsdf_w), axis=-1)
+    return vol, jnp.min(jnp.abs(tsdf_w), axis=-1), skipped
 
 
 def _fuse_visible_kernel(
@@ -572,22 +610,25 @@ def _fuse_visible_kernel(
     interpret = jax.default_backend() != "tpu"
     tsdf_w, w_w, prob_w, rgb_w, minabs_w = fuse_rows(
         stacked, u0, v0, us, vs, z, gate,
-        vol.tsdf[pool], vol.weight[pool], vol.prob[pool], vol.rgb[pool],
+        vol.tsdf[pool], vol.weight[pool].astype(jnp.float32),
+        vol.prob[pool], vol.rgb[pool].astype(jnp.float32),
         truncation=float(cfg.truncation),
         max_depth=float(max_depth),
         max_weight=float(cfg.max_weight),
         prob_eps=float(cfg.prob_eps),
         ph=cfg.patch_h, pw=cfg.patch_w, tb=cfg.sample_tile,
         interpret=interpret,
+        splits=cfg.sampler_splits,
+        count=vis.count,
     )
     wpool = jnp.where(vis.mask, vis.pool_idx, cfg.num_blocks)
     vol = vol.replace(
         tsdf=vol.tsdf.at[wpool].set(tsdf_w, mode="drop"),
-        weight=vol.weight.at[wpool].set(w_w, mode="drop"),
-        rgb=vol.rgb.at[wpool].set(rgb_w, mode="drop"),
+        weight=vol.weight.at[wpool].set(w_w.astype(jnp.uint8), mode="drop"),
+        rgb=vol.rgb.at[wpool].set(rgb_w.astype(jnp.uint8), mode="drop"),
         prob=vol.prob.at[wpool].set(prob_w, mode="drop"),
     )
-    return vol, minabs_w[:, 0]
+    return vol, minabs_w[:, 0], jnp.zeros((), jnp.int32)
 
 
 # ----------------------------------------------------------------------
@@ -624,16 +665,17 @@ def integrate(
     voxel_tsdf.cu:347-375). Pure function of (volume, frame, pose); jit it
     with donate_argnums=0 to update the volume in place in HBM.
 
-    return_stats=True additionally returns the visible-block count
-    (device scalar) — the driver for bucketed visible capacity in
-    systems/tsdf_grid.py."""
+    return_stats=True additionally returns IntegrateStats (device
+    scalars: visible count + sampler-skipped blocks)."""
     d2r = depth_to_range(cam)
     vol = allocate_blocks(vol, frame.depth, d2r, cam, cam_T_world, max_depth)
     vis = gather_visible(vol, cam, cam_T_world, frame.depth, d2r)
-    vol, min_abs = fuse_visible(vol, vis, frame, d2r, cam, cam_T_world, max_depth)
+    vol, min_abs, skipped = fuse_visible(
+        vol, vis, frame, d2r, cam, cam_T_world, max_depth
+    )
     vol = space_carve(vol, vis, min_abs)
     if return_stats:
-        return vol, vis.count
+        return vol, IntegrateStats(visible_count=vis.count, sampler_skipped=skipped)
     return vol
 
 

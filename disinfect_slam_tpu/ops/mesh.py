@@ -157,7 +157,10 @@ def extract_mesh_chunked(
                              fmin)
             fmax = jnp.where(nhit, jnp.maximum(fmax, jnp.max(nrows, axis=1)),
                              fmax)
-        return live_d & (fmin < 0) & (fmax > 0)
+        # fmax >= 0 (not > 0) to match the cell emission predicate
+        # (corner >= 0): a block whose field max is exactly 0.0 still
+        # emits (degenerate) cells in the single-shot path
+        return live_d & (fmin < 0) & (fmax >= 0)
 
     cand = np.asarray(_candidates(vol))
 
@@ -223,7 +226,7 @@ def _block_fields(vol, block_pos, pool_idx, mask):
     def rows_of(pool, hit):
         p = jnp.clip(pool, 0, cfg.num_blocks - 1)
         t = jnp.where(hit[:, None], vol.tsdf[p], DEFAULT_TSDF)
-        w = jnp.where(hit[:, None], vol.weight[p], 0.0)
+        w = jnp.where(hit[:, None], vol.weight[p].astype(jnp.float32), 0.0)
         return (t.reshape(vcap, bl, bl, bl), w.reshape(vcap, bl, bl, bl))
 
     own_hit = mask & (pool_idx >= 0) & (pool_idx < cfg.num_blocks)

@@ -46,6 +46,7 @@ def _fuse_kernel(
     # scalar prefetch
     u0_ref,  # [V] i32
     v0_ref,  # [V] i32
+    count_ref,  # [1] i32 live-row count (tiles past it skip)
     # inputs
     img_ref,  # [H, W*C] f32 (ANY/HBM) stacked: depth, d2r, r, g, b, ht, lt, 0
     lu_ref,  # [TB, 512] i32
@@ -81,9 +82,11 @@ def _fuse_kernel(
     max_depth: float,
     max_weight: float,
     prob_eps: float,
+    splits: int,
 ):
     i = pl.program_id(0)
     n_tiles = pl.num_programs(0)
+    count = count_ref[0]
 
     def _dma(tile, b):
         v0 = pl.multiple_of(v0_ref[tile * tb + b], 8)
@@ -95,12 +98,15 @@ def _fuse_kernel(
             sems.at[slot, b],
         )
 
-    @pl.when(i == 0)
+    # live-count early exit (see sample_kernel.py): tiles wholly past
+    # count skip DMA and compute; their unwritten outputs are dropped by
+    # the caller's masked scatter
+    @pl.when((i == 0) & (count > 0))
     def _():
         for b in range(tb):
             _dma(i, b).start()
 
-    @pl.when(i + 1 < n_tiles)
+    @pl.when((i + 1) * tb < count)
     def _():
         for b in range(tb):
             _dma(i + 1, b).start()
@@ -108,7 +114,10 @@ def _fuse_kernel(
     rows_i = jax.lax.broadcasted_iota(jnp.int32, (ph, 512), 0)
     pos_i = jax.lax.broadcasted_iota(jnp.int32, (pw * c, 512), 0)
     slot = jax.lax.rem(i, 2)
-    for b in range(tb):
+
+    @pl.when(i * tb < count)
+    def _compute():
+      for b in range(tb):
         u0 = u0_ref[i * tb + b]
         v0 = v0_ref[i * tb + b]
         _dma(i, b).wait()
@@ -120,20 +129,22 @@ def _fuse_kernel(
         lv_c = jnp.clip(lv, 0, ph - 1)
 
         # --- transposed selection, voxels on lanes end-to-end (see
-        # sample_kernel.py for the layout rationale and exactness) ---
+        # sample_kernel.py for the layout rationale, exactness, and the
+        # splits precision ladder) ---
         oh_t = (rows_i == lv_c[None, :]).astype(jnp.bfloat16)  # [PH, 512]
         p_full = patch_ref[slot, b]
         p_hi = p_full.astype(jnp.bfloat16)
-        r1 = p_full - p_hi.astype(jnp.float32)
-        p_mid = r1.astype(jnp.bfloat16)
-        p_lo = (r1 - p_mid.astype(jnp.float32)).astype(jnp.bfloat16)
-        a_t = (
-            jax.lax.dot_general(p_hi, oh_t, _NT_DNUMS,
+        terms = [p_hi]
+        if splits >= 2:
+            r1 = p_full - p_hi.astype(jnp.float32)
+            p_mid = r1.astype(jnp.bfloat16)
+            terms.append(p_mid)
+            if splits >= 3:
+                terms.append((r1 - p_mid.astype(jnp.float32)).astype(jnp.bfloat16))
+        a_t = sum(
+            jax.lax.dot_general(t, oh_t, _NT_DNUMS,
                                 preferred_element_type=jnp.float32)
-            + jax.lax.dot_general(p_mid, oh_t, _NT_DNUMS,
-                                  preferred_element_type=jnp.float32)
-            + jax.lax.dot_general(p_lo, oh_t, _NT_DNUMS,
-                                  preferred_element_type=jnp.float32)
+            for t in terms
         )  # [PW*C, 512]
         dsel = pos_i - lu_c[None, :] * c
         m = a_t * ((dsel >= 0) & (dsel < c)).astype(jnp.float32)
@@ -208,7 +219,7 @@ def _fuse_kernel(
     jax.jit,
     static_argnames=(
         "ph", "pw", "tb", "truncation", "max_depth", "max_weight",
-        "prob_eps", "interpret",
+        "prob_eps", "interpret", "splits",
     ),
 )
 def fuse_rows(
@@ -231,15 +242,25 @@ def fuse_rows(
     pw: int = DEFAULT_PW,
     tb: int = 16,
     interpret: bool = False,
+    splits: int = 3,
+    count: jnp.ndarray | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Fused sample+update over gathered pool rows; returns updated
     (tsdf, weight, prob, rgb) rows plus per-row min |tsdf| (the space
-    carve input, [V, 128] lane-broadcast -- use [:, 0])."""
+    carve input, [V, 128] lane-broadcast -- use [:, 0]).
+
+    count/splits as in sample_patches: rows past count come back
+    garbage and must be masked by the caller."""
     img_h, img_w, c = img.shape
     vcap = u0.shape[0]
     assert vcap % tb == 0
     # the column-select fold tree halves PW*C down to C
     assert pw & (pw - 1) == 0 and c & (c - 1) == 0, (pw, c)
+    assert splits in (1, 2, 3), splits
+    if count is None:
+        count_arr = jnp.full((1,), vcap, jnp.int32)
+    else:
+        count_arr = jnp.asarray(count, jnp.int32).reshape(1)
 
     ualign = max(128 // c, 1)
     u0 = jnp.clip((u0 // ualign) * ualign, 0, ((img_w - pw) // ualign) * ualign)
@@ -250,12 +271,12 @@ def fuse_rows(
         _fuse_kernel,
         tb=tb, ph=ph, pw=pw, c=c,
         truncation=truncation, max_depth=max_depth, max_weight=max_weight,
-        prob_eps=prob_eps,
+        prob_eps=prob_eps, splits=splits,
     )
     row = lambda i, *_: (i, 0)
     row_spec = pl.BlockSpec((tb, 512), row)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(vcap // tb,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] + [row_spec] * 10,
         out_specs=tuple([row_spec] * 6) + (pl.BlockSpec((tb, 128), row),),
@@ -273,7 +294,7 @@ def fuse_rows(
         grid_spec=grid_spec,
         interpret=interpret,
     )(
-        u0, v0, img_flat, u, v, z, gate, tsdf, weight, prob,
+        u0, v0, count_arr, img_flat, u, v, z, gate, tsdf, weight, prob,
         rgb[..., 0], rgb[..., 1], rgb[..., 2],
     )
     return t_w, w_w, p_w, jnp.stack([r_w, g_w, b_w], axis=-1), minabs

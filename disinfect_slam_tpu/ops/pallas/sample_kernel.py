@@ -73,6 +73,7 @@ def _sample_kernel(
     # scalar prefetch
     u0_ref,  # [V] i32 patch origin x per block
     v0_ref,  # [V] i32 patch origin y per block
+    count_ref,  # [1] i32 number of live blocks (tiles past it skip)
     # array inputs
     img_ref,  # [H, W*C] f32 in ANY/HBM (flattened channels)
     lu_ref,  # [TB, 512] i32 in-patch... absolute pixel x per voxel
@@ -85,6 +86,7 @@ def _sample_kernel(
     c: int,
     img_h: int,
     img_w: int,
+    splits: int,
 ):
     out_refs = refs[:c]
     valid_ref = refs[c]
@@ -93,6 +95,7 @@ def _sample_kernel(
 
     i = pl.program_id(0)
     n_tiles = pl.num_programs(0)
+    count = count_ref[0]
 
     # Double-buffered patch DMAs across grid tiles: tile i's compute
     # overlaps tile i+1's copies (scratch persists across grid steps on
@@ -108,12 +111,18 @@ def _sample_kernel(
             sems.at[slot, b],
         )
 
-    @pl.when(i == 0)
+    # Tiles at or past the live-block count skip their DMAs and compute
+    # entirely: fuse/carve cost then scales with the frame's actual
+    # visible count instead of the padded max_visible cap (~45% wasted at
+    # steady state on the bench orbit).  Rows >= count have vis.mask
+    # False downstream, so their (unwritten, garbage) outputs are never
+    # consumed.
+    @pl.when((i == 0) & (count > 0))
     def _():
         for b in range(tb):
             _dma(i, b).start()
 
-    @pl.when(i + 1 < n_tiles)
+    @pl.when((i + 1) * tb < count)
     def _():
         for b in range(tb):
             _dma(i + 1, b).start()
@@ -121,7 +130,10 @@ def _sample_kernel(
     rows_i = jax.lax.broadcasted_iota(jnp.int32, (ph, 512), 0)
     pos_i = jax.lax.broadcasted_iota(jnp.int32, (pw * c, 512), 0)
     slot = jax.lax.rem(i, 2)
-    for b in range(tb):
+
+    @pl.when(i * tb < count)
+    def _compute():
+      for b in range(tb):
         u0 = u0_ref[i * tb + b]
         v0 = v0_ref[i * tb + b]
         _dma(i, b).wait()
@@ -134,22 +146,27 @@ def _sample_kernel(
 
         # transposed one-hot row select on the MXU (lhsT contraction is
         # the MXU-native form).  The f32 MXU path miscompiles on this
-        # stack (output lanes broadcast); three bf16 matmuls over a
-        # hi/mid/lo split of the patch reconstruct f32 exactly (each
-        # output element receives exactly one product term per matmul).
+        # stack (output lanes broadcast); `splits` bf16 matmuls over a
+        # hi/mid/lo split of the patch reconstruct f32 (each output
+        # element receives exactly one product term per matmul):
+        #   3: exact f32 (bit-exact vs an XLA gather)
+        #   2: rel err <= 2^-16 (~61 um on a 4 m depth; << 1 voxel)
+        #   1: plain bf16, rel err <= 2^-8 (integral rgb <= 255 stays
+        #      exact; depth err up to ~16 mm at 4 m — NOT for fusion)
         oh_t = (rows_i == lv_c[None, :]).astype(jnp.bfloat16)  # [PH, 512]
         p_full = patch_ref[slot, b]
         p_hi = p_full.astype(jnp.bfloat16)
-        r1 = p_full - p_hi.astype(jnp.float32)
-        p_mid = r1.astype(jnp.bfloat16)
-        p_lo = (r1 - p_mid.astype(jnp.float32)).astype(jnp.bfloat16)
-        a_t = (
-            jax.lax.dot_general(p_hi, oh_t, _NT_DNUMS,
+        terms = [p_hi]
+        if splits >= 2:
+            r1 = p_full - p_hi.astype(jnp.float32)
+            p_mid = r1.astype(jnp.bfloat16)
+            terms.append(p_mid)
+            if splits >= 3:
+                terms.append((r1 - p_mid.astype(jnp.float32)).astype(jnp.bfloat16))
+        a_t = sum(
+            jax.lax.dot_general(t, oh_t, _NT_DNUMS,
                                 preferred_element_type=jnp.float32)
-            + jax.lax.dot_general(p_mid, oh_t, _NT_DNUMS,
-                                  preferred_element_type=jnp.float32)
-            + jax.lax.dot_general(p_lo, oh_t, _NT_DNUMS,
-                                  preferred_element_type=jnp.float32)
+            for t in terms
         )  # [PW*C, 512] — voxels stay on lanes
 
         # column-group select: patch row p belongs to pixel column lu
@@ -172,7 +189,8 @@ def _sample_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("ph", "pw", "tb", "interpret", "as_channels")
+    jax.jit,
+    static_argnames=("ph", "pw", "tb", "interpret", "as_channels", "splits"),
 )
 def sample_patches(
     img: jnp.ndarray,  # [H, W, C] f32 stacked frame channels
@@ -185,18 +203,30 @@ def sample_patches(
     tb: int = 16,
     interpret: bool = False,
     as_channels: bool = False,
+    splits: int = 3,
+    count: jnp.ndarray | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Sample img at (v, u) per voxel.  Returns ([V, 512, C] values,
     [V, 512] validity), or (tuple of C [V, 512] arrays, validity) with
     as_channels=True — callers fusing at full scale should take the
     channel form to avoid materializing the stacked array.  Samples
-    outside the per-block patch come back invalid."""
+    outside the per-block patch come back invalid.
+
+    count: optional device scalar of live rows; tiles wholly past it are
+    skipped (their outputs are garbage and MUST be masked by the caller,
+    e.g. via vis.mask).  splits: precision of the bf16 hi/mid/lo matmul
+    split (3 = bit-exact f32, 2 = rel err <= 2^-16, 1 = plain bf16)."""
     img_h, img_w, c = img.shape
     vcap = u0.shape[0]
     assert vcap % tb == 0, (vcap, tb)
     # the column-select fold tree halves PW*C down to C
     assert pw & (pw - 1) == 0 and c & (c - 1) == 0, (pw, c)
+    assert splits in (1, 2, 3), splits
     grid = (vcap // tb,)
+    if count is None:
+        count_arr = jnp.full((1,), vcap, jnp.int32)
+    else:
+        count_arr = jnp.asarray(count, jnp.int32).reshape(1)
 
     # align origins to the DMA tiling (sublane 8, lane 128 => u0*C % 128);
     # the upper clip is rounded down too so clipped origins stay aligned
@@ -214,13 +244,14 @@ def sample_patches(
         c=c,
         img_h=img_h,
         img_w=img_w,
+        splits=splits,
     )
     row_spec = pl.BlockSpec((tb, 512), lambda i, *_: (i, 0))
     out_shape = tuple(
         jax.ShapeDtypeStruct((vcap, 512), jnp.float32) for _ in range(c + 1)
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # img stays in HBM
@@ -238,7 +269,7 @@ def sample_patches(
         out_shape=out_shape,
         grid_spec=grid_spec,
         interpret=interpret,
-    )(u0, v0, img_flat, u, v)
+    )(u0, v0, count_arr, img_flat, u, v)
     chans, valid = outs[:c], outs[c] > 0.5
     if as_channels:
         return chans, valid

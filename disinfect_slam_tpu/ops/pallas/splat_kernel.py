@@ -185,9 +185,9 @@ def _prep_splat_blocks(
     hgt, wid = cam.img_h, cam.img_w
     n_pix = hgt * wid
 
-    uf, vf, depth_q, surf, vis = _project_for_splat(
+    uf, vf, depth_q, surf, vis, sv_overflow = _project_for_splat(
         vol, cam, cam_T_world, max_depth, band, surf_cap
-    )  # [V,512] f32, f32, i32, bool; VisibleSet
+    )  # [V,512] f32, f32, i32, bool; VisibleSet; [] i32
 
     u0px = jnp.floor(uf).astype(jnp.int32)
     v0px = jnp.floor(vf).astype(jnp.int32)
@@ -242,7 +242,7 @@ def _prep_splat_blocks(
         hpad=hpad, wpad=wpad,
     )
     pool = jnp.clip(vis.pool_idx, 0, cfg.num_blocks - 1)
-    return prep, pool
+    return prep, pool, sv_overflow
 
 
 def _zbuf_pallas(prep: _SplatPrep, hgt, wid, tb, interpret):
@@ -280,7 +280,7 @@ def splat_depth_pallas(
         from ..render_fast import DEFAULT_SURF_CAP
 
         surf_cap = DEFAULT_SURF_CAP
-    prep, _pool = _prep_splat_blocks(
+    prep, _pool, _overflow = _prep_splat_blocks(
         vol, cam, cam_T_world, max_depth, band, overflow_cap, surf_cap
     )
     zbuf = _zbuf_pallas(prep, hgt, wid, tb, interpret)
@@ -432,7 +432,7 @@ def splat_render_pallas(
         from ..render_fast import DEFAULT_SURF_CAP
 
         surf_cap = DEFAULT_SURF_CAP
-    prep, pool = _prep_splat_blocks(
+    prep, pool, sv_overflow = _prep_splat_blocks(
         vol, cam, cam_T_world, max_depth, band, overflow_cap, surf_cap
     )
     zbuf = _zbuf_pallas(prep, hgt, wid, tb, interpret)
@@ -442,7 +442,10 @@ def splat_render_pallas(
     zpad = jnp.full((prep.hpad, prep.wpad), BIG, jnp.int32)
     zpad = zpad.at[:hgt, :wid].set(zbuf.reshape(hgt, wid))
 
-    packed = pack_payload(vol.rgb[pool].reshape(-1, 3), vol.prob[pool].reshape(-1))
+    packed = pack_payload(
+        vol.rgb[pool].reshape(-1, 3).astype(jnp.float32),
+        vol.prob[pool].reshape(-1),
+    )
     pk_flip = jax.lax.bitcast_convert_type(
         packed ^ jnp.uint32(0x80000000), jnp.int32
     ).reshape(pool.shape[0], 512)
@@ -464,4 +467,4 @@ def splat_render_pallas(
     wpix = jnp.where(won, prep.lpix, n_pix)
     pbuf = pbuf.at[wpix].max(lpk, mode="drop")
 
-    return images_from_buffers(zbuf, pbuf, cam)
+    return images_from_buffers(zbuf, pbuf, cam, surf_overflow=sv_overflow)

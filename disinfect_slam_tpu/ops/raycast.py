@@ -34,6 +34,10 @@ class RaycastResult(NamedTuple):
     normal: jnp.ndarray  # u8 [H, W, 4]
     depth: jnp.ndarray  # f32 [H, W] ray depth of the hit (0 = miss)
     hit: jnp.ndarray  # bool [H, W]
+    # splat paths only: number of surface blocks dropped because the
+    # static surf_cap was exceeded (0 = complete image; the parity
+    # raycaster always renders everything and reports None)
+    surf_overflow: jnp.ndarray | None = None
 
 
 def _read_tsdf_flat(vol: TSDFVolume, pos_grid: jnp.ndarray) -> jnp.ndarray:

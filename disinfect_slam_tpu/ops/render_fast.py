@@ -61,6 +61,12 @@ def _surf_visible(vol, cam, cam_T_world, band: float, cap: int) -> VisibleSet:
     cap = min(cap, cfg.max_visible)
     order = jnp.argsort(jnp.where(has, 0, 1), stable=True)[:cap]
     keep = jnp.take(has, order)
+    n_surf = jnp.sum(has.astype(jnp.int32))
+    # overflow is surfaced to the caller (RaycastResult.surf_overflow):
+    # dropped surface blocks mean missing geometry in the image, which
+    # must never be silent (fail-open-but-observable, like the mesh
+    # chunk clipping convention)
+    overflow = jnp.maximum(n_surf - cap, 0)
     return VisibleSet(
         entry_idx=jnp.where(keep, jnp.take(vis.entry_idx, order), cfg.num_entries),
         block_pos=jnp.where(
@@ -68,8 +74,8 @@ def _surf_visible(vol, cam, cam_T_world, band: float, cap: int) -> VisibleSet:
         ),
         pool_idx=jnp.where(keep, jnp.take(vis.pool_idx, order), cfg.num_blocks),
         mask=keep,
-        count=jnp.minimum(jnp.sum(has.astype(jnp.int32)), cap),
-    )
+        count=jnp.minimum(n_surf, cap),
+    ), overflow
 
 
 def _project_for_splat(vol, cam, cam_T_world, max_depth, band, surf_cap=None):
@@ -84,9 +90,10 @@ def _project_for_splat(vol, cam, cam_T_world, max_depth, band, surf_cap=None):
     cfg = vol.cfg
     hgt, wid = cam.img_h, cam.img_w
     if surf_cap is not None:
-        vis = _surf_visible(vol, cam, cam_T_world, band, surf_cap)
+        vis, overflow = _surf_visible(vol, cam, cam_T_world, band, surf_cap)
     else:
         vis = gather_visible(vol, cam, cam_T_world)
+        overflow = jnp.zeros((), jnp.int32)
     bv = cfg.block_volume
 
     offs = vx.index_to_offset(jnp.arange(bv, dtype=jnp.int32), cfg)
@@ -119,7 +126,7 @@ def _project_for_splat(vol, cam, cam_T_world, max_depth, band, surf_cap=None):
     rng_cam = jnp.linalg.norm(pos_cam, axis=-1)
     z_corr = z + tsdf * cfg.truncation * z / jnp.where(rng_cam == 0, 1.0, rng_cam)
     depth_q = jnp.clip(z_corr * 4096.0, 0, float(2**29)).astype(jnp.int32)
-    return uf, vf, depth_q, surf, vis
+    return uf, vf, depth_q, surf, vis, overflow
 
 
 def splat_render(
@@ -145,7 +152,7 @@ def splat_render(
     hgt, wid = cam.img_h, cam.img_w
     n_pix = hgt * wid
 
-    uf2, vf2, depth_q2, surf2, vis = _project_for_splat(
+    uf2, vf2, depth_q2, surf2, vis, overflow = _project_for_splat(
         vol, cam, cam_T_world, max_depth, band, surf_cap
     )
     surf = surf2.reshape(-1)
@@ -175,12 +182,15 @@ def splat_render(
     # value (deterministic)
     won = (pix < n_pix) & (depth_q == zbuf[jnp.clip(pix, 0, n_pix - 1)])
     packed = jnp.tile(
-        pack_payload(vol.rgb[pool].reshape(-1, 3), vol.prob[pool].reshape(-1)), 4
+        pack_payload(
+            vol.rgb[pool].reshape(-1, 3).astype(jnp.float32),
+            vol.prob[pool].reshape(-1),
+        ), 4
     )
     wpix = jnp.where(won, pix, n_pix)
     pbuf = jnp.zeros((n_pix,), jnp.uint32).at[wpix].max(packed, mode="drop")
 
-    return images_from_buffers(zbuf, pbuf, cam)
+    return images_from_buffers(zbuf, pbuf, cam, surf_overflow=overflow)
 
 
 def pack_payload(rgb: jnp.ndarray, prob: jnp.ndarray) -> jnp.ndarray:
@@ -195,7 +205,9 @@ def pack_payload(rgb: jnp.ndarray, prob: jnp.ndarray) -> jnp.ndarray:
     return (p8 << 24) | (r8 << 16) | (g8 << 8) | b8
 
 
-def images_from_buffers(zbuf: jnp.ndarray, pbuf: jnp.ndarray, cam) -> RaycastResult:
+def images_from_buffers(
+    zbuf: jnp.ndarray, pbuf: jnp.ndarray, cam, surf_overflow=None
+) -> RaycastResult:
     """z-buffer [n_pix] i32 + packed payload buffer [n_pix] u32 -> the
     reference's rgba / normal-shaded images (voxel_tsdf.cu:292-299).
     Shared by the XLA scatter path and the Pallas patch kernels."""
@@ -243,4 +255,5 @@ def images_from_buffers(zbuf: jnp.ndarray, pbuf: jnp.ndarray, cam) -> RaycastRes
         normal=(normal * hitf).astype(jnp.uint8),
         depth=depth_img,
         hit=hit,
+        surf_overflow=surf_overflow,
     )

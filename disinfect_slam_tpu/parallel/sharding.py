@@ -120,7 +120,9 @@ class DistributedTSDF:
             # owned by this shard are masked out before insert
             vol = _allocate_owned(vol, frame.depth, d2r, cam, pose, max_depth, my_idx, n_dev)
             vis = gather_visible(vol, cam, pose)
-            vol, min_abs = fuse_visible(vol, vis, frame, d2r, cam, pose, max_depth)
+            vol, min_abs, _skipped = fuse_visible(
+                vol, vis, frame, d2r, cam, pose, max_depth
+            )
             vol = space_carve(vol, vis, min_abs)
             return jax.tree.map(lambda x: x[None], vol)
 

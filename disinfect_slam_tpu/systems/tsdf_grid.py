@@ -175,10 +175,18 @@ class TSDFGrid:
                         donate_argnums=0,
                     )
                 vol_b = dataclasses.replace(self.volume, cfg=self._bucket_cfg[b])
-                vol_b, self._last_vis = self._bucket_fn[b](
+                vol_b, stats = self._bucket_fn[b](
                     vol_b, frame, intr, pose,
                     img_h=h, img_w=w, max_depth=float(max_depth),
                 )
+                self._last_vis = stats.visible_count
+                if debug:
+                    sk = int(np.asarray(stats.sampler_skipped))
+                    if sk:
+                        logger.debug(
+                            "[TSDF] sampler patch overflow: %d blocks "
+                            "deferred fusion this frame", sk
+                        )
                 self.volume = dataclasses.replace(vol_b, cfg=self.cfg)
             else:
                 self.volume = self._integrate(
@@ -196,15 +204,19 @@ class TSDFGrid:
         max_depth: float,
         virtual_cam: Tuple[Tuple[float, float, float, float], int, int],
         cam_T_world: np.ndarray,
-        renderer: str = "auto",
+        renderer: str = "raycast",
     ) -> raycast_ops.RaycastResult:
         """TSDFGrid::RayCast (voxel_tsdf.cu:490-506). virtual_cam =
-        ((fx, fy, cx, cy), img_h, img_w).  renderer="splat" selects the
-        scatter-based fast path (same image conventions, no per-step
-        volume lookups — see ops/render_fast.py); "auto" picks the
-        Pallas splat on TPU (97 ms vs 888 raycast / 910 splat-xla at
-        bench scale, bit-identical to splat) and the parity raycaster
-        elsewhere."""
+        ((fx, fy, cx, cy), img_h, img_w).
+
+        The default is the parity ray marcher (exact ray_cast_kernel
+        semantics incl. trilinear refinement).  renderer="splat" selects
+        the scatter-based fast path (same image conventions, different
+        algorithm: geometry within ~1 voxel, see ops/render_fast.py);
+        "auto" opts into the Pallas splat on TPU (97 ms vs 888 raycast
+        at bench scale, bit-identical to splat) and the parity raycaster
+        elsewhere — callers wanting speed over exact parity (the apps,
+        the interactive viewer) pass it explicitly."""
         intr, img_h, img_w = virtual_cam
         if renderer == "auto":
             import jax as _jax
@@ -221,7 +233,7 @@ class TSDFGrid:
         # deleted array (the reference serializes the same way with
         # mtx_read_, tsdf_module.cc:40-49)
         with self._lock:
-            return fn(
+            res = fn(
                 self.volume,
                 jnp.asarray(intr, jnp.float32),
                 jnp.asarray(cam_T_world, jnp.float32),
@@ -229,6 +241,17 @@ class TSDFGrid:
                 img_w=int(img_w),
                 max_depth=float(max_depth),
             )
+        # splat paths cap surface blocks; dropped geometry must be
+        # observable (ADVICE r2).  The sync this read forces is gated on
+        # debug logging, like the integrate block-count gauges above.
+        if logger.isEnabledFor(10) and res.surf_overflow is not None:
+            ov = int(np.asarray(res.surf_overflow))
+            if ov:
+                logger.debug(
+                    "[TSDF] splat surf_cap exceeded: %d surface blocks "
+                    "dropped from this render", ov
+                )
+        return res
 
     def gather_valid(self) -> SpatialTSDF:
         """TSDFGrid::GatherValid (voxel_tsdf.cu:399-425)."""

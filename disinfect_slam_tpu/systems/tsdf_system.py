@@ -84,9 +84,16 @@ class TSDFSystem:
         """TSDFSystem::Query (tsdf_module.cc:40-43)."""
         return self.tsdf.gather_voxels(volume)
 
-    def render(self, virtual_cam, cam_T_world: np.ndarray):
-        """TSDFSystem::Render (tsdf_module.cc:45-49): normal-shaded view."""
-        return self.tsdf.ray_cast(self.max_depth, virtual_cam, cam_T_world)
+    def render(self, virtual_cam, cam_T_world: np.ndarray,
+               renderer: str = "auto"):
+        """TSDFSystem::Render (tsdf_module.cc:45-49): normal-shaded view.
+
+        This is the interactive-viewer path, so it defaults to the fast
+        renderer ("auto": Pallas splat on TPU); pass renderer="raycast"
+        for the exact ray_cast_kernel parity output."""
+        return self.tsdf.ray_cast(
+            self.max_depth, virtual_cam, cam_T_world, renderer=renderer
+        )
 
     def queue_depth(self) -> int:
         return self._inputs.qsize()

@@ -97,7 +97,7 @@ def main():
     def stage_avf(v):
         v = I.allocate_blocks(v, fr.depth, d2r, cam, pose, MAX_DEPTH)
         vis = I.gather_visible(v, cam, pose, fr.depth, d2r)
-        v, _ = I.fuse_visible(v, vis, fr, d2r, cam, pose, MAX_DEPTH)
+        v, _, _ = I.fuse_visible(v, vis, fr, d2r, cam, pose, MAX_DEPTH)
         return v
 
     def full(v):
