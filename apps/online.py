@@ -36,6 +36,12 @@ def main():
     ap.add_argument("--segment", action="store_true", help="run ht/lt segmentation")
     ap.add_argument("--seg-ckpt", help="segmentation checkpoint (msgpack)")
     ap.add_argument(
+        "--fused", action="store_true",
+        help="one-dispatch online path: seg forward + fusion in a single "
+        "jitted program per frame (systems/online_step.py) — no host "
+        "round trip between segmentation and integration",
+    )
+    ap.add_argument(
         "--stereo", action="store_true",
         help="logdir holds {id}_left/_right.png stereo pairs; depth is "
         "computed by block matching instead of read from _depth.png",
@@ -152,6 +158,59 @@ def main():
     else:
         replay = LoggedReplay(args.logdir, depth_factor)
     print(f"[online] {len(replay)} frames @ {args.fps} fps playback")
+
+    if args.fused:
+        # one-dispatch path: synchronous loop, each frame is a single
+        # H2D + jitted seg+fuse program (the honest online FPS)
+        import dataclasses as _dc
+
+        from disinfect_slam_tpu.systems.online_step import FusedOnlineStep
+
+        first = next(iter(replay))
+        fh, fw = first.depth.shape
+        ocfg = cfg if cfg is not None else TSDFConfig(
+            voxel_size=args.voxel, truncation=args.trunc,
+        )
+        ocfg = _dc.replace(ocfg, voxel_size=args.voxel, truncation=args.trunc)
+        seg_model = seg_params = None
+        if args.segment:
+            from disinfect_slam_tpu.models.segmentation import (
+                create_model as _cm, load_default_params as _ldp,
+            )
+
+            seg_model = _cm()
+            seg_params = _ldp()
+            if seg_params is None:
+                print("[online] WARNING: no shipped weights; --fused runs seg-off")
+                seg_model = None
+        step = FusedOnlineStep(
+            ocfg, intrinsics, fh, fw, args.max_depth,
+            seg_model=seg_model, seg_params=seg_params,
+        )
+        t0 = time.perf_counter()
+        n = 0
+        for frame in replay:
+            step.step(frame.rgb, frame.depth, frame.cam_T_world)
+            n += 1
+        step.block_until_ready()
+        wall = time.perf_counter() - t0
+        print(
+            f"[online] fused: {n} frames in {wall:.1f} s "
+            f"({n / wall:.1f} FPS incl H2D+seg), "
+            f"{step.num_active_blocks()} active blocks"
+        )
+        if args.render_dir:
+            from disinfect_slam_tpu.systems.tsdf_grid import TSDFGrid
+            from disinfect_slam_tpu.viz.headless import render_to_png
+
+            grid = TSDFGrid(args.voxel, args.trunc, cfg=ocfg)
+            grid.volume = step.volume
+            render_to_png(
+                grid, args.render_dir, replay.entries[-1][1],
+                (intrinsics, 360, 640), max_depth=args.max_depth,
+            )
+            print(f"[online] rendered final view to {args.render_dir}")
+        return
 
     with DISINFSystem(
         intrinsics,

@@ -66,29 +66,25 @@ def _tpu_alive(timeout: float = 240.0) -> bool:
         return False
 
 
-def _verify_sampler(jax, jnp, w, h) -> bool:
-    """Compare the Pallas patch sampler against a plain gather on random
-    in-patch indices at the bench image size."""
+def _verify_sampler(splits: int, w, h) -> bool:
+    """Hardware self-check of the Pallas sampler at the bench's
+    configured precision, plus the count early-exit contract
+    (utils/kernel_verify.py — the full gate is scripts/tpu_verify.py)."""
     try:
-        from disinfect_slam_tpu.ops.pallas.sample_kernel import sample_patches
+        from disinfect_slam_tpu.utils.kernel_verify import (
+            verify_count_exit,
+            verify_sample_kernel,
+        )
 
-        rng = np.random.default_rng(0)
-        v_blocks = 64
-        img = jnp.asarray(rng.uniform(0, 255, (h, w, 8)).astype(np.float32))
-        # footprints <= 16x16: covered by the 24x32 default patch even
-        # after origin alignment (u0%16, v0%8)
-        u0 = rng.integers(0, w - 32, v_blocks).astype(np.int32)
-        v0 = rng.integers(0, h - 24, v_blocks).astype(np.int32)
-        u = (u0[:, None] + rng.integers(0, 16, (v_blocks, 512))).astype(np.int32)
-        v = (v0[:, None] + rng.integers(0, 16, (v_blocks, 512))).astype(np.int32)
-        s, valid = sample_patches(
-            img, jnp.asarray(u0), jnp.asarray(v0), jnp.asarray(u), jnp.asarray(v)
-        )
-        ref = np.asarray(img)[v, u]
-        val = np.asarray(valid)
-        return bool(val.mean() > 0.99) and bool(
-            np.allclose(np.asarray(s)[val], ref[val], atol=1e-4)
-        )
+        ok1, err1, det1 = verify_sample_kernel(w=w, h=h, splits=splits)
+        ok2, err2, det2 = verify_count_exit()
+        if not ok1:
+            print(f"[bench] sampler check failed: err={err1} ({det1})",
+                  file=sys.stderr)
+        if not ok2:
+            print(f"[bench] count-exit check failed: err={err2} ({det2})",
+                  file=sys.stderr)
+        return bool(ok1 and ok2)
     except Exception as e:
         print(f"[bench] sampler verification error: {e}", file=sys.stderr)
         return False
@@ -130,16 +126,26 @@ def main():
     K = (525.1, 525.3, 319.6, 239.7) if on_accel else (131.3, 131.3, 79.9, 59.9)
     n_frames = 60 if on_accel else 6
 
-    # north-star config: 4 mm voxels (BASELINE.md)
+    # north-star config: 4 mm voxels (BASELINE.md).  Pool capacity 2^18
+    # blocks = 134M voxels matches the reference exactly
+    # (voxel_mem.cuh:11-20) — affordable since the u8 payload layout
+    # (voxel_types.cuh parity) holds 12 B/voxel.  sampler_splits=2 is
+    # the documented-tolerance mode (sampling rel err <= 2^-16, ~61 um
+    # on a 4 m depth); alloc_stride=2 is lossless at this geometry
+    # (min block footprint 4.2 px > 2, see config.py).  Bit-exact
+    # everything: sampler_splits=3, alloc_stride=1 (A/B: 55.2 vs 61.0
+    # ms/frame, divergence |tsdf|sum 7e-6 rel).
     cfg = TSDFConfig(
         voxel_size=0.004,
         truncation=0.024,
         num_buckets_log2=19 if on_accel else 14,
-        num_blocks_log2=17 if on_accel else 12,
+        num_blocks_log2=18 if on_accel else 12,
         max_candidates=32768 if on_accel else 8192,
         max_visible=32768 if on_accel else 4096,
         max_new_per_round=8192 if on_accel else 2048,
         max_probe=16,
+        sampler_splits=2,
+        alloc_stride=2 if on_accel else 1,
     )
     max_depth = 4.0
 
@@ -147,7 +153,7 @@ def main():
     # for the headline number (the f32 MXU miscompile we hit is the kind
     # of thing that silently corrupts results)
     if on_accel and cfg.sampler in ("auto", "pallas", "pallas_fused"):
-        if not _verify_sampler(jax, jnp, w, h):
+        if not _verify_sampler(cfg.sampler_splits, w, h):
             print("[bench] pallas sampler failed verification; using gather",
                   file=sys.stderr)
             import dataclasses
@@ -230,6 +236,43 @@ def main():
     except Exception as e:  # pragma: no cover
         print(f"[bench] render bench skipped: {e}", file=sys.stderr)
 
+    # honest online metric: rgb+depth+pose from HOST numpy each frame
+    # (H2D included), seg forward + fusion as ONE jitted dispatch
+    # (systems/online_step.py) — the 30 Hz contract the reference's
+    # online path targets (examples/tsdf/online.cc:23-70)
+    online_fps = float("nan")
+    try:
+        from disinfect_slam_tpu.models.segmentation import (
+            create_model as _cm,
+            load_default_params as _ldp,
+        )
+        from disinfect_slam_tpu.systems.online_step import FusedOnlineStep
+
+        seg_model = _cm()
+        seg_params = _ldp()
+        if seg_params is None:
+            seg_model = None  # no shipped weights: measure without seg
+        online = FusedOnlineStep(
+            cfg, K, h, w, max_depth,
+            seg_model=seg_model, seg_params=seg_params,
+        )
+        host_frames = [
+            (f[1], f[2], f[0]) for f in frames[: min(30, len(frames))]
+        ]  # (rgb, depth, pose) numpy
+        online.step(*host_frames[0])  # compile
+        online.block_until_ready()
+        t0 = time.perf_counter()
+        for rgb_f, depth_f, pose_f in host_frames[1:]:
+            online.step(rgb_f, depth_f, pose_f)
+        online.block_until_ready()
+        online_fps = (len(host_frames) - 1) / (time.perf_counter() - t0)
+        print(
+            f"[bench] online (H2D + seg{'' if seg_model else '-off'} + fuse, "
+            f"1 dispatch/frame): {online_fps:.2f} FPS", file=sys.stderr,
+        )
+    except Exception as e:  # pragma: no cover
+        print(f"[bench] online bench skipped: {e}", file=sys.stderr)
+
     # segmentation inference micro-bench (the reference's
     # examples/segmentation_inference/main.cc measures ms/image)
     seg_ms = float("nan")
@@ -298,6 +341,7 @@ def main():
                 "platform": platform,
                 "img": f"{w}x{h}",
                 "voxel_m": cfg.voxel_size,
+                "online_fps": None if online_fps != online_fps else round(online_fps, 2),
                 "fallback": fallback,
                 # north-star dataset status (BASELINE.md): the TUM rgbd_1
                 # sequence cannot be fetched in this image (zero egress),

@@ -62,6 +62,13 @@ class TSDFVolume:
     heap: jnp.ndarray  # int32 [B] stack of free pool indices
     num_free: jnp.ndarray  # int32 [] stack top (= number of free blocks)
 
+    # cumulative count of allocation candidates dropped because they
+    # fell outside the grid/coord coverage — the reference's hash is
+    # coordinate-unbounded (voxel_hash.cuh:13-25), so silent truncation
+    # here would be a parity break; hosts watch this and warn loudly
+    # (systems/tsdf_grid.py)
+    oob_count: jnp.ndarray  # int32 []
+
     # --- voxel payloads, SoA (B blocks x 512 voxels) ---
     # Widths match VoxelRGBW {u8 rgb[3], u8 weight} / VoxelTSDF {f32} /
     # VoxelSEGM {f32} (voxel_types.cuh:10-43): 12 B per voxel like the
@@ -121,6 +128,7 @@ def _create_volume(cfg: TSDFConfig) -> "TSDFVolume":
         # AquireBlock's atomicSub order (voxel_mem.cu:37-42).
         heap=jnp.arange(b, dtype=jnp.int32),
         num_free=jnp.asarray(b, jnp.int32),
+        oob_count=jnp.zeros((), jnp.int32),
         tsdf=jnp.full((b, v), DEFAULT_TSDF, jnp.float32),
         weight=jnp.zeros((b, v), jnp.uint8),
         rgb=jnp.zeros((b, v, 3), jnp.uint8),

@@ -24,6 +24,7 @@ _FIELDS = (
     "block_table",
     "heap",
     "num_free",
+    "oob_count",
     "tsdf",
     "weight",
     "rgb",
@@ -43,11 +44,19 @@ def save_volume(path: str, vol: TSDFVolume) -> None:
 def load_volume(path: str) -> TSDFVolume:
     data = np.load(path)
     fields = json.loads(bytes(data["__config__"]).decode())
+    # drop config keys this version no longer has (e.g. the excised
+    # visible_buckets) so old checkpoints keep loading
+    known = {f.name for f in dataclasses.fields(TSDFConfig)}
+    fields = {k: v for k, v in fields.items() if k in known}
     # JSON has no tuples; restore tuple-typed fields exactly
-    if "visible_buckets" in fields:
-        fields["visible_buckets"] = tuple(fields["visible_buckets"])
+    if fields.get("grid_origin") is not None:
+        fields["grid_origin"] = tuple(fields["grid_origin"])
     cfg = TSDFConfig(**fields)
-    kwargs = {f: jnp.asarray(data[f]) for f in _FIELDS}
+    kwargs = {
+        f: jnp.asarray(data[f]) for f in _FIELDS if f in data.files
+    }
+    # pre-round-3 checkpoints lack the oob accumulator
+    kwargs.setdefault("oob_count", jnp.zeros((), jnp.int32))
     # forward-compat: checkpoints written before the u8 payload layout
     # (VoxelRGBW parity) stored integral f32 rgb/weight — narrow exactly
     for f, dt in (("weight", jnp.uint8), ("rgb", jnp.uint8)):

@@ -66,10 +66,16 @@ def probe_slots(block: jnp.ndarray, cfg: TSDFConfig) -> jnp.ndarray:
 # dense backend: block_table[grid_cell] -> pool idx; entry i == pool i
 # ----------------------------------------------------------------------
 def table_index(block: jnp.ndarray, cfg: TSDFConfig):
-    """Block coord [..., 3] -> (cell index [...], in-range mask [...])."""
+    """Block coord [..., 3] -> (cell index [...], in-range mask [...]).
+
+    The grid spans [grid_origin, grid_origin + grid_side) blocks per
+    axis (origin defaults to centered, -grid_side/2)."""
     g = cfg.grid_side
-    half = g >> 1
-    p = block + half
+    if cfg.grid_origin is None:
+        org = jnp.full((3,), -(g >> 1), jnp.int32)
+    else:
+        org = jnp.asarray(cfg.grid_origin, jnp.int32)
+    p = block - org
     in_range = jnp.all((p >= 0) & (p < g), axis=-1)
     ps = jnp.clip(p, 0, g - 1)
     idx = (ps[..., 0] << (2 * cfg.grid_log2)) | (ps[..., 1] << cfg.grid_log2) | ps[..., 2]

@@ -180,6 +180,7 @@ def generate_candidates(
 
     s_max = _dda_steps(cfg)
     keys = []
+    oob = jnp.zeros((), jnp.int32)
     for i in range(s_max):
         pos = ray_start_grid + step_vec * float(i)
         pt = vx.round_half_away(pos).astype(jnp.int32)
@@ -189,10 +190,16 @@ def generate_candidates(
         # visibility depends only on the block coordinate, so checking
         # each unique candidate once is equivalent to the reference's
         # per-sample check and ~50x cheaper
-        ok = valid & (i <= n_steps) & vx.in_coord_range(blk, cfg)
+        wanted = valid & (i <= n_steps)
+        in_rng = vx.in_coord_range(blk, cfg)
+        ok = wanted & in_rng
+        # candidate samples beyond the packed coord range are dropped —
+        # count them so the truncation is observable (the reference's
+        # hash has no such bound, voxel_hash.cuh:13-25)
+        oob = oob + jnp.sum((wanted & ~in_rng).astype(jnp.int32))
         key = jnp.where(ok, vx.pack_block_coord(blk, cfg), vx.sentinel_key(cfg))
         keys.append(key.reshape(-1))
-    return jnp.concatenate(keys)
+    return jnp.concatenate(keys), oob
 
 
 def allocate_blocks(
@@ -214,7 +221,7 @@ def allocate_blocks(
     """
     cfg = vol.cfg
     world_T_cam = cam_T_world.inverse()
-    keys = generate_candidates(
+    keys, oob = generate_candidates(
         frame_depth, d2r, cam, cam_T_world, world_T_cam, max_depth, cfg
     )
     sent = vx.sentinel_key(cfg)
@@ -231,6 +238,9 @@ def allocate_blocks(
         coords_all = vx.unpack_block_coord(jnp.where(keys < sent, keys, 0), cfg)
         cell, in_range = h.table_index(coords_all, cfg)
         exists = vol.block_table[cell] >= 0
+        # candidates beyond the dense grid extent are dropped: count
+        # them (grid-truncation observability, see oob_count)
+        oob = oob + jnp.sum(((keys < sent) & ~in_range).astype(jnp.int32))
         new = (keys < sent) & in_range & ~exists
         rank = jnp.cumsum(new.astype(jnp.int32)) - 1
         slot = jnp.where(new & (rank < cfg.max_candidates), rank, cfg.max_candidates)
@@ -245,14 +255,17 @@ def allocate_blocks(
         # duplicates within the frame survive compaction; the dense
         # insert's scatter-max claim resolves them
         vol, _dropped = h.insert(vol, coords, valid)
-        return vol
+        return vol.replace(oob_count=vol.oob_count + oob)
 
     uniq = jnp.unique(keys, size=cfg.max_candidates, fill_value=sent)
     valid = uniq < sent
     coords = vx.unpack_block_coord(uniq, cfg)
+    if cfg.backend == "dense":
+        _, in_range = h.table_index(coords, cfg)
+        oob = oob + jnp.sum((valid & ~in_range).astype(jnp.int32))
     valid = valid & block_visibility(coords, cam_T_world, cam, cfg, full=True)
     vol, _dropped = h.insert(vol, coords, valid)
-    return vol
+    return vol.replace(oob_count=vol.oob_count + oob)
 
 
 # ----------------------------------------------------------------------

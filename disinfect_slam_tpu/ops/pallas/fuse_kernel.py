@@ -111,8 +111,12 @@ def _fuse_kernel(
         for b in range(tb):
             _dma(i + 1, b).start()
 
-    rows_i = jax.lax.broadcasted_iota(jnp.int32, (ph, 512), 0)
-    pos_i = jax.lax.broadcasted_iota(jnp.int32, (pw * c, 512), 0)
+    # static selection maps (see sample_kernel.py for the layout and
+    # precision rationale — this kernel mirrors its K-stacked matmul +
+    # pixel-column-iota select)
+    rows_i = jax.lax.broadcasted_iota(jnp.int32, (splits * ph, 512), 0)
+    rowsel_i = jax.lax.rem(rows_i, jnp.int32(ph)) if splits > 1 else rows_i
+    pcol_i = jax.lax.broadcasted_iota(jnp.int32, (pw * c, 512), 0) // c
     slot = jax.lax.rem(i, 2)
 
     @pl.when(i * tb < count)
@@ -128,10 +132,7 @@ def _fuse_kernel(
         lu_c = jnp.clip(lu, 0, pw - 1)
         lv_c = jnp.clip(lv, 0, ph - 1)
 
-        # --- transposed selection, voxels on lanes end-to-end (see
-        # sample_kernel.py for the layout rationale, exactness, and the
-        # splits precision ladder) ---
-        oh_t = (rows_i == lv_c[None, :]).astype(jnp.bfloat16)  # [PH, 512]
+        # --- transposed selection, voxels on lanes end-to-end ---
         p_full = patch_ref[slot, b]
         p_hi = p_full.astype(jnp.bfloat16)
         terms = [p_hi]
@@ -141,13 +142,12 @@ def _fuse_kernel(
             terms.append(p_mid)
             if splits >= 3:
                 terms.append((r1 - p_mid.astype(jnp.float32)).astype(jnp.bfloat16))
-        a_t = sum(
-            jax.lax.dot_general(t, oh_t, _NT_DNUMS,
-                                preferred_element_type=jnp.float32)
-            for t in terms
+        oh_t = (rowsel_i == lv_c[None, :]).astype(jnp.bfloat16)
+        p_k = terms[0] if splits == 1 else jnp.concatenate(terms, axis=0)
+        a_t = jax.lax.dot_general(
+            p_k, oh_t, _NT_DNUMS, preferred_element_type=jnp.float32
         )  # [PW*C, 512]
-        dsel = pos_i - lu_c[None, :] * c
-        m = a_t * ((dsel >= 0) & (dsel < c)).astype(jnp.float32)
+        m = a_t * (pcol_i == lu_c[None, :]).astype(jnp.float32)
         fold = pw * c
         while fold > c:
             fold //= 2

@@ -127,8 +127,15 @@ def _sample_kernel(
         for b in range(tb):
             _dma(i + 1, b).start()
 
-    rows_i = jax.lax.broadcasted_iota(jnp.int32, (ph, 512), 0)
-    pos_i = jax.lax.broadcasted_iota(jnp.int32, (pw * c, 512), 0)
+    # static row -> in-patch row map (row r of the K-stacked operand
+    # selects patch row r % PH; the rem is loop-invariant)
+    rows_i = jax.lax.broadcasted_iota(jnp.int32, (splits * ph, 512), 0)
+    rowsel_i = jax.lax.rem(rows_i, jnp.int32(ph)) if splits > 1 else rows_i
+    # static lane -> pixel-column map: patch lane p holds channel p % C
+    # of pixel column p // C, so the column-select mask is ONE compare
+    # against this iota (the former (d >= 0) & (d < C) range test cost
+    # three extra [PW*C, 512] VPU passes per block)
+    pcol_i = jax.lax.broadcasted_iota(jnp.int32, (pw * c, 512), 0) // c
     slot = jax.lax.rem(i, 2)
 
     @pl.when(i * tb < count)
@@ -146,14 +153,16 @@ def _sample_kernel(
 
         # transposed one-hot row select on the MXU (lhsT contraction is
         # the MXU-native form).  The f32 MXU path miscompiles on this
-        # stack (output lanes broadcast); `splits` bf16 matmuls over a
+        # stack (output lanes broadcast); `splits` bf16 terms over a
         # hi/mid/lo split of the patch reconstruct f32 (each output
-        # element receives exactly one product term per matmul):
+        # element receives exactly one product term per split):
         #   3: exact f32 (bit-exact vs an XLA gather)
         #   2: rel err <= 2^-16 (~61 um on a 4 m depth; << 1 voxel)
         #   1: plain bf16, rel err <= 2^-8 (integral rgb <= 255 stays
         #      exact; depth err up to ~16 mm at 4 m — NOT for fusion)
-        oh_t = (rows_i == lv_c[None, :]).astype(jnp.bfloat16)  # [PH, 512]
+        # The split terms are STACKED ALONG K (sublanes) with the
+        # one-hot repeated, so the cross-split sum happens inside the
+        # MXU accumulator — one matmul, no [PW*C, 512] output adds.
         p_full = patch_ref[slot, b]
         p_hi = p_full.astype(jnp.bfloat16)
         terms = [p_hi]
@@ -163,18 +172,17 @@ def _sample_kernel(
             terms.append(p_mid)
             if splits >= 3:
                 terms.append((r1 - p_mid.astype(jnp.float32)).astype(jnp.bfloat16))
-        a_t = sum(
-            jax.lax.dot_general(t, oh_t, _NT_DNUMS,
-                                preferred_element_type=jnp.float32)
-            for t in terms
+        # [splits*PH, 512] one-hot: row r selects lv == r % PH
+        oh_t = (rowsel_i == lv_c[None, :]).astype(jnp.bfloat16)
+        p_k = terms[0] if splits == 1 else jnp.concatenate(terms, axis=0)
+        a_t = jax.lax.dot_general(
+            p_k, oh_t, _NT_DNUMS, preferred_element_type=jnp.float32
         )  # [PW*C, 512] — voxels stay on lanes
 
-        # column-group select: patch row p belongs to pixel column lu
-        # iff 0 <= p - lu*C < C.  Zero every other row, then a fold tree
-        # halves the sublane count log2(PW) times down to C — each
-        # output is a sum with exactly one nonzero f32 term (exact).
-        d = pos_i - lu_c[None, :] * c
-        m = a_t * ((d >= 0) & (d < c)).astype(jnp.float32)
+        # column-group select: zero rows of other pixel columns, then a
+        # fold tree halves the sublane count log2(PW) times down to C —
+        # each output is a sum with exactly one nonzero f32 term (exact).
+        m = a_t * (pcol_i == lu_c[None, :]).astype(jnp.float32)
         fold = pw * c
         while fold > c:
             fold //= 2

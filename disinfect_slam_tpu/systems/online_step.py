@@ -1,0 +1,103 @@
+"""One-dispatch online semantic fusion step.
+
+The reference's online pipeline runs segmentation and TSDF integration
+as separate GPU programs with a host round trip between them
+(examples/tsdf/online.cc:23-70: infer_one -> cv::Mat -> TSDFSystem
+queue -> Integrate).  Round 2 mirrored that split and paid for it: the
+seg forward is 5.9 ms on-device but 155 ms end-to-end through the
+host relay.
+
+Here the whole per-frame path is ONE jitted program:
+
+    rgb, depth, pose --H2D--> [ seg forward -> ht/lt -> integrate ] -> volume'
+
+so the semantic maps never leave HBM and the online path costs one
+dispatch + one H2D per frame.  The seg contract matches
+InferenceEngine (models/segmentation.py): resize to 640x352, forward,
+sigmoid, resize of the 2-channel probability map back to the frame
+size (directly to the depth resolution, collapsing the reference's
+640x360 intermediate — a linear resize of a probability map, values
+within interpolation tolerance of the two-stage form).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import TSDFConfig
+from ..core.geometry import SE3, CameraIntrinsics, CameraParams
+from ..core.state import TSDFVolume
+from ..models.segmentation import INFER_H, INFER_W, resize_linear
+from ..ops.integrate import FrameInput, integrate
+
+
+class FusedOnlineStep:
+    """Owns a volume and a single jitted rgb+depth+pose -> volume step.
+
+    seg_model/seg_params None = no-segmentation mode (ht/lt all-ones,
+    the online_no_seg.cc contract, tsdf_module.cc:32-33).
+    """
+
+    def __init__(
+        self,
+        cfg: TSDFConfig,
+        intrinsics: Tuple[float, float, float, float],
+        img_h: int,
+        img_w: int,
+        max_depth: float,
+        seg_model=None,
+        seg_params=None,
+    ):
+        self.cfg = cfg
+        self.img_h, self.img_w = img_h, img_w
+        self.max_depth = float(max_depth)
+        intr = CameraIntrinsics.create(*intrinsics)
+        cam = CameraParams.create(intr, img_h, img_w)
+        self.volume = TSDFVolume.create(cfg)
+        model, params = seg_model, seg_params
+        self._seg_params = params
+
+        @partial(jax.jit, donate_argnums=0)
+        def _step(vol, seg_p, rgb, depth, pose_mat):
+            # rgb f32 [H, W, 3] in [0, 255]; depth f32 [H, W] metres
+            if model is not None:
+                x = resize_linear(rgb, INFER_H, INFER_W) / 255.0
+                logits = model.apply(seg_p, x[None])[0]
+                probs = jax.nn.sigmoid(logits)
+                probs = resize_linear(probs, img_h, img_w)
+                ht, lt = probs[..., 0], probs[..., 1]
+            else:
+                ht = jnp.ones_like(depth)
+                lt = jnp.ones_like(depth)
+            frame = FrameInput(rgb=rgb, depth=depth, ht=ht, lt=lt)
+            return integrate(
+                vol, frame, cam, SE3.from_matrix(pose_mat), max_depth
+            )
+
+        self._step = _step
+
+    # ------------------------------------------------------------------
+    def step_device(self, rgb, depth, pose_mat) -> None:
+        """Advance one frame from already-staged device arrays."""
+        self.volume = self._step(self.volume, self._seg_params, rgb, depth, pose_mat)
+
+    def step(self, rgb: np.ndarray, depth: np.ndarray, pose: np.ndarray) -> None:
+        """Advance one frame from host arrays (H2D included — this is
+        the honest online path; staging is async so the upload of frame
+        t+1 overlaps the compute of frame t)."""
+        self.step_device(
+            jax.device_put(jnp.asarray(rgb, jnp.float32)),
+            jax.device_put(jnp.asarray(depth, jnp.float32)),
+            jax.device_put(jnp.asarray(pose, jnp.float32)),
+        )
+
+    def block_until_ready(self) -> None:
+        jax.block_until_ready(self.volume.tsdf)
+
+    def num_active_blocks(self) -> int:
+        return int(self.volume.num_active_blocks)

@@ -67,16 +67,16 @@ class TSDFGrid:
             static_argnames=("img_h", "img_w", "max_depth"),
         )
         self._gather_valid = jax.jit(gather_ops.gather_valid)
-        # bucketed visible capacity: per-bucket cfg + jitted step, picked
-        # each frame from the previous frame's visible count
-        self._buckets = tuple(
-            sorted(set(b for b in cfg.visible_buckets if b < cfg.max_visible))
-        ) + (cfg.max_visible,) if cfg.visible_buckets else ()
-        self._bucket_cfg = {
-            b: dataclasses.replace(cfg, max_visible=b) for b in self._buckets
-        }
-        self._bucket_fn = {}
-        self._last_vis = None  # device scalar from the previous frame
+        self._integrate_stats = jax.jit(
+            self._integrate_stats_impl,
+            static_argnames=("img_h", "img_w", "max_depth"),
+            donate_argnums=0,
+        )
+        # out-of-coverage allocation watchdog (checked every N frames;
+        # candidates beyond the dense grid / packed-coord extent are
+        # dropped on device and accumulate in volume.oob_count)
+        self._oob_tick = 0
+        self._warned_oob = False
         # functional state guard for concurrent host threads
         self._lock = threading.Lock()
 
@@ -95,19 +95,6 @@ class TSDFGrid:
             vol, frame, cam, SE3.from_matrix(pose_mat), max_depth,
             return_stats=True,
         )
-
-    def _pick_bucket(self) -> int:
-        """Smallest bucket with ~1.5x headroom over the previous frame's
-        visible count (first frame and unknowns use the full cap).
-        Reading the scalar only waits on the previous frame."""
-        if self._last_vis is None:
-            return self._buckets[-1]
-        last = int(np.asarray(self._last_vis))
-        target = min(int(last * 1.5) + 64, self.cfg.max_visible)
-        for b in self._buckets:
-            if b >= target:
-                return b
-        return self._buckets[-1]
 
     @staticmethod
     def _raycast_impl(vol, intr, pose_mat, img_h, img_w, max_depth):
@@ -166,28 +153,23 @@ class TSDFGrid:
                     "[TSDF] pre integrate: %d active blocks",
                     int(self.volume.num_active_blocks),
                 )
-            if self._buckets:
-                b = self._pick_bucket()
-                if b not in self._bucket_fn:
-                    self._bucket_fn[b] = jax.jit(
-                        self._integrate_stats_impl,
-                        static_argnames=("img_h", "img_w", "max_depth"),
-                        donate_argnums=0,
-                    )
-                vol_b = dataclasses.replace(self.volume, cfg=self._bucket_cfg[b])
-                vol_b, stats = self._bucket_fn[b](
-                    vol_b, frame, intr, pose,
+            if debug:
+                # stats variant: same step + device-scalar observability
+                # (visible count, sampler patch-overflow blocks)
+                self.volume, stats = self._integrate_stats(
+                    self.volume, frame, intr, pose,
                     img_h=h, img_w=w, max_depth=float(max_depth),
                 )
-                self._last_vis = stats.visible_count
-                if debug:
-                    sk = int(np.asarray(stats.sampler_skipped))
-                    if sk:
-                        logger.debug(
-                            "[TSDF] sampler patch overflow: %d blocks "
-                            "deferred fusion this frame", sk
-                        )
-                self.volume = dataclasses.replace(vol_b, cfg=self.cfg)
+                sk = int(np.asarray(stats.sampler_skipped))
+                if sk:
+                    logger.debug(
+                        "[TSDF] sampler patch overflow: %d blocks "
+                        "deferred fusion this frame", sk
+                    )
+                logger.debug(
+                    "[TSDF] visible blocks: %d",
+                    int(np.asarray(stats.visible_count)),
+                )
             else:
                 self.volume = self._integrate(
                     self.volume, frame, intr, pose,
@@ -198,6 +180,25 @@ class TSDFGrid:
                     "[TSDF] post integrate: %d active blocks",
                     int(self.volume.num_active_blocks),
                 )
+            # scene-extent watchdog: the reference's hash maps unbounded
+            # coordinates (voxel_hash.cuh:13-25); the dense backend is
+            # bounded, so dropping candidates must be LOUD, not silent.
+            # The device-scalar read only syncs on the frame just
+            # dispatched, and only every 30 frames until it fires.
+            self._oob_tick += 1
+            if not self._warned_oob and self._oob_tick % 30 == 0:
+                oob = int(np.asarray(self.volume.oob_count))
+                if oob:
+                    cfg = self.cfg
+                    extent = cfg.grid_side * cfg.block_len * cfg.voxel_size
+                    logger.warning(
+                        "[TSDF] %d allocation candidates fell OUTSIDE the "
+                        "mapped extent (%s backend, %.1f m per axis) and "
+                        "were dropped — the map is truncated. Raise "
+                        "grid_log2/coord_bits or move grid_origin.",
+                        oob, cfg.backend, extent,
+                    )
+                    self._warned_oob = True
 
     def ray_cast(
         self,

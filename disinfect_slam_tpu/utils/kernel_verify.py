@@ -1,0 +1,213 @@
+"""Hardware kernel-parity checks (VERDICT r2 #7).
+
+The f32-MXU miscompile found in round 2 (output lanes broadcasting a
+single element) is the class of failure these checks exist for: silent
+numerical corruption that only appears on real hardware.  Each check
+runs a Pallas kernel against its XLA reference ON THE CURRENT BACKEND
+and returns (ok, max_err, detail).  `verify_all` is the <60 s gate run
+by scripts/tpu_verify.py and by bench.py before it trusts the kernels
+for the headline number.
+
+All checks are backend-agnostic (they interpret on CPU), so the same
+suite doubles as a CPU sanity check.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, List, Tuple
+
+import numpy as np
+
+
+def _interpret() -> bool:
+    import jax
+
+    return jax.default_backend() != "tpu"
+
+
+# ----------------------------------------------------------------------
+def verify_sample_kernel(
+    w: int = 640, h: int = 480, v_blocks: int = 256, splits: int = 3,
+    seed: int = 0,
+) -> Tuple[bool, float, str]:
+    """Pallas patch sampler vs a plain XLA gather on random in-patch
+    indices.  splits=3 must be bit-exact; splits=2 within 2^-15 rel."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops.pallas.sample_kernel import sample_patches
+
+    rng = np.random.default_rng(seed)
+    img = jnp.asarray(rng.uniform(0, 255, (h, w, 8)).astype(np.float32))
+    u0 = rng.integers(0, w - 32, v_blocks).astype(np.int32)
+    v0 = rng.integers(0, h - 24, v_blocks).astype(np.int32)
+    u = (u0[:, None] + rng.integers(0, 16, (v_blocks, 512))).astype(np.int32)
+    v = (v0[:, None] + rng.integers(0, 16, (v_blocks, 512))).astype(np.int32)
+    s, valid = sample_patches(
+        img, jnp.asarray(u0), jnp.asarray(v0), jnp.asarray(u), jnp.asarray(v),
+        splits=splits, interpret=_interpret(),
+    )
+    ref = np.asarray(img)[v, u]
+    val = np.asarray(valid)
+    if val.mean() < 0.99:
+        return False, 1.0, f"validity {val.mean():.3f} < 0.99"
+    got = np.asarray(s)[val]
+    want = ref[val]
+    if splits >= 3:
+        err = float(np.abs(got - want).max())
+        return err == 0.0, err, "bit-exact required"
+    rel = float((np.abs(got - want) / np.maximum(np.abs(want), 1e-3)).max())
+    return rel < 2 ** -15, rel, "rel err < 2^-15 required"
+
+
+def verify_count_exit(seed: int = 1) -> Tuple[bool, float, str]:
+    """Rows below `count` must be identical with and without early exit."""
+    import jax.numpy as jnp
+
+    from ..ops.pallas.sample_kernel import sample_patches
+
+    rng = np.random.default_rng(seed)
+    w, h, vb = 320, 240, 64
+    img = jnp.asarray(rng.uniform(0, 255, (h, w, 8)).astype(np.float32))
+    u0 = rng.integers(0, w - 32, vb).astype(np.int32)
+    v0 = rng.integers(0, h - 24, vb).astype(np.int32)
+    u = (u0[:, None] + rng.integers(0, 16, (vb, 512))).astype(np.int32)
+    v = (v0[:, None] + rng.integers(0, 16, (vb, 512))).astype(np.int32)
+    args = (img, jnp.asarray(u0), jnp.asarray(v0), jnp.asarray(u), jnp.asarray(v))
+    full, _ = sample_patches(*args, interpret=_interpret())
+    cut, _ = sample_patches(*args, count=jnp.int32(37), interpret=_interpret())
+    # tile size 16 -> rows [0, 48) live with count=37 (ceil to tile)
+    err = float(np.abs(np.asarray(full)[:32] - np.asarray(cut)[:32]).max())
+    return err == 0.0, err, "live rows must match bit-exactly"
+
+
+def _small_scene_step(sampler: str, splits: int = 3):
+    """One integrate step on a small synthetic scene under `sampler`."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..config import TSDFConfig
+    from ..core.geometry import SE3, CameraIntrinsics, CameraParams
+    from ..core.state import TSDFVolume
+    from ..ops.integrate import FrameInput, integrate
+
+    w, h = 160, 128
+    K = (131.3, 131.3, 79.9, 63.9)
+    cfg = TSDFConfig(
+        voxel_size=0.016, truncation=0.096,
+        num_blocks_log2=12, max_candidates=8192, max_visible=2048,
+        max_new_per_round=2048, backend="dense", grid_log2=6,
+        sampler=sampler, sampler_splits=splits,
+    )
+    rng = np.random.default_rng(7)
+    depth = (1.0 + 0.4 * rng.random((h, w))).astype(np.float32)
+    rgb = rng.integers(0, 256, (h, w, 3)).astype(np.float32)
+    ht = rng.random((h, w)).astype(np.float32)
+    frame = FrameInput(
+        rgb=jnp.asarray(rgb), depth=jnp.asarray(depth),
+        ht=jnp.asarray(ht), lt=jnp.asarray(1.0 - ht),
+    )
+    cam = CameraParams.create(CameraIntrinsics.create(*K), h, w)
+    pose = SE3.from_matrix(jnp.eye(4, dtype=jnp.float32))
+    vol = TSDFVolume.create(cfg)
+    step = jax.jit(
+        lambda v: integrate(v, frame, cam, pose, 4.0), donate_argnums=0
+    )
+    vol = step(vol)
+    vol = step(vol)  # second pass exercises nonzero weights
+    jax.block_until_ready(vol.tsdf)
+    return vol
+
+
+def verify_integrate_parity(splits: int = 3) -> Tuple[bool, float, str]:
+    """Full integrate: pallas sampler vs XLA gather, voxel-for-voxel."""
+    a = _small_scene_step("gather")
+    b = _small_scene_step("pallas", splits=splits)
+    terr = float(np.abs(np.asarray(a.tsdf) - np.asarray(b.tsdf)).max())
+    werr = int(np.abs(
+        np.asarray(a.weight, np.int32) - np.asarray(b.weight, np.int32)
+    ).max())
+    rerr = int(np.abs(
+        np.asarray(a.rgb, np.int32) - np.asarray(b.rgb, np.int32)
+    ).max())
+    perr = float(np.abs(np.asarray(a.prob) - np.asarray(b.prob)).max())
+    if splits >= 3:
+        ok = terr == 0.0 and werr == 0 and rerr == 0 and perr == 0.0
+        return ok, max(terr, perr, float(rerr), float(werr)), "bit-exact"
+    ok = terr < 1e-4 and werr == 0 and rerr <= 1 and perr < 1e-4
+    return ok, max(terr, perr), "tolerance mode"
+
+
+def verify_fused_kernel() -> Tuple[bool, float, str]:
+    """Fused sample+math kernel vs the gather path (~1 ulp fma slack;
+    rgb may round one step differently on exact .5 boundaries)."""
+    a = _small_scene_step("gather")
+    b = _small_scene_step("pallas_fused")
+    terr = float(np.abs(np.asarray(a.tsdf) - np.asarray(b.tsdf)).max())
+    rerr = int(np.abs(
+        np.asarray(a.rgb, np.int32) - np.asarray(b.rgb, np.int32)
+    ).max())
+    perr = float(np.abs(np.asarray(a.prob) - np.asarray(b.prob)).max())
+    ok = terr < 1e-5 and rerr <= 1 and perr < 1e-5
+    return ok, max(terr, perr), "~1 ulp slack"
+
+
+def verify_splat() -> Tuple[bool, float, str]:
+    """Pallas splat renderer vs the XLA scatter splat: bit-identical."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..core.geometry import SE3, CameraIntrinsics, CameraParams
+    from ..ops.pallas.splat_kernel import splat_render_pallas
+    from ..ops.render_fast import splat_render
+
+    vol = _small_scene_step("gather")
+    w, h = 160, 128
+    cam = CameraParams.create(
+        CameraIntrinsics.create(131.3, 131.3, 79.9, 63.9), h, w
+    )
+    pose = SE3.from_matrix(jnp.eye(4, dtype=jnp.float32))
+    interp = _interpret()
+    a = jax.jit(lambda v: splat_render(v, cam, pose, 4.0))(vol)
+    b = jax.jit(
+        lambda v: splat_render_pallas(v, cam, pose, 4.0, interpret=interp)
+    )(vol)
+    err = max(
+        int(np.abs(np.asarray(a.rgba, np.int32) - np.asarray(b.rgba, np.int32)).max()),
+        int(np.abs(np.asarray(a.normal, np.int32) - np.asarray(b.normal, np.int32)).max()),
+    )
+    derr = float(np.abs(np.asarray(a.depth) - np.asarray(b.depth)).max())
+    return err == 0 and derr == 0.0, float(err) + derr, "bit-identical"
+
+
+CHECKS: List[Tuple[str, Callable[[], Tuple[bool, float, str]]]] = [
+    ("sample_kernel splits=3 (bit-exact)", lambda: verify_sample_kernel(splits=3)),
+    ("sample_kernel splits=2 (tolerance)", lambda: verify_sample_kernel(splits=2)),
+    ("count early-exit", verify_count_exit),
+    ("integrate pallas vs gather (bit-exact)", verify_integrate_parity),
+    ("integrate fused kernel (~1 ulp)", verify_fused_kernel),
+    ("splat pallas vs xla (bit-identical)", verify_splat),
+]
+
+
+def verify_all(verbose: bool = True) -> bool:
+    import sys
+    import time
+
+    all_ok = True
+    for name, fn in CHECKS:
+        t0 = time.perf_counter()
+        try:
+            ok, err, detail = fn()
+        except Exception as e:  # pragma: no cover
+            ok, err, detail = False, float("nan"), f"EXCEPTION: {e}"
+        dt = time.perf_counter() - t0
+        all_ok &= ok
+        if verbose:
+            print(
+                f"[tpu_verify] {'PASS' if ok else 'FAIL'}  {name}: "
+                f"err={err:.3g} ({detail}) [{dt:.1f}s]",
+                file=sys.stderr, flush=True,
+            )
+    return all_ok

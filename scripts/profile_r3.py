@@ -104,7 +104,12 @@ def main():
     print(f"  -> visibility {vav - va:.1f} fuse {vavf - vav:.1f} "
           f"carve {vfull - vavf:.1f}", flush=True)
 
-    # visibility sub-pieces (un-donated; relative numbers only)
+    # visibility sub-pieces (chained via a harmless state touch)
+    def chainer(scalar_fn):
+        def fn(v):
+            return v.replace(num_free=v.num_free + 0 * scalar_fn(v))
+        return fn
+
     def vis_mask_only(v):
         live = v.entry_block >= 0
         visb = I.block_visibility(v.entry_pos, pose, cam, CFG, full=False)
@@ -114,10 +119,10 @@ def main():
         vis = I.gather_visible(v, cam, pose, fr.depth, d2r)
         return vis.count + jnp.sum(vis.pool_idx)
 
-    timeit(jax.jit(lambda v: (v, vis_mask_only(v))), vol, 10, "  vis: mask only")
-    timeit(jax.jit(lambda v: (v, vis_full(v))), vol, 10, "  vis: mask+compact")
+    timeit(jax.jit(chainer(vis_mask_only)), vol, 10, "  vis: mask only")
+    timeit(jax.jit(chainer(vis_full)), vol, 10, "  vis: mask+compact")
 
-    # fuse sub-pieces: projection math only vs + sampler
+    # fuse sub-pieces: projection math only
     from disinfect_slam_tpu.core import voxel as vx
 
     def proj_only(v):
@@ -130,9 +135,23 @@ def main():
         z = pih[..., 2]
         u = vx.round_half_away(pih[..., 0] / z).astype(jnp.int32)
         v_ = vx.round_half_away(pih[..., 1] / z).astype(jnp.int32)
-        return jnp.sum(u) + jnp.sum(v_) + jnp.sum(z)
+        return (jnp.sum(u) + jnp.sum(v_) + jnp.sum(z).astype(jnp.int32)).astype(jnp.int32)
 
-    timeit(jax.jit(lambda v: (v, proj_only(v))), vol, 10, "  fuse: vis+projection only")
+    timeit(jax.jit(chainer(proj_only)), vol, 10, "  fuse: vis+projection only")
+
+    # variant integrates: fused sampler kernel; stride 3
+    for label, over in (
+        ("full integrate [pallas_fused]", {"sampler": "pallas_fused"}),
+        ("full integrate [stride=3]", {"alloc_stride": 3}),
+    ):
+        c2 = dataclasses.replace(CFG, **over)
+
+        def full2(v, c2=c2):
+            v = dataclasses.replace(v, cfg=c2)
+            v = I.integrate(v, fr, cam, pose, MAX_DEPTH)
+            return dataclasses.replace(v, cfg=CFG)
+
+        timeit(jax.jit(full2, donate_argnums=0), fresh(vol), 10, label)
     print("DONE", flush=True)
 
 

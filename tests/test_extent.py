@@ -1,0 +1,132 @@
+"""Scene-extent behavior: off-center grids, OOB truncation warning,
+unbounded hash backend.
+
+The reference's spatial hash maps unbounded block coordinates
+(voxel_hash.cuh:13-25).  The dense backend here is bounded by
+[grid_origin, grid_origin + grid_side), so (a) the grid must be
+placeable off-center to cover a driven corridor, and (b) dropping
+out-of-coverage candidates must warn loudly instead of silently
+truncating the map (VERDICT r2 #4).
+"""
+
+import dataclasses
+import logging
+
+import numpy as np
+import pytest
+
+from disinfect_slam_tpu.config import TINY, TSDFConfig
+from disinfect_slam_tpu.systems.tsdf_grid import TSDFGrid
+from .scenes import checker_rgb, look_at, render_wall
+
+W, H = 80, 60
+K = (60.0, 60.0, 39.5, 29.5)
+VOXEL, TRUNC = 0.05, 0.2  # block = 0.4 m
+
+
+def _corridor_frames(n, spacing=0.5):
+    """Camera marching +z, always looking at a wall 1.5 m ahead."""
+    rgb = checker_rgb(W, H)
+    out = []
+    for i in range(n):
+        z = i * spacing
+        pose = look_at((0.0, 0.0, z), (0.0, 0.0, z + 2.0))
+        depth = render_wall(W, H, K, pose, wall_z=z + 1.5)
+        out.append((pose.astype(np.float32), rgb, depth))
+    return out
+
+
+def _drive(grid, frames):
+    for pose, rgb, depth in frames:
+        grid.integrate(rgb, depth, None, None, 4.0, K, pose)
+    grid.block_until_ready()
+
+
+def test_offset_grid_covers_corridor():
+    """A 10 m corridor at 5 cm voxels outruns the centered 32-block
+    (+/-6.4 m) grid; shifting grid_origin along +z covers it fully."""
+    cfg = TSDFConfig(
+        voxel_size=VOXEL, truncation=TRUNC,
+        num_blocks_log2=12, max_candidates=8192, max_visible=2048,
+        max_new_per_round=1024, backend="dense", grid_log2=5,
+        grid_origin=(-16, -16, -4),  # z covers [-1.6 m, 11.2 m)
+    )
+    grid = TSDFGrid(VOXEL, TRUNC, cfg=cfg)
+    # walls out to z = 10.0; with +truncation overshoot the DDA stays
+    # inside the grid's [-1.6, 11.2) z-extent
+    frames = _corridor_frames(18, spacing=0.5)
+    _drive(grid, frames)
+    assert int(np.asarray(grid.volume.oob_count)) == 0
+    st = grid.gather_valid()
+    pos = np.asarray(st.position)[np.asarray(st.mask)]
+    # the map must span (almost) the whole corridor of wall hits
+    assert pos[:, 2].max() > 9.5
+    assert pos[:, 2].min() < 2.0
+
+
+def test_centered_grid_truncates_and_warns(caplog):
+    """Same corridor on the centered grid: allocation past +6.4 m drops,
+    oob_count goes nonzero, and TSDFGrid warns loudly (once)."""
+    cfg = TSDFConfig(
+        voxel_size=VOXEL, truncation=TRUNC,
+        num_blocks_log2=12, max_candidates=8192, max_visible=2048,
+        max_new_per_round=1024, backend="dense", grid_log2=5,
+    )
+    grid = TSDFGrid(VOXEL, TRUNC, cfg=cfg)
+    frames = _corridor_frames(20, spacing=0.5)
+    with caplog.at_level(logging.WARNING, "disinfect_slam_tpu.tsdf_grid"):
+        _drive(grid, frames)
+        # watchdog polls every 30 frames; push past the next tick
+        for _ in range(12):
+            grid.integrate(frames[-1][1], frames[-1][2], None, None, 4.0,
+                           K, frames[-1][0])
+        grid.block_until_ready()
+    assert int(np.asarray(grid.volume.oob_count)) > 0
+    warnings = [r for r in caplog.records if "OUTSIDE the mapped extent" in r.message]
+    assert len(warnings) == 1  # loud, and only once
+    st = grid.gather_valid()
+    pos = np.asarray(st.position)[np.asarray(st.mask)]
+    assert pos[:, 2].max() < 6.8  # truncated at the grid boundary
+
+
+def test_hash_backend_maps_beyond_any_grid():
+    """The hash backend (reference-parity) has no grid bound: far
+    coordinates within the packed coord range allocate fine."""
+    cfg = dataclasses.replace(
+        TINY, voxel_size=VOXEL, truncation=TRUNC, coord_bits=10,
+    )
+    grid = TSDFGrid(VOXEL, TRUNC, cfg=cfg)
+    # z = 40 m -> block z = 100: far outside any dense grid here
+    pose = look_at((0.0, 0.0, 38.5), (0.0, 0.0, 40.5))
+    depth = render_wall(W, H, K, pose, wall_z=40.0)
+    grid.integrate(checker_rgb(W, H), depth, None, None, 4.0, K,
+                   pose.astype(np.float32))
+    grid.block_until_ready()
+    assert int(np.asarray(grid.volume.oob_count)) == 0
+    assert grid.num_active_blocks() > 0
+    st = grid.gather_valid()
+    pos = np.asarray(st.position)[np.asarray(st.mask)]
+    assert abs(pos[:, 2].mean() - 40.0) < 1.0
+
+
+def test_checkpoint_roundtrip_with_origin(tmp_path):
+    from disinfect_slam_tpu.io.checkpoint import load_volume, save_volume
+
+    cfg = TSDFConfig(
+        voxel_size=VOXEL, truncation=TRUNC,
+        num_blocks_log2=10, max_candidates=2048, max_visible=512,
+        max_new_per_round=512, backend="dense", grid_log2=5,
+        grid_origin=(-16, -16, -4),
+    )
+    grid = TSDFGrid(VOXEL, TRUNC, cfg=cfg)
+    _drive(grid, _corridor_frames(2))
+    p = str(tmp_path / "vol.npz")
+    save_volume(p, grid.volume)
+    vol2 = load_volume(p)
+    assert vol2.cfg.grid_origin == (-16, -16, -4)
+    np.testing.assert_array_equal(
+        np.asarray(vol2.oob_count), np.asarray(grid.volume.oob_count)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(vol2.tsdf), np.asarray(grid.volume.tsdf)
+    )

@@ -239,34 +239,38 @@ def test_grid_splat_pallas_renderer():
     assert bool(np.asarray(b.hit).any())
 
 
-def test_grid_bucketed_visible_capacity():
-    """Buckets must not change results while counts stay under the
-    bucket, and a too-small bucket fails open (drops blocks, no crash)."""
-    import dataclasses
+def test_grid_debug_stats_path_matches_plain():
+    """The debug (stats) integrate path — which also powers the
+    count-exit observability — must produce the identical volume as the
+    plain path.  (The former visible_buckets feature is excised: the
+    kernels' live-count early exit supersedes it, VERDICT r2 #9.)"""
+    import logging
 
     from disinfect_slam_tpu.systems.tsdf_grid import TSDFGrid
 
     from .scenes import look_at, render_sphere
     from .test_integrate import CFG_DENSE, H, K, W, make_frame
 
-    def run(cfg):
-        g = TSDFGrid(0.05, 0.15, cfg=cfg)
-        for ang in (0.0, 0.15, 0.3):
-            pose = look_at((np.sin(ang) * 1.6, 0, 1.3 - 1.6 * np.cos(ang)),
-                           (0.0, 0.0, 1.3))
-            d = render_sphere(W, H, K, pose, center=(0.0, 0.0, 1.3), radius=0.4)
-            f = make_frame(d.astype(np.float32))
-            g.integrate(f.rgb, f.depth, f.ht, f.lt, 4.0, K, pose)
-        g.block_until_ready()
+    def run(debug):
+        g = TSDFGrid(0.05, 0.15, cfg=CFG_DENSE)
+        lg = logging.getLogger("disinfect_slam_tpu.tsdf_grid")
+        old = lg.level
+        lg.setLevel(logging.DEBUG if debug else logging.INFO)
+        try:
+            for ang in (0.0, 0.15, 0.3):
+                pose = look_at((np.sin(ang) * 1.6, 0, 1.3 - 1.6 * np.cos(ang)),
+                               (0.0, 0.0, 1.3))
+                d = render_sphere(W, H, K, pose, center=(0.0, 0.0, 1.3), radius=0.4)
+                f = make_frame(d.astype(np.float32))
+                g.integrate(f.rgb, f.depth, f.ht, f.lt, 4.0, K, pose)
+            g.block_until_ready()
+        finally:
+            lg.setLevel(old)
         return g
 
-    plain = run(CFG_DENSE)
-    bucketed = run(dataclasses.replace(CFG_DENSE, visible_buckets=(256, 1024)))
-    assert plain.num_active_blocks() == bucketed.num_active_blocks()
+    plain = run(False)
+    stats = run(True)
+    assert plain.num_active_blocks() == stats.num_active_blocks()
     np.testing.assert_array_equal(
-        np.asarray(plain.volume.tsdf), np.asarray(bucketed.volume.tsdf)
+        np.asarray(plain.volume.tsdf), np.asarray(stats.volume.tsdf)
     )
-
-    # pathological bucket: forced overflow drops blocks but stays alive
-    tiny = run(dataclasses.replace(CFG_DENSE, visible_buckets=(8,)))
-    assert tiny.num_active_blocks() > 0
