@@ -100,14 +100,23 @@ def main():
             if os.path.exists(rgb_path)
             else np.zeros((h, w, 3), np.float32)
         )
+        # pose/ok come back as DEVICE arrays (one dispatch, no sync);
+        # resolve the whole trajectory in bulk after the loop
         pose, ok = slam.process_frame(rgb, depth)
-        poses[fid] = pose if ok else None
+        poses[fid] = (pose, ok)
         if (i + 1) % 25 == 0:
             dt = time.perf_counter() - t0
             print(f"[slam] {i+1}/{len(frames)} frames ({(i+1)/dt:.1f} FPS), "
                   f"{int(slam.volume.num_active_blocks)} blocks, "
                   f"{slam.lost_count} lost")
+    import jax as _jax
+
+    _jax.block_until_ready(slam.volume.tsdf)
     dt = time.perf_counter() - t0
+    poses = {
+        fid: (np.asarray(p) if bool(ok) else None)
+        for fid, (p, ok) in poses.items()
+    }
     print(f"[slam] done: {len(frames)} frames in {dt:.1f}s "
           f"({len(frames)/dt:.2f} FPS), lost {slam.lost_count}")
 

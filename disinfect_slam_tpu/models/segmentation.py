@@ -111,10 +111,10 @@ class UNetSeg(nn.Module):
 
 
 class FastSeg(nn.Module):
-    """Latency-first variant: a single-resolution dilated-conv trunk
-    (no skip connections, no resizes) — the whole network is a chain of
-    MXU convolutions at 1/4 resolution, ideal when the ht/lt masks gate
-    a 30 Hz fusion loop.
+    """Latency-first variant: a dilated-conv trunk at 1/4 resolution
+    plus ONE half-res skip for small-object recall — two resolutions
+    total (vs the U-Net's five), all MXU convolutions, ideal when the
+    ht/lt masks gate a 30 Hz fusion loop.
     """
 
     width: int = 128
@@ -126,8 +126,8 @@ class FastSeg(nn.Module):
     def __call__(self, x):
         n, h, w, _ = x.shape
         x = x.astype(self.dtype)
-        x = ConvBlock(self.width // 2, stride=2, dtype=self.dtype)(x)
-        x = ConvBlock(self.width, stride=2, dtype=self.dtype)(x)
+        s2 = ConvBlock(self.width // 2, stride=2, dtype=self.dtype)(x)
+        x = ConvBlock(self.width, stride=2, dtype=self.dtype)(s2)
         for i in range(self.depth):
             d = 2 ** (i % 3)
             y = nn.Conv(
@@ -136,6 +136,12 @@ class FastSeg(nn.Module):
             )(x)
             y = nn.GroupNorm(num_groups=32, dtype=self.dtype)(y)
             x = x + nn.silu(y)
+        # half-res skip: 2x nearest upsample of the trunk (a broadcast,
+        # not a gather), concat with the stride-2 features, one fuse conv
+        x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+        x = x[:, : s2.shape[1], : s2.shape[2], :]
+        x = jnp.concatenate([x, s2], axis=-1)
+        x = ConvBlock(self.width // 2, dtype=self.dtype)(x)
         logits = nn.Conv(self.num_classes, (1, 1), dtype=jnp.float32)(x)
         up = jax.vmap(lambda l: resize_linear(l, h, w))(logits)
         return up

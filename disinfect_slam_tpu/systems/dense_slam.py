@@ -62,7 +62,9 @@ class DenseSLAM:
         self.tracker = ICPOdometry(intrinsics, img_h, img_w, max_rmse=max_rmse)
         self.world_T_cam = np.eye(4, dtype=np.float32)
         self.frame_count = 0
-        self.lost_count = 0
+        # per-frame device ok flags; lost_count resolves them lazily so
+        # the steady-state loop never blocks on the gate
+        self._ok_flags: list = []
 
         cam = self.cam
         md = self.max_depth
@@ -100,6 +102,7 @@ class DenseSLAM:
         self._model_depth = _model_depth
 
         tracker = self.tracker
+        max_rmse = float(max_rmse)
 
         @jax.jit
         def _track_frame(vol, prev_cam_T_world, depth, seed):
@@ -114,6 +117,29 @@ class DenseSLAM:
 
         self._track_frame = _track_frame
 
+        from functools import partial as _partial
+
+        @_partial(jax.jit, donate_argnums=(0,))
+        def _track_fuse(vol, world_T_cam_prev, frame, gyro_RT):
+            # THE steady-state step: track + accept-gate + fuse in ONE
+            # dispatch.  The tracking-ok decision (rmse/inlier gate)
+            # runs on device so no host sync sits between tracking and
+            # fusion; on loss the volume fuses with the last-known pose
+            # (the reference's keep-last-pose behavior, online.cc:46)
+            # and the pose estimate is discarded.
+            prev_cam_T_world = jnp.linalg.inv(world_T_cam_prev)
+            seed = world_T_cam_prev.at[:3, :3].set(
+                world_T_cam_prev[:3, :3] @ gyro_RT
+            )
+            T, rmse, inl = _track_frame(vol, prev_cam_T_world, frame.depth, seed)
+            ok = jnp.isfinite(rmse) & (rmse < max_rmse) & (inl > 100)
+            world_T_cam = jnp.where(ok, T, world_T_cam_prev)
+            cam_T_world = jnp.linalg.inv(world_T_cam)
+            vol = integrate(vol, frame, cam, SE3.from_matrix(cam_T_world), md)
+            return vol, world_T_cam, cam_T_world, ok
+
+        self._track_fuse = _track_fuse
+
     # ------------------------------------------------------------------
     def process_frame(
         self,
@@ -122,8 +148,12 @@ class DenseSLAM:
         ht: Optional[np.ndarray] = None,
         lt: Optional[np.ndarray] = None,
         gyro_prior: Optional[np.ndarray] = None,
-    ) -> Tuple[np.ndarray, bool]:
-        """Track + fuse one frame; returns (cam_T_world, tracking_ok).
+    ):
+        """Track + fuse one frame; returns (cam_T_world, tracking_ok) as
+        DEVICE arrays — the steady-state path is ONE jitted dispatch
+        with zero forced host syncs (the accept gate runs on device).
+        Convert with np.asarray()/bool() only when you need the values;
+        the trajectory can be resolved in bulk after the run.
 
         gyro_prior: optional cam1_R_cam0 from IMU preintegration
         (systems/imu.py) seeding the ICP initial pose through fast
@@ -134,49 +164,42 @@ class DenseSLAM:
             ht = np.ones((h, w), np.float32)
         if lt is None:
             lt = np.ones((h, w), np.float32)
-
-        ok = True
-        if self.frame_count == 0:
-            cam_T_world = np.eye(4, dtype=np.float32)
-        else:
-            # render the model from the last pose and track against it —
-            # one fused device program (see _track_frame)
-            seed = self.world_T_cam
-            if gyro_prior is not None:
-                seed = seed.copy()
-                seed[:3, :3] = seed[:3, :3] @ np.asarray(gyro_prior).T
-            T, rmse, inl = self._track_frame(
-                self.volume,
-                jnp.asarray(np.linalg.inv(self.world_T_cam)),
-                jnp.asarray(depth, jnp.float32),
-                jnp.asarray(seed),
-            )
-            ok = (
-                bool(np.isfinite(float(rmse)))
-                and float(rmse) < self.tracker.max_rmse
-                and float(inl) > 100
-            )
-            if ok:
-                self.world_T_cam = np.asarray(T, np.float32)
-            else:
-                self.lost_count += 1
-            cam_T_world = np.linalg.inv(self.world_T_cam).astype(np.float32)
-
-        # fuse with the (possibly last-known) pose, like the reference's
-        # keep-last-pose-on-loss behavior
         frame = FrameInput(
             rgb=jnp.asarray(rgb, jnp.float32),
             depth=jnp.asarray(depth, jnp.float32),
             ht=jnp.asarray(ht, jnp.float32),
             lt=jnp.asarray(lt, jnp.float32),
         )
-        self.volume = self._step(self.volume, frame, jnp.asarray(cam_T_world))
+
+        if self.frame_count == 0:
+            cam_T_world = jnp.eye(4, dtype=jnp.float32)
+            self.volume = self._step(self.volume, frame, cam_T_world)
+            ok = jnp.asarray(True)
+        else:
+            gyro_RT = (
+                jnp.asarray(gyro_prior, jnp.float32).T
+                if gyro_prior is not None
+                else jnp.eye(3, dtype=jnp.float32)
+            )
+            self.volume, self.world_T_cam, cam_T_world, ok = self._track_fuse(
+                self.volume, jnp.asarray(self.world_T_cam, jnp.float32),
+                frame, gyro_RT,
+            )
+            self._ok_flags.append(ok)
         self.frame_count += 1
         return cam_T_world, ok
 
+    @property
+    def lost_count(self) -> int:
+        """Number of tracking-lost frames so far (forces a sync on the
+        pending flags; cheap, call it for reporting, not per frame)."""
+        if not self._ok_flags:
+            return 0
+        return int(np.sum(~np.asarray(jnp.stack(self._ok_flags))))
+
     def render(self, cam_T_world: Optional[np.ndarray] = None):
         if cam_T_world is None:
-            cam_T_world = np.linalg.inv(self.world_T_cam)
+            cam_T_world = np.linalg.inv(np.asarray(self.world_T_cam))
         return splat_render(
             self.volume, self.cam, SE3.from_matrix(jnp.asarray(cam_T_world)), self.max_depth
         )

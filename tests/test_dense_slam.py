@@ -79,3 +79,37 @@ def test_dense_slam_pallas_splat_matches_xla_tracking():
     # jitted programs fuse the depth-smoothing convolution differently,
     # so poses agree only to f32 reassociation noise
     np.testing.assert_allclose(runs["xla"], runs["pallas"], atol=1e-5)
+
+
+def test_dense_slam_single_dispatch_per_frame():
+    """Dispatch audit (VERDICT r2 #8): the steady-state process_frame
+    must be exactly ONE jitted call (_track_fuse) with no separate
+    fuse dispatch and no forced host sync (returns device arrays)."""
+    import jax.numpy as jnp
+
+    slam = DenseSLAM(K, H, W, voxel_size=0.02, truncation=0.06, cfg=SLAM_CFG)
+    rgb = checker_rgb(W, H)
+    calls = {"track_fuse": 0, "step": 0}
+    orig_tf, orig_step = slam._track_fuse, slam._step
+
+    def count_tf(*a, **k):
+        calls["track_fuse"] += 1
+        return orig_tf(*a, **k)
+
+    def count_step(*a, **k):
+        calls["step"] += 1
+        return orig_step(*a, **k)
+
+    slam._track_fuse = count_tf
+    slam._step = count_step
+
+    for ang in (0.0, 0.04, 0.08):
+        pose, ok = slam.process_frame(rgb, scene_depth(look_at(
+            (np.sin(ang) * 1.8, 0.0, -1.8 * np.cos(ang) + 0.3), CENTER)))
+    # frame 0: bootstrap fuse; frames 1..2: one fused dispatch each
+    assert calls["step"] == 1
+    assert calls["track_fuse"] == 2
+    # device-resident results: no implicit per-frame host conversion
+    assert isinstance(pose, jnp.ndarray)
+    assert isinstance(ok, jnp.ndarray)
+    assert slam.lost_count == 0
