@@ -35,6 +35,10 @@ def main():
     ap.add_argument("--fps", type=float, default=30.0, help="playback rate")
     ap.add_argument("--segment", action="store_true", help="run ht/lt segmentation")
     ap.add_argument("--seg-ckpt", help="segmentation checkpoint (msgpack)")
+    ap.add_argument("--seg-arch", default="unet", choices=["unet", "fast"],
+                    help="segmentation model family: 'unet' (quality, "
+                    "IoU .97/.99) or 'fast' (latency-first 2-resolution "
+                    "trunk, IoU .90/.99, ~2x lower device time)")
     ap.add_argument(
         "--fused", action="store_true",
         help="one-dispatch online path: seg forward + fusion in a single "
@@ -91,13 +95,13 @@ def main():
         from disinfect_slam_tpu.models.segmentation import InferenceEngine, create_model
         from disinfect_slam_tpu.models.train import load_params
 
-        model = create_model()
+        model = create_model(arch=args.seg_arch)
         if args.seg_ckpt:
             params = load_params(args.seg_ckpt, model)
         else:
             from disinfect_slam_tpu.models.segmentation import load_default_params
 
-            params = load_default_params()
+            params = load_default_params(arch=args.seg_arch)
             if params is None:
                 params = model.init(
                     jax.random.PRNGKey(0), np.zeros((1, 352, 640, 3), np.float32)
@@ -178,8 +182,8 @@ def main():
                 create_model as _cm, load_default_params as _ldp,
             )
 
-            seg_model = _cm()
-            seg_params = _ldp()
+            seg_model = _cm(arch=args.seg_arch)
+            seg_params = _ldp(arch=args.seg_arch)
             if seg_params is None:
                 print("[online] WARNING: no shipped weights; --fused runs seg-off")
                 seg_model = None

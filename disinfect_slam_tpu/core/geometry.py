@@ -122,6 +122,30 @@ class SE3:
         """Transform points [..., 3]."""
         return _quat_rotate(self.q, pts) + self.t
 
+    def rotation_entries(self):
+        """The 9 rotation-matrix scalars (r00..r22) from the quaternion.
+
+        For SoA transform paths: a stacked [..., 3] point array with its
+        tiny minor dim gets tile-padded 128/3 = ~43x by XLA's TPU
+        layouts, so wide sweeps (the per-entry visibility test runs over
+        every hash entry each frame) transform component arrays instead.
+        """
+        w, x, y, z = self.q[0], self.q[1], self.q[2], self.q[3]
+        return (
+            1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y),
+            2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x),
+            2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y),
+        )
+
+    def apply_xyz(self, px, py, pz):
+        """SoA transform: component arrays in, component arrays out."""
+        r00, r01, r02, r10, r11, r12, r20, r21, r22 = self.rotation_entries()
+        return (
+            r00 * px + r01 * py + r02 * pz + self.t[0],
+            r10 * px + r11 * py + r12 * pz + self.t[1],
+            r20 * px + r21 * py + r22 * pz + self.t[2],
+        )
+
     def rotate(self, vecs: jnp.ndarray) -> jnp.ndarray:
         """Rotate vectors [..., 3] (no translation)."""
         return _quat_rotate(self.q, vecs)

@@ -18,8 +18,12 @@ list splice keeping chains intact, voxel_hash.cu:122-171).
 Payload semantics (voxel_types.cu):
   - unallocated reads return tsdf=+1, rgb=0, weight=0, prob=0
   - freshly acquired blocks reset to tsdf=-1, weight=0, prob=0.5
-    (voxel_mem.cu:43-51); rgb is left stale, exactly like the reference
-    (weight 0 makes the first fusion overwrite it).
+    (voxel_mem.cu:43-51).  The reference leaves rgb stale on acquire;
+    here the packed rgbw word resets to 0 (rgb=0 too) — weight 0 makes
+    the first fusion overwrite rgb either way, so the difference is
+    only visible when directly reading never-fused voxels, where 0
+    matches the numpy oracle and avoids leaking a previous block's
+    colors through pool-row reuse.
 """
 
 from __future__ import annotations
@@ -70,15 +74,18 @@ class TSDFVolume:
     oob_count: jnp.ndarray  # int32 []
 
     # --- voxel payloads, SoA (B blocks x 512 voxels) ---
-    # Widths match VoxelRGBW {u8 rgb[3], u8 weight} / VoxelTSDF {f32} /
-    # VoxelSEGM {f32} (voxel_types.cuh:10-43): 12 B per voxel like the
-    # reference's 4+4+4 B, half the HBM of the former all-f32 layout.
-    # The fusion math always produced integral rgb/weight
-    # (voxel_tsdf.cu:189-194), so u8 storage is parity, not loss;
-    # readers widen to f32 in-flight.
+    # Byte-exact VoxelRGBW: one u32 per voxel packing {u8 r, g, b,
+    # weight} exactly like the reference struct (voxel_types.cuh:10-19,
+    # little-endian byte order r|g<<8|b<<16|w<<24).  Together with
+    # VoxelTSDF {f32} and VoxelSEGM {f32} this is the reference's
+    # 4+4+4 = 12 B per voxel.  One packed array also means ONE
+    # gather + ONE scatter per frame for color+weight, and no [*, 3]
+    # minor-dim layouts for XLA to pad or copy (an u8[B,512,3] rgb
+    # array cost two whole-pool layout copies per frame).  Fusion math
+    # always produced integral rgb/weight (voxel_tsdf.cu:189-194), so
+    # the packed storage is exact; readers unpack with shifts in-flight.
     tsdf: jnp.ndarray  # f32 [B, V]
-    weight: jnp.ndarray  # u8 [B, V] integral-valued, clamped to max_weight
-    rgb: jnp.ndarray  # u8 [B, V, 3]
+    rgbw: jnp.ndarray  # u32 [B, V] packed r|g<<8|b<<16|weight<<24
     prob: jnp.ndarray  # f32 [B, V] high-touch probability
 
     cfg: TSDFConfig = struct.field(pytree_node=False)
@@ -100,6 +107,25 @@ class TSDFVolume:
         """NumActiveBlock equivalent (voxel_hash.cu:207)."""
         return jnp.asarray(self.cfg.num_blocks, jnp.int32) - self.num_free
 
+    # unpacked payload views (engine hot paths use .rgbw directly and
+    # unpack in-flight; these exist for exports, tests, tooling)
+    @property
+    def weight(self) -> jnp.ndarray:
+        """u8 [B, V] fusion weight (VoxelRGBW.weight view)."""
+        return (self.rgbw >> 24).astype(jnp.uint8)
+
+    @property
+    def rgb(self) -> jnp.ndarray:
+        """u8 [B, V, 3] color (VoxelRGBW.rgb view)."""
+        return jnp.stack(
+            [
+                (self.rgbw & 0xFF).astype(jnp.uint8),
+                ((self.rgbw >> 8) & 0xFF).astype(jnp.uint8),
+                ((self.rgbw >> 16) & 0xFF).astype(jnp.uint8),
+            ],
+            axis=-1,
+        )
+
     def nbytes(self) -> int:
         total = 0
         for f in (
@@ -108,8 +134,7 @@ class TSDFVolume:
             self.block_table,
             self.heap,
             self.tsdf,
-            self.weight,
-            self.rgb,
+            self.rgbw,
             self.prob,
         ):
             total += f.size * f.dtype.itemsize
@@ -130,8 +155,7 @@ def _create_volume(cfg: TSDFConfig) -> "TSDFVolume":
         num_free=jnp.asarray(b, jnp.int32),
         oob_count=jnp.zeros((), jnp.int32),
         tsdf=jnp.full((b, v), DEFAULT_TSDF, jnp.float32),
-        weight=jnp.zeros((b, v), jnp.uint8),
-        rgb=jnp.zeros((b, v, 3), jnp.uint8),
+        rgbw=jnp.zeros((b, v), jnp.uint32),
         prob=jnp.full((b, v), DEFAULT_PROB, jnp.float32),
         cfg=cfg,
     )

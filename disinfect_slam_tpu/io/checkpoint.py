@@ -26,8 +26,7 @@ _FIELDS = (
     "num_free",
     "oob_count",
     "tsdf",
-    "weight",
-    "rgb",
+    "rgbw",
     "prob",
 )
 
@@ -57,9 +56,13 @@ def load_volume(path: str) -> TSDFVolume:
     }
     # pre-round-3 checkpoints lack the oob accumulator
     kwargs.setdefault("oob_count", jnp.zeros((), jnp.int32))
-    # forward-compat: checkpoints written before the u8 payload layout
-    # (VoxelRGBW parity) stored integral f32 rgb/weight — narrow exactly
-    for f, dt in (("weight", jnp.uint8), ("rgb", jnp.uint8)):
-        if kwargs[f].dtype != dt:
-            kwargs[f] = kwargs[f].astype(dt)
+    if "rgbw" not in kwargs:
+        # older checkpoints stored separate weight + rgb arrays (all-f32
+        # or u8); pack them into the RGBW word exactly
+        w8 = np.asarray(data["weight"]).astype(np.uint32)
+        rgb8 = np.asarray(data["rgb"]).astype(np.uint32)
+        kwargs["rgbw"] = jnp.asarray(
+            rgb8[..., 0] | (rgb8[..., 1] << 8) | (rgb8[..., 2] << 16)
+            | (w8 << 24)
+        )
     return TSDFVolume(cfg=cfg, **kwargs)

@@ -56,7 +56,7 @@ def _download(vol: TSDFVolume, vis: VisibleSet) -> SpatialTSDF:
 
     pool = jnp.clip(vis.pool_idx, 0, cfg.num_blocks - 1)
     tsdf = vol.tsdf[pool]
-    weight = vol.weight[pool].astype(jnp.float32)
+    weight = (vol.rgbw[pool] >> 24).astype(jnp.float32)
     prob = vol.prob[pool]
     mask = jnp.broadcast_to(vis.mask[:, None], tsdf.shape)
     return SpatialTSDF(

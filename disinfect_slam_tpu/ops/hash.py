@@ -135,7 +135,9 @@ def _insert_dense(
     )
     v = cfg.block_volume
     tsdf = vol.tsdf.at[compact].set(jnp.full((w, v), RESET_TSDF, jnp.float32), mode="drop")
-    weight = vol.weight.at[compact].set(jnp.zeros((w, v), jnp.uint8), mode="drop")
+    # zero the whole packed rgbw word (weight=0 AND rgb=0; see
+    # core/state.py on the stale-rgb divergence from voxel_mem.cu:43-51)
+    rgbw = vol.rgbw.at[compact].set(jnp.zeros((w, v), jnp.uint32), mode="drop")
     prob = vol.prob.at[compact].set(jnp.full((w, v), RESET_PROB, jnp.float32), mode="drop")
 
     vol = vol.replace(
@@ -144,7 +146,7 @@ def _insert_dense(
         entry_block=entry_block,
         num_free=num_free,
         tsdf=tsdf,
-        weight=weight,
+        rgbw=rgbw,
         prob=prob,
     )
     dropped = valid & in_range & ~exists & ~ok
@@ -277,7 +279,7 @@ def _claim_round(
     tsdf = vol.tsdf.at[compact].set(
         jnp.full((w, v), RESET_TSDF, jnp.float32), mode="drop"
     )
-    weight = vol.weight.at[compact].set(jnp.zeros((w, v), jnp.uint8), mode="drop")
+    rgbw = vol.rgbw.at[compact].set(jnp.zeros((w, v), jnp.uint32), mode="drop")
     prob = vol.prob.at[compact].set(
         jnp.full((w, v), RESET_PROB, jnp.float32), mode="drop"
     )
@@ -287,7 +289,7 @@ def _claim_round(
         entry_block=entry_block,
         num_free=num_free,
         tsdf=tsdf,
-        weight=weight,
+        rgbw=rgbw,
         prob=prob,
     )
     pending = pending & ~can_alloc
@@ -358,12 +360,17 @@ def read_voxels(
     pool_safe = jnp.where(hit, pool, 0)
     vidx = vx.offset_to_index(vx.point_to_offset(point, cfg), cfg)
     tsdf = jnp.where(hit, vol.tsdf[pool_safe, vidx], DEFAULT_TSDF)
+    # gather the packed word first, THEN unpack (gathering through the
+    # .rgb property would materialize a full unpacked pool array)
+    rw = vol.rgbw[pool_safe, vidx]
     rgb = jnp.where(
-        hit[:, None], vol.rgb[pool_safe, vidx].astype(jnp.float32), 0.0
+        hit[:, None],
+        jnp.stack(
+            [rw & 0xFF, (rw >> 8) & 0xFF, (rw >> 16) & 0xFF], axis=-1
+        ).astype(jnp.float32),
+        0.0,
     )
-    weight = jnp.where(
-        hit, vol.weight[pool_safe, vidx].astype(jnp.float32), 0.0
-    )
+    weight = jnp.where(hit, (rw >> 24).astype(jnp.float32), 0.0)
     prob = jnp.where(hit, vol.prob[pool_safe, vidx], DEFAULT_PROB)
     return tsdf, rgb, weight, prob
 

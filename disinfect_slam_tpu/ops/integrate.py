@@ -79,25 +79,6 @@ def depth_to_range(cam: CameraParams) -> jnp.ndarray:
     return jnp.linalg.norm(pos_cam, axis=-1)
 
 
-def _project_visible(
-    pos_grid: jnp.ndarray, cam_T_world: SE3, cam: CameraParams, voxel_size: float
-) -> jnp.ndarray:
-    """is_voxel_visible (voxel_tsdf.cu:48-57) over voxel coords [..., 3]."""
-    pos_world = pos_grid.astype(jnp.float32) * voxel_size
-    pos_cam = cam_T_world.apply(pos_world)
-    pih = cam.intrinsics.project(pos_cam)
-    z = pih[..., 2]
-    u = pih[..., 0] / z
-    v = pih[..., 1] / z
-    return (
-        (u >= 0)
-        & (u <= cam.img_w - 1)
-        & (v >= 0)
-        & (v <= cam.img_h - 1)
-        & (z >= 0)
-    )
-
-
 def block_visibility(
     block_pos: jnp.ndarray,
     cam_T_world: SE3,
@@ -109,15 +90,34 @@ def block_visibility(
 
     full=True: all 8 corners visible (allocation gate); full=False: any
     corner visible (per-frame visibility sweep).
+
+    Computed SoA (component arrays end-to-end): this sweep runs over
+    EVERY hash entry each frame, and stacked [..., 3] intermediates get
+    their minor dim tile-padded ~43x on TPU (measured ~3 ms/frame of
+    pure padding traffic at 131k entries before this rewrite).
     """
     base = vx.block_to_point(block_pos, cfg)
+    bx = base[..., 0]
+    by = base[..., 1]
+    bz = base[..., 2]
     bl = cfg.block_len - 1
+    vsz = cfg.voxel_size
+    intr = cam.intrinsics
     acc = None
     for i in range(8):
-        corner = base + jnp.array(
-            [(i >> 0) & 1, (i >> 1) & 1, (i >> 2) & 1], jnp.int32
-        ) * bl
-        vis = _project_visible(corner, cam_T_world, cam, cfg.voxel_size)
+        px = (bx + ((i >> 0) & 1) * bl).astype(jnp.float32) * vsz
+        py = (by + ((i >> 1) & 1) * bl).astype(jnp.float32) * vsz
+        pz = (bz + ((i >> 2) & 1) * bl).astype(jnp.float32) * vsz
+        cxp, cyp, czp = cam_T_world.apply_xyz(px, py, pz)
+        u = (intr.fx * cxp + intr.cx * czp) / czp
+        v = (intr.fy * cyp + intr.cy * czp) / czp
+        vis = (
+            (u >= 0)
+            & (u <= cam.img_w - 1)
+            & (v >= 0)
+            & (v <= cam.img_h - 1)
+            & (czp >= 0)
+        )
         if acc is None:
             acc = vis
         else:
@@ -515,7 +515,7 @@ def fuse_visible(
             count=vis.count,
         )
         depth, d2r_s = chans[0], chans[1]
-        rgb_new = jnp.stack([chans[2], chans[3], chans[4]], axis=-1)
+        r_new, g_new, b_new = chans[2], chans[3], chans[4]
         ht, lt = chans[5], chans[6]
         sample_ok = in_img & patch_ok
     else:
@@ -523,7 +523,7 @@ def fuse_visible(
         sample_ok = in_img
         depth = samp[..., 0]
         d2r_s = samp[..., 1]
-        rgb_new = samp[..., 2:5]
+        r_new, g_new, b_new = samp[..., 2], samp[..., 3], samp[..., 4]
         ht = samp[..., 5]
         lt = samp[..., 6]
 
@@ -546,17 +546,21 @@ def fuse_visible(
 
     pool = jnp.clip(vis.pool_idx, 0, cfg.num_blocks - 1)  # [V]
     tsdf_old = vol.tsdf[pool]  # [V, 512]
-    # u8 payloads (VoxelRGBW parity) gather as bytes, widen in-flight
-    w_old = vol.weight[pool].astype(jnp.float32)
-    rgb_old = vol.rgb[pool].astype(jnp.float32)  # [V, 512, 3]
+    # ONE packed gather for color+weight (VoxelRGBW word); unpack with
+    # shifts in-flight — no [V, 512, 3] arrays anywhere in this path
+    rgbw_old = vol.rgbw[pool]  # [V, 512] u32
+    w_old = (rgbw_old >> 24).astype(jnp.float32)
+    r_old = (rgbw_old & 0xFF).astype(jnp.float32)
+    g_old = ((rgbw_old >> 8) & 0xFF).astype(jnp.float32)
+    b_old = ((rgbw_old >> 16) & 0xFF).astype(jnp.float32)
     prob_old = vol.prob[pool]
 
     w_comb = w_old + w_new
     w_safe = jnp.where(w_comb == 0, 1.0, w_comb)
     tsdf_upd = (tsdf_old * w_old + tsdf_new * w_new) / w_safe
-    rgb_upd = vx.round_half_away(
-        (rgb_old * w_old[..., None] + rgb_new * w_new[..., None]) / w_safe[..., None]
-    )
+    r_upd = vx.round_half_away((r_old * w_old + r_new * w_new) / w_safe)
+    g_upd = vx.round_half_away((g_old * w_old + g_new * w_new) / w_safe)
+    b_upd = vx.round_half_away((b_old * w_old + b_new * w_new) / w_safe)
     w_upd = jnp.minimum(vx.round_half_away(w_comb), cfg.max_weight)
     # log-space geometric fusion of ht/lt (voxel_tsdf.cu:196-202).
     # DELIBERATE divergence from the reference in one corner: the
@@ -580,18 +584,22 @@ def fuse_visible(
         prob_upd = jnp.clip(prob_upd, cfg.prob_eps, 1.0 - cfg.prob_eps)
 
     tsdf_w = jnp.where(update, tsdf_upd, tsdf_old)
-    w_w = jnp.where(update, w_upd, w_old)
-    rgb_w = jnp.where(update[..., None], rgb_upd, rgb_old)
     prob_w = jnp.where(update, prob_upd, prob_old)
+    # repack the RGBW word: updated lanes pack their (integral, rounded)
+    # channels; others keep the old word bit-for-bit
+    rgbw_upd = (
+        r_upd.astype(jnp.uint32)
+        | (g_upd.astype(jnp.uint32) << 8)
+        | (b_upd.astype(jnp.uint32) << 16)
+        | (w_upd.astype(jnp.uint32) << 24)
+    )
+    rgbw_w = jnp.where(update, rgbw_upd, rgbw_old)
 
-    # scatter rows back (padded rows drop via OOB index); rgb/weight are
-    # integral by construction (rounded in the update, preserved by the
-    # where), so the u8 narrowing is exact
+    # scatter rows back (padded rows drop via OOB index)
     wpool = jnp.where(vis.mask, vis.pool_idx, cfg.num_blocks)
     vol = vol.replace(
         tsdf=vol.tsdf.at[wpool].set(tsdf_w, mode="drop"),
-        weight=vol.weight.at[wpool].set(w_w.astype(jnp.uint8), mode="drop"),
-        rgb=vol.rgb.at[wpool].set(rgb_w.astype(jnp.uint8), mode="drop"),
+        rgbw=vol.rgbw.at[wpool].set(rgbw_w, mode="drop"),
         prob=vol.prob.at[wpool].set(prob_w, mode="drop"),
     )
     return vol, jnp.min(jnp.abs(tsdf_w), axis=-1), skipped
@@ -621,10 +629,14 @@ def _fuse_visible_kernel(
 
     pool = jnp.clip(vis.pool_idx, 0, cfg.num_blocks - 1)
     interpret = jax.default_backend() != "tpu"
-    tsdf_w, w_w, prob_w, rgb_w, minabs_w = fuse_rows(
+    rgbw_old = vol.rgbw[pool]
+    tsdf_w, w_w, prob_w, r_w, g_w, b_w, minabs_w = fuse_rows(
         stacked, u0, v0, us, vs, z, gate,
-        vol.tsdf[pool], vol.weight[pool].astype(jnp.float32),
-        vol.prob[pool], vol.rgb[pool].astype(jnp.float32),
+        vol.tsdf[pool], (rgbw_old >> 24).astype(jnp.float32),
+        vol.prob[pool],
+        (rgbw_old & 0xFF).astype(jnp.float32),
+        ((rgbw_old >> 8) & 0xFF).astype(jnp.float32),
+        ((rgbw_old >> 16) & 0xFF).astype(jnp.float32),
         truncation=float(cfg.truncation),
         max_depth=float(max_depth),
         max_weight=float(cfg.max_weight),
@@ -634,11 +646,16 @@ def _fuse_visible_kernel(
         splits=cfg.sampler_splits,
         count=vis.count,
     )
+    rgbw_w = (
+        r_w.astype(jnp.uint32)
+        | (g_w.astype(jnp.uint32) << 8)
+        | (b_w.astype(jnp.uint32) << 16)
+        | (w_w.astype(jnp.uint32) << 24)
+    )
     wpool = jnp.where(vis.mask, vis.pool_idx, cfg.num_blocks)
     vol = vol.replace(
         tsdf=vol.tsdf.at[wpool].set(tsdf_w, mode="drop"),
-        weight=vol.weight.at[wpool].set(w_w.astype(jnp.uint8), mode="drop"),
-        rgb=vol.rgb.at[wpool].set(rgb_w.astype(jnp.uint8), mode="drop"),
+        rgbw=vol.rgbw.at[wpool].set(rgbw_w, mode="drop"),
         prob=vol.prob.at[wpool].set(prob_w, mode="drop"),
     )
     return vol, minabs_w[:, 0], jnp.zeros((), jnp.int32)

@@ -226,7 +226,9 @@ def _block_fields(vol, block_pos, pool_idx, mask):
     def rows_of(pool, hit):
         p = jnp.clip(pool, 0, cfg.num_blocks - 1)
         t = jnp.where(hit[:, None], vol.tsdf[p], DEFAULT_TSDF)
-        w = jnp.where(hit[:, None], vol.weight[p].astype(jnp.float32), 0.0)
+        w = jnp.where(
+            hit[:, None], (vol.rgbw[p] >> 24).astype(jnp.float32), 0.0
+        )
         return (t.reshape(vcap, bl, bl, bl), w.reshape(vcap, bl, bl, bl))
 
     own_hit = mask & (pool_idx >= 0) & (pool_idx < cfg.num_blocks)

@@ -233,7 +233,9 @@ def fuse_rows(
     tsdf: jnp.ndarray,  # [V, 512] gathered pool rows
     weight: jnp.ndarray,
     prob: jnp.ndarray,
-    rgb: jnp.ndarray,  # [V, 512, 3]
+    r_pl: jnp.ndarray,  # [V, 512] color planes (pre-unpacked RGBW)
+    g_pl: jnp.ndarray,
+    b_pl: jnp.ndarray,
     truncation: float,
     max_depth: float,
     max_weight: float,
@@ -244,10 +246,10 @@ def fuse_rows(
     interpret: bool = False,
     splits: int = 3,
     count: jnp.ndarray | None = None,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+) -> Tuple[jnp.ndarray, ...]:
     """Fused sample+update over gathered pool rows; returns updated
-    (tsdf, weight, prob, rgb) rows plus per-row min |tsdf| (the space
-    carve input, [V, 128] lane-broadcast -- use [:, 0]).
+    (tsdf, weight, prob, r, g, b) rows plus per-row min |tsdf| (the
+    space carve input, [V, 128] lane-broadcast -- use [:, 0]).
 
     count/splits as in sample_patches: rows past count come back
     garbage and must be masked by the caller."""
@@ -295,6 +297,6 @@ def fuse_rows(
         interpret=interpret,
     )(
         u0, v0, count_arr, img_flat, u, v, z, gate, tsdf, weight, prob,
-        rgb[..., 0], rgb[..., 1], rgb[..., 2],
+        r_pl, g_pl, b_pl,
     )
-    return t_w, w_w, p_w, jnp.stack([r_w, g_w, b_w], axis=-1), minabs
+    return t_w, w_w, p_w, r_w, g_w, b_w, minabs

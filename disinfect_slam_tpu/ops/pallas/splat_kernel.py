@@ -424,7 +424,7 @@ def splat_render_pallas(
     with the same capped XLA fallback for oversized footprints.  Output
     equals render_fast.splat_render bit-for-bit (shared projection,
     packing, winner rule, and image assembly)."""
-    from ..render_fast import images_from_buffers, pack_payload
+    from ..render_fast import images_from_buffers, pack_payload_rgbw
 
     hgt, wid = cam.img_h, cam.img_w
     n_pix = hgt * wid
@@ -442,9 +442,8 @@ def splat_render_pallas(
     zpad = jnp.full((prep.hpad, prep.wpad), BIG, jnp.int32)
     zpad = zpad.at[:hgt, :wid].set(zbuf.reshape(hgt, wid))
 
-    packed = pack_payload(
-        vol.rgb[pool].reshape(-1, 3).astype(jnp.float32),
-        vol.prob[pool].reshape(-1),
+    packed = pack_payload_rgbw(
+        vol.rgbw[pool].reshape(-1), vol.prob[pool].reshape(-1)
     )
     pk_flip = jax.lax.bitcast_convert_type(
         packed ^ jnp.uint32(0x80000000), jnp.int32

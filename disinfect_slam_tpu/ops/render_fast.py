@@ -182,9 +182,8 @@ def splat_render(
     # value (deterministic)
     won = (pix < n_pix) & (depth_q == zbuf[jnp.clip(pix, 0, n_pix - 1)])
     packed = jnp.tile(
-        pack_payload(
-            vol.rgb[pool].reshape(-1, 3).astype(jnp.float32),
-            vol.prob[pool].reshape(-1),
+        pack_payload_rgbw(
+            vol.rgbw[pool].reshape(-1), vol.prob[pool].reshape(-1)
         ), 4
     )
     wpix = jnp.where(won, pix, n_pix)
@@ -201,6 +200,16 @@ def pack_payload(rgb: jnp.ndarray, prob: jnp.ndarray) -> jnp.ndarray:
     r8 = jnp.clip(rgb[:, 0], 0, 255).astype(jnp.uint32)
     g8 = jnp.clip(rgb[:, 1], 0, 255).astype(jnp.uint32)
     b8 = jnp.clip(rgb[:, 2], 0, 255).astype(jnp.uint32)
+    p8 = jnp.clip(prob * 255.0, 0, 255).astype(jnp.uint32)
+    return (p8 << 24) | (r8 << 16) | (g8 << 8) | b8
+
+
+def pack_payload_rgbw(rgbw: jnp.ndarray, prob: jnp.ndarray) -> jnp.ndarray:
+    """Same packing, but straight from the stored RGBW word [N] u32 —
+    byte shuffles only, no float conversions."""
+    r8 = rgbw & 0xFF
+    g8 = (rgbw >> 8) & 0xFF
+    b8 = (rgbw >> 16) & 0xFF
     p8 = jnp.clip(prob * 255.0, 0, 255).astype(jnp.uint32)
     return (p8 << 24) | (r8 << 16) | (g8 << 8) | b8
 

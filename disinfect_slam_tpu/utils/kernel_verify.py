@@ -94,14 +94,18 @@ def _small_scene_step(sampler: str, splits: int = 3):
 
     w, h = 160, 128
     K = (131.3, 131.3, 79.9, 63.9)
+    # voxel/depth chosen so block footprints stay well inside the
+    # sampler patch: fx * block * sqrt(3) / depth ~= 7 px at 2 m —
+    # the pallas path must not hit its (legitimate, fail-open)
+    # patch-overflow skip here, else parity vs gather can't be exact
     cfg = TSDFConfig(
-        voxel_size=0.016, truncation=0.096,
+        voxel_size=0.008, truncation=0.048,
         num_blocks_log2=12, max_candidates=8192, max_visible=2048,
         max_new_per_round=2048, backend="dense", grid_log2=6,
         sampler=sampler, sampler_splits=splits,
     )
     rng = np.random.default_rng(7)
-    depth = (1.0 + 0.4 * rng.random((h, w))).astype(np.float32)
+    depth = (2.0 + 0.8 * rng.random((h, w))).astype(np.float32)
     rgb = rng.integers(0, 256, (h, w, 3)).astype(np.float32)
     ht = rng.random((h, w)).astype(np.float32)
     frame = FrameInput(
@@ -112,11 +116,17 @@ def _small_scene_step(sampler: str, splits: int = 3):
     pose = SE3.from_matrix(jnp.eye(4, dtype=jnp.float32))
     vol = TSDFVolume.create(cfg)
     step = jax.jit(
-        lambda v: integrate(v, frame, cam, pose, 4.0), donate_argnums=0
+        lambda v: integrate(v, frame, cam, pose, 4.0, return_stats=True),
+        donate_argnums=0,
     )
-    vol = step(vol)
-    vol = step(vol)  # second pass exercises nonzero weights
+    vol, _ = step(vol)
+    vol, stats = step(vol)  # second pass exercises nonzero weights
     jax.block_until_ready(vol.tsdf)
+    skipped = int(np.asarray(stats.sampler_skipped))
+    assert skipped == 0, (
+        f"verify scene hit the patch-overflow skip ({skipped} blocks): "
+        "shrink voxels or increase depth so parity can be exact"
+    )
     return vol
 
 

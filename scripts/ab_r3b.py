@@ -162,8 +162,11 @@ def main():
         cfg = v.cfg
         pool = jnp.clip(vis.pool_idx, 0, cfg.num_blocks - 1)
         tsdf_old = v.tsdf[pool]
-        w_old = v.weight[pool].astype(jnp.float32) + t
-        rgb_old = v.rgb[pool].astype(jnp.float32)
+        rgbw_old = v.rgbw[pool]
+        w_old = (rgbw_old >> 24).astype(jnp.float32) + t
+        rgb_old = jnp.stack([
+            (rgbw_old & 0xFF), (rgbw_old >> 8) & 0xFF,
+            (rgbw_old >> 16) & 0xFF], -1).astype(jnp.float32)
         prob_old = v.prob[pool]
         depth_s = z * 1.01
         d2r_s = jnp.ones_like(z)
@@ -183,10 +186,13 @@ def main():
         rgb_w = jnp.where(update[..., None], rgb_upd, rgb_old)
         prob_w = jnp.where(update, prob_upd, prob_old)
         wpool = jnp.where(vis.mask, vis.pool_idx, cfg.num_blocks)
+        rgbw_w = (rgb_w[..., 0].astype(jnp.uint32)
+                  | (rgb_w[..., 1].astype(jnp.uint32) << 8)
+                  | (rgb_w[..., 2].astype(jnp.uint32) << 16)
+                  | (w_w.astype(jnp.uint32) << 24))
         v = v.replace(
             tsdf=v.tsdf.at[wpool].set(tsdf_w, mode="drop"),
-            weight=v.weight.at[wpool].set(w_w.astype(jnp.uint8), mode="drop"),
-            rgb=v.rgb.at[wpool].set(rgb_w.astype(jnp.uint8), mode="drop"),
+            rgbw=v.rgbw.at[wpool].set(rgbw_w, mode="drop"),
             prob=v.prob.at[wpool].set(prob_w, mode="drop"),
         )
         return (v, tok(jnp.min(jnp.abs(tsdf_w))))

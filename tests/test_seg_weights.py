@@ -46,3 +46,23 @@ def test_shipped_weights_inference_engine_contract(shipped):
     assert ht.shape == (360, 640) and lt.shape == (360, 640)
     assert np.all(ht >= 0) and np.all(ht <= 1)
     assert np.all(lt >= 0) and np.all(lt <= 1)
+
+
+@pytest.fixture(scope="module")
+def shipped_fast():
+    params = load_default_params(arch="fast")
+    if params is None:
+        pytest.skip("no shipped FastSeg weights")
+    return create_model(arch="fast"), params
+
+
+def test_shipped_fastseg_holdout_iou(shipped_fast):
+    """The latency-first arch ships with a (documented) lower quality
+    bar than the U-Net: it trades skip depth for a 2-resolution trunk.
+    Gate it so regressions in the arch or training pipeline surface."""
+    model, params = shipped_fast
+    imgs, labels = make_batch(np.random.default_rng(987654), 8, 352, 640)
+    logits = model.apply(params, imgs)
+    iou = np.asarray(iou_metric(jnp.asarray(logits, jnp.float32), labels))
+    assert iou[0] > 0.7, f"ht IoU {iou[0]:.3f}"
+    assert iou[1] > 0.9, f"lt IoU {iou[1]:.3f}"
