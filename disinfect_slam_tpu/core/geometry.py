@@ -146,6 +146,15 @@ class SE3:
             r20 * px + r21 * py + r22 * pz + self.t[2],
         )
 
+    def rotate_xyz(self, vx_, vy, vz):
+        """SoA rotation (no translation): component arrays in/out."""
+        r00, r01, r02, r10, r11, r12, r20, r21, r22 = self.rotation_entries()
+        return (
+            r00 * vx_ + r01 * vy + r02 * vz,
+            r10 * vx_ + r11 * vy + r12 * vz,
+            r20 * vx_ + r21 * vy + r22 * vz,
+        )
+
     def rotate(self, vecs: jnp.ndarray) -> jnp.ndarray:
         """Rotate vectors [..., 3] (no translation)."""
         return _quat_rotate(self.q, vecs)

@@ -148,7 +148,11 @@ def generate_candidates(
     (sentinel-keyed where invalid).  Mirrors voxel_tsdf.cu:104-147.
 
     cfg.alloc_stride subsamples the pixel grid (each sampled ray still
-    emits its full DDA walk); see the coverage bound in config.py."""
+    emits its full DDA walk); see the coverage bound in config.py.
+
+    The whole DDA runs SoA (x/y/z component arrays): stacked [H, W, 3]
+    intermediates get their minor dim tile-padded ~43x on TPU, which
+    made the old form traffic-bound."""
     hgt, wid = frame_depth.shape
     s = cfg.alloc_stride
     if s > 1:
@@ -157,47 +161,65 @@ def generate_candidates(
     u = jnp.arange(0, wid, s, dtype=jnp.float32)
     v = jnp.arange(0, hgt, s, dtype=jnp.float32)
     uu, vv = jnp.meshgrid(u, v)
-    pos_cam = cam.intrinsics_inv.project(
-        jnp.stack([uu, vv, jnp.ones_like(uu)], axis=-1)
-    )  # [H, W, 3] at depth 1
+    # K^-1 (u, v, 1) components (back-projected dir at depth 1)
+    ki = cam.intrinsics_inv
+    dx = ki.fx * uu + ki.cx
+    dy = ki.fy * vv + ki.cy
 
     depth = frame_depth
     valid = (depth > 0) & (depth <= max_depth)
 
-    pos_world = world_T_cam.apply(pos_cam * depth[..., None])
-    ray_dir_world = world_T_cam.rotate(pos_cam / d2r[..., None])
-    ray_start = pos_world - ray_dir_world * cfg.truncation
-
+    pwx, pwy, pwz = world_T_cam.apply_xyz(dx * depth, dy * depth, depth)
+    inv_r = 1.0 / d2r
+    rdx, rdy, rdz = world_T_cam.rotate_xyz(dx * inv_r, dy * inv_r, inv_r)
+    tr = cfg.truncation
     inv_vs = 1.0 / cfg.voxel_size
-    ray_start_grid = ray_start * inv_vs
-    ray_grid = ray_dir_world * (2.0 * cfg.truncation * inv_vs)
+    rsgx = (pwx - rdx * tr) * inv_vs
+    rsgy = (pwy - rdy * tr) * inv_vs
+    rsgz = (pwz - rdz * tr) * inv_vs
+    k2 = 2.0 * tr * inv_vs
+    rgx, rgy, rgz = rdx * k2, rdy * k2, rdz * k2
 
     # per-pixel step count (voxel_tsdf.cu:136-138)
     n_steps = jnp.ceil(
-        jnp.max(jnp.abs(ray_grid), axis=-1) / cfg.block_len
+        jnp.maximum(jnp.maximum(jnp.abs(rgx), jnp.abs(rgy)), jnp.abs(rgz))
+        / cfg.block_len
     ).astype(jnp.int32)
-    step_vec = ray_grid / jnp.maximum(n_steps.astype(jnp.float32), 1.0)[..., None]
+    nsf = jnp.maximum(n_steps.astype(jnp.float32), 1.0)
+    svx, svy, svz = rgx / nsf, rgy / nsf, rgz / nsf
 
     s_max = _dda_steps(cfg)
+    bl_log2 = cfg.block_len_log2
+    cb = cfg.coord_bits
+    off = 1 << (cb - 1)
+    lo, hi = cfg.coord_min, cfg.coord_max
     keys = []
     oob = jnp.zeros((), jnp.int32)
     for i in range(s_max):
-        pos = ray_start_grid + step_vec * float(i)
-        pt = vx.round_half_away(pos).astype(jnp.int32)
-        blk = vx.point_to_block(pt, cfg)
+        bx = vx.round_half_away(rsgx + svx * float(i)).astype(jnp.int32) >> bl_log2
+        by = vx.round_half_away(rsgy + svy * float(i)).astype(jnp.int32) >> bl_log2
+        bz = vx.round_half_away(rsgz + svz * float(i)).astype(jnp.int32) >> bl_log2
         # NOTE: the full-visibility gate (is_block_visible<true>,
         # voxel_tsdf.cu:144) is applied AFTER dedup in allocate_blocks —
         # visibility depends only on the block coordinate, so checking
         # each unique candidate once is equivalent to the reference's
         # per-sample check and ~50x cheaper
         wanted = valid & (i <= n_steps)
-        in_rng = vx.in_coord_range(blk, cfg)
+        in_rng = (
+            (bx >= lo) & (bx <= hi)
+            & (by >= lo) & (by <= hi)
+            & (bz >= lo) & (bz <= hi)
+        )
         ok = wanted & in_rng
         # candidate samples beyond the packed coord range are dropped —
         # count them so the truncation is observable (the reference's
         # hash has no such bound, voxel_hash.cuh:13-25)
         oob = oob + jnp.sum((wanted & ~in_rng).astype(jnp.int32))
-        key = jnp.where(ok, vx.pack_block_coord(blk, cfg), vx.sentinel_key(cfg))
+        key = jnp.where(
+            ok,
+            (bx + off) | ((by + off) << cb) | ((bz + off) << (2 * cb)),
+            vx.sentinel_key(cfg),
+        )
         keys.append(key.reshape(-1))
     return jnp.concatenate(keys), oob
 
@@ -235,8 +257,17 @@ def allocate_blocks(
         # presence filter: candidates whose cell is already allocated
         # need no insert; only genuinely-new keys (a few hundred per
         # frame at steady state) are compacted — no ~1M-key sort.
-        coords_all = vx.unpack_block_coord(jnp.where(keys < sent, keys, 0), cfg)
-        cell, in_range = h.table_index(coords_all, cfg)
+        # Unpack SoA (no [N, 3] stack over the full key stream).
+        ks = jnp.where(keys < sent, keys, 0)
+        cb = cfg.coord_bits
+        koff = 1 << (cb - 1)
+        kmask = (1 << cb) - 1
+        cell, in_range = h.table_index_xyz(
+            (ks & kmask) - koff,
+            ((ks >> cb) & kmask) - koff,
+            ((ks >> (2 * cb)) & kmask) - koff,
+            cfg,
+        )
         exists = vol.block_table[cell] >= 0
         # candidates beyond the dense grid extent are dropped: count
         # them (grid-truncation observability, see oob_count)

@@ -283,10 +283,18 @@ def _allocate_owned(
     keys = jnp.where(keys == left, sent, keys)
 
     if cfg.alloc_dedup == "filter" and cfg.backend == "dense":
-        coords_all = vx.unpack_block_coord(jnp.where(keys < sent, keys, 0), cfg)
-        cell, in_range = h.table_index(coords_all, cfg)
+        # SoA unpack over the full key stream (see ops/integrate.py)
+        ks = jnp.where(keys < sent, keys, 0)
+        cb = cfg.coord_bits
+        koff = 1 << (cb - 1)
+        kmask = (1 << cb) - 1
+        kx = (ks & kmask) - koff
+        ky = ((ks >> cb) & kmask) - koff
+        kz = ((ks >> (2 * cb)) & kmask) - koff
+        cell, in_range = h.table_index_xyz(kx, ky, kz, cfg)
         exists = vol.block_table[cell] >= 0
-        owned = owner_of(coords_all, n_devices) == my_idx
+        mix = (kx * _OWNER_P1) ^ (ky * _OWNER_P2) ^ (kz * _OWNER_P3)
+        owned = (jnp.abs(mix) % n_devices) == my_idx
         new = (keys < sent) & in_range & ~exists & owned
         rank = jnp.cumsum(new.astype(jnp.int32)) - 1
         slot = jnp.where(new & (rank < cfg.max_candidates), rank, cfg.max_candidates)
