@@ -284,7 +284,12 @@ def allocate_blocks(
         coords = vx.unpack_block_coord(jnp.where(valid, compact, 0), cfg)
         valid = valid & block_visibility(coords, cam_T_world, cam, cfg, full=True)
         # duplicates within the frame survive compaction; the dense
-        # insert's scatter-max claim resolves them
+        # insert's scatter-max claim resolves them.
+        # NOTE (measured, scripts/profile_alloc.py): gating this insert
+        # behind lax.cond(n_new > 0) makes allocate SLOWER (12.7 ->
+        # 14.0 ms) — the identity branch can't alias the donated pool
+        # buffers through the conditional, so XLA copies them; and
+        # carve/realloc churn keeps n_new > 0 on most frames anyway.
         vol, _dropped = h.insert(vol, coords, valid)
         return vol.replace(oob_count=vol.oob_count + oob)
 

@@ -167,6 +167,74 @@ def main():
     def s_full(v):
         return I.allocate_blocks(v, fr.depth, d2r, cam, pose, MAX_DEPTH)
 
+    # ---- insert internals (mirrors hash._insert_dense stages) ----
+    from disinfect_slam_tpu.ops.hash import table_index
+
+    def _compacted(v):
+        keys, oob = I.generate_candidates(
+            fr.depth, d2r, cam, pose, world_T_cam, MAX_DEPTH, cfg
+        )
+        left = jnp.concatenate([jnp.full((1,), -1, keys.dtype), keys[:-1]])
+        keys = jnp.where(keys == left, sent, keys)
+        new = presence(v, keys)
+        rank = jnp.cumsum(new.astype(jnp.int32)) - 1
+        slot = jnp.where(new & (rank < cfg.max_candidates), rank, cfg.max_candidates)
+        compact = (
+            jnp.full((cfg.max_candidates,), sent, jnp.int32)
+            .at[slot]
+            .set(keys, mode="drop")
+        )
+        valid = compact < sent
+        coords = vx.unpack_block_coord(jnp.where(valid, compact, 0), cfg)
+        valid = valid & I.block_visibility(coords, pose, cam, cfg, full=True)
+        return coords, valid
+
+    def s_claims(v):
+        coords, valid = _compacted(v)
+        m = coords.shape[0]
+        idx, in_range = table_index(coords, cfg)
+        exists = v.block_table[idx] >= 0
+        pending = valid & in_range & ~exists
+        cand_id = jnp.arange(m, dtype=jnp.int32)
+        claim_slot = jnp.where(pending, idx, cfg.grid_cells)
+        claims = (
+            jnp.full((cfg.grid_cells,), -1, jnp.int32)
+            .at[claim_slot]
+            .max(cand_id, mode="drop")
+        )
+        won = pending & (claims[idx] == cand_id)
+        return chain(v, jnp.sum(won.astype(jnp.int32)))
+
+    def s_tables(v):
+        coords, valid = _compacted(v)
+        m = coords.shape[0]
+        idx, in_range = table_index(coords, cfg)
+        exists = v.block_table[idx] >= 0
+        pending = valid & in_range & ~exists
+        cand_id = jnp.arange(m, dtype=jnp.int32)
+        claim_slot = jnp.where(pending, idx, cfg.grid_cells)
+        claims = (
+            jnp.full((cfg.grid_cells,), -1, jnp.int32)
+            .at[claim_slot]
+            .max(cand_id, mode="drop")
+        )
+        won = pending & (claims[idx] == cand_id)
+        w = cfg.max_new_per_round
+        rank = jnp.cumsum(won.astype(jnp.int32)) - 1
+        heap_idx = v.num_free - 1 - rank
+        ok = won & (heap_idx >= 0) & (rank < w)
+        pool_idx = v.heap[jnp.clip(heap_idx, 0, cfg.num_blocks - 1)]
+        block_table = v.block_table.at[jnp.where(ok, idx, cfg.grid_cells)].set(
+            pool_idx, mode="drop"
+        )
+        wslot = jnp.where(ok, pool_idx, cfg.num_blocks)
+        entry_block = v.entry_block.at[wslot].set(pool_idx, mode="drop")
+        entry_pos = v.entry_pos.at[wslot].set(coords, mode="drop")
+        v = v.replace(
+            block_table=block_table, entry_block=entry_block, entry_pos=entry_pos
+        )
+        return chain(v, jnp.sum(ok.astype(jnp.int32)))
+
     def fresh(v):
         return jax.tree.map(lambda x: x.copy(), v)
 
@@ -175,7 +243,9 @@ def main():
     timeit(jax.jit(s_presence, donate_argnums=0), fresh(vol), 20, "+ presence gather")
     timeit(jax.jit(s_compact, donate_argnums=0), fresh(vol), 20, "+ cumsum/scatter compact")
     timeit(jax.jit(s_vis, donate_argnums=0), fresh(vol), 20, "+ visibility gate")
-    timeit(jax.jit(s_full, donate_argnums=0), fresh(vol), 20, "full allocate (insert incl.)")
+    timeit(jax.jit(s_claims, donate_argnums=0), fresh(vol), 20, "+ insert: claims scatter-max")
+    timeit(jax.jit(s_tables, donate_argnums=0), fresh(vol), 20, "+ insert: table scatters")
+    timeit(jax.jit(s_full, donate_argnums=0), fresh(vol), 20, "full allocate (payload resets incl.)")
     print("DONE", flush=True)
 
 
