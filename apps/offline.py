@@ -41,6 +41,11 @@ def main():
                     help="parity ray marcher or the splat fast paths; "
                          "auto = pallas splat on TPU, raycast elsewhere")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    ap.add_argument("--sampler",
+                    choices=["auto", "gather", "pallas", "pallas_fused"],
+                    default="auto",
+                    help="fusion image sampler (config.py); auto = pallas "
+                         "on TPU, gather elsewhere")
     ap.add_argument(
         "--preset", choices=["full", "small"], default="full",
         help="volume capacity preset (small: quick CPU runs)",
@@ -118,6 +123,10 @@ def main():
             max_visible=32768,
             max_new_per_round=8192,
         )
+    if args.sampler != "auto":
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg or TSDFConfig(), sampler=args.sampler)
     if args.devices:
         _run_distributed(args, replay, intrinsics, cfg)
         return

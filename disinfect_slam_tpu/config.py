@@ -130,7 +130,12 @@ class TSDFConfig:
     # slack; pw must be a power of two (column-select fold tree)
     patch_h: int = 24
     patch_w: int = 32
-    sample_tile: int = 16
+    # Rows-per-grid-step for the sampler/fused kernels.  64 is the
+    # measured TPU sweet spot at bench scale (26.9 ms/frame vs 27.8 at
+    # 16; 8/32/128 all slower) — large enough to amortize the per-step
+    # image residency, small enough for the count early-exit to skip
+    # dead tail tiles.  Must divide max_visible and be a multiple of 8.
+    sample_tile: int = 64
     # Pallas sampler precision: number of bf16 matmul splits in the
     # one-hot row select.  3 = bit-exact f32 (default); 2 = relative
     # error <= 2^-16 (~61 um on a 4 m depth — far below a voxel, and the

@@ -654,7 +654,7 @@ def _fuse_visible_kernel(
 ) -> TSDFVolume:
     """Fused Pallas path: sampling + fusion math in one kernel pass
     (ops/pallas/fuse_kernel.py); XLA keeps the row gather/scatter."""
-    from .pallas.fuse_kernel import fuse_rows
+    from .pallas.fuse_kernel import VMEM_IMG_BYTES, fuse_rows, fuse_rows_packed
 
     cfg = vol.cfg
     u_for_min = jnp.where(in_img, us, cam.img_w - 1)
@@ -666,28 +666,44 @@ def _fuse_visible_kernel(
     pool = jnp.clip(vis.pool_idx, 0, cfg.num_blocks - 1)
     interpret = jax.default_backend() != "tpu"
     rgbw_old = vol.rgbw[pool]
-    tsdf_w, w_w, prob_w, r_w, g_w, b_w, minabs_w = fuse_rows(
-        stacked, u0, v0, us, vs, z, gate,
-        vol.tsdf[pool], (rgbw_old >> 24).astype(jnp.float32),
-        vol.prob[pool],
-        (rgbw_old & 0xFF).astype(jnp.float32),
-        ((rgbw_old >> 8) & 0xFF).astype(jnp.float32),
-        ((rgbw_old >> 16) & 0xFF).astype(jnp.float32),
-        truncation=float(cfg.truncation),
-        max_depth=float(max_depth),
-        max_weight=float(cfg.max_weight),
-        prob_eps=float(cfg.prob_eps),
-        ph=cfg.patch_h, pw=cfg.patch_w, tb=cfg.sample_tile,
-        interpret=interpret,
-        splits=cfg.sampler_splits,
-        count=vis.count,
-    )
-    rgbw_w = (
-        r_w.astype(jnp.uint32)
-        | (g_w.astype(jnp.uint32) << 8)
-        | (b_w.astype(jnp.uint32) << 16)
-        | (w_w.astype(jnp.uint32) << 24)
-    )
+    if stacked.size * 4 <= VMEM_IMG_BYTES:
+        # VMEM-resident image + packed RGBW word I/O: one third the
+        # payload operands of the unpacked form and no patch DMA
+        tsdf_w, rgbw_w, prob_w, minabs_w = fuse_rows_packed(
+            stacked, u0, v0, us, vs, z, gate,
+            vol.tsdf[pool], rgbw_old, vol.prob[pool],
+            truncation=float(cfg.truncation),
+            max_depth=float(max_depth),
+            max_weight=float(cfg.max_weight),
+            prob_eps=float(cfg.prob_eps),
+            ph=cfg.patch_h, pw=cfg.patch_w, tb=cfg.sample_tile,
+            interpret=interpret,
+            splits=cfg.sampler_splits,
+            count=vis.count,
+        )
+    else:
+        tsdf_w, w_w, prob_w, r_w, g_w, b_w, minabs_w = fuse_rows(
+            stacked, u0, v0, us, vs, z, gate,
+            vol.tsdf[pool], (rgbw_old >> 24).astype(jnp.float32),
+            vol.prob[pool],
+            (rgbw_old & 0xFF).astype(jnp.float32),
+            ((rgbw_old >> 8) & 0xFF).astype(jnp.float32),
+            ((rgbw_old >> 16) & 0xFF).astype(jnp.float32),
+            truncation=float(cfg.truncation),
+            max_depth=float(max_depth),
+            max_weight=float(cfg.max_weight),
+            prob_eps=float(cfg.prob_eps),
+            ph=cfg.patch_h, pw=cfg.patch_w, tb=cfg.sample_tile,
+            interpret=interpret,
+            splits=cfg.sampler_splits,
+            count=vis.count,
+        )
+        rgbw_w = (
+            r_w.astype(jnp.uint32)
+            | (g_w.astype(jnp.uint32) << 8)
+            | (b_w.astype(jnp.uint32) << 16)
+            | (w_w.astype(jnp.uint32) << 24)
+        )
     wpool = jnp.where(vis.mask, vis.pool_idx, cfg.num_blocks)
     vol = vol.replace(
         tsdf=vol.tsdf.at[wpool].set(tsdf_w, mode="drop"),
