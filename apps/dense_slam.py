@@ -40,6 +40,13 @@ def main():
                          "on TPU (bit-identical, ~10x faster), XLA scatter "
                          "elsewhere")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--imu", metavar="CSV",
+                    help="IMU samples 't_ms,gx,gy,gz,ax,ay,az' (rad/s, "
+                         "m/s^2, camera frame): gravity-aligns the world "
+                         "frame from the initial static window, and — when "
+                         "the logdir has frame_times.txt ('fid t_ms' rows) "
+                         "— seeds each frame's ICP with the gyro rotation "
+                         "prior")
     args = ap.parse_args()
 
     import jax
@@ -89,7 +96,33 @@ def main():
         max_depth=args.max_depth, cfg=cfg, splat_impl=args.splat,
     )
 
+    preint = None
+    frame_time = {}
+    if args.imu:
+        from disinfect_slam_tpu.systems.imu import ImuPreintegrator
+
+        preint = ImuPreintegrator()
+        for row in np.loadtxt(args.imu, delimiter=",", ndmin=2):
+            preint.add_raw(row[0], gyro=row[1:4], accel=row[4:7])
+        preint.estimate_bias()
+        w0 = preint.gravity_aligned_pose()
+        slam.set_initial_pose(w0)
+        tilt = np.degrees(
+            np.arccos(np.clip(w0[2, 2], -1.0, 1.0))
+        )
+        print(f"[slam] gravity-aligned start (tilt {tilt:.1f} deg)"
+              if w0[2, 2] < 1.0 - 1e-9
+              else "[slam] imu: no gravity estimate (identity start)")
+        ft = os.path.join(args.logdir, "frame_times.txt")
+        if os.path.exists(ft):
+            for line in open(ft):
+                parts = line.split()
+                if len(parts) >= 2:
+                    frame_time[int(parts[0])] = float(parts[1])
+            print(f"[slam] gyro priors from {len(frame_time)} frame times")
+
     poses = {}
+    prev_t = None
     t0 = time.perf_counter()
     for i, dp in enumerate(frames):
         fid = int(os.path.basename(dp).split("_")[0])
@@ -100,9 +133,15 @@ def main():
             if os.path.exists(rgb_path)
             else np.zeros((h, w, 3), np.float32)
         )
+        gyro_prior = None
+        if preint is not None and fid in frame_time:
+            t = frame_time[fid]
+            if prev_t is not None:
+                gyro_prior = preint.relative_rotation(prev_t, t)
+            prev_t = t
         # pose/ok come back as DEVICE arrays (one dispatch, no sync);
         # resolve the whole trajectory in bulk after the loop
-        pose, ok = slam.process_frame(rgb, depth)
+        pose, ok = slam.process_frame(rgb, depth, gyro_prior=gyro_prior)
         poses[fid] = (pose, ok)
         if (i + 1) % 25 == 0:
             dt = time.perf_counter() - t0

@@ -141,6 +141,15 @@ class DenseSLAM:
         self._track_fuse = _track_fuse
 
     # ------------------------------------------------------------------
+    def set_initial_pose(self, world_T_cam0: np.ndarray) -> None:
+        """Anchor the world frame before the first frame — e.g. the
+        gravity-aligned pose from ImuPreintegrator.gravity_aligned_pose
+        (systems/imu.py) so maps come out level.  Only valid before
+        process_frame has run."""
+        assert self.frame_count == 0, "initial pose must precede frame 0"
+        self.world_T_cam = np.asarray(world_T_cam0, np.float32)
+
+    # ------------------------------------------------------------------
     def process_frame(
         self,
         rgb: np.ndarray,
@@ -172,7 +181,12 @@ class DenseSLAM:
         )
 
         if self.frame_count == 0:
-            cam_T_world = jnp.eye(4, dtype=jnp.float32)
+            # world frame anchored at the first camera pose — optionally
+            # gravity-aligned via set_initial_pose (systems/imu.py
+            # ImuPreintegrator.gravity_aligned_pose)
+            cam_T_world = jnp.asarray(
+                np.linalg.inv(self.world_T_cam), jnp.float32
+            )
             self.volume = self._step(self.volume, frame, cam_T_world)
             ok = jnp.asarray(True)
         else:

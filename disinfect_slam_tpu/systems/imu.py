@@ -92,6 +92,65 @@ class GyroPreintegrator:
         return r.T
 
 
+class ImuPreintegrator(GyroPreintegrator):
+    """GyroPreintegrator + accelerometer gravity estimation.
+
+    The reference forwards accel to ORB_SLAM3's IMU_STEREO mode, whose
+    initializer gravity-aligns the world frame (disinfect_slam.cc:83-98);
+    stand-alone tracking here starts at identity instead.  This class
+    closes that gap: a static window of accel samples estimates the
+    gravity direction in the camera frame, and gravity_aligned_pose()
+    returns a world_T_cam0 whose world +z axis is up — so maps, bbox
+    queries, and meshes come out level regardless of how the camera was
+    tilted at start.
+    """
+
+    GRAVITY = 9.80665  # m/s^2
+
+    def estimate_gravity(self, window_ms: float = 500.0) -> np.ndarray | None:
+        """Mean specific force over the earliest (assumed static) window
+        = the UP direction in the camera frame (an accelerometer at rest
+        measures the support reaction, opposite gravity).  Returns a
+        unit [3] vector, or None without plausible samples (norm must be
+        within 40% of g: a device in free fall or heavy motion cannot
+        vote on gravity)."""
+        if not self.samples:
+            return None
+        t0 = self.samples[0].timestamp_ms
+        sel = [
+            s.accel for s in self.samples if s.timestamp_ms - t0 <= window_ms
+        ]
+        if not sel:
+            return None
+        mean = np.mean(sel, axis=0)
+        norm = float(np.linalg.norm(mean))
+        if not (0.6 * self.GRAVITY <= norm <= 1.4 * self.GRAVITY):
+            return None
+        return mean / norm
+
+    def gravity_aligned_pose(self, window_ms: float = 500.0) -> np.ndarray:
+        """world_T_cam0 [4, 4] rotating the measured up direction onto
+        world +z by the minimal rotation (yaw is unobservable from
+        gravity and left at zero).  Identity when gravity can't be
+        estimated (fail-open: same behavior as before this feature)."""
+        up_c = self.estimate_gravity(window_ms)
+        out = np.eye(4)
+        if up_c is None:
+            return out
+        z_w = np.array([0.0, 0.0, 1.0])
+        # minimal rotation taking up_c -> z_w (Rodrigues about their
+        # common normal); degenerate antiparallel case: flip about x
+        c = float(np.dot(up_c, z_w))
+        axis = np.cross(up_c, z_w)
+        s = float(np.linalg.norm(axis))
+        if s < 1e-12:
+            r = np.eye(3) if c > 0 else np.diag([1.0, -1.0, -1.0])
+        else:
+            r = _exp_so3(axis / s * np.arctan2(s, c))
+        out[:3, :3] = r
+        return out
+
+
 def seed_pose_with_gyro(
     world_T_cam_prev: np.ndarray,
     preint: GyroPreintegrator,

@@ -113,3 +113,40 @@ def test_dense_slam_single_dispatch_per_frame():
     assert isinstance(pose, jnp.ndarray)
     assert isinstance(ok, jnp.ndarray)
     assert slam.lost_count == 0
+
+
+def test_initial_pose_anchor():
+    """set_initial_pose anchors the world frame (the gravity-alignment
+    hook, systems/imu.py ImuPreintegrator.gravity_aligned_pose): frame 0
+    must be fused at inv(world_T_cam0) and tracking continues from it."""
+    from scipy.spatial.transform import Rotation
+
+    from disinfect_slam_tpu.systems.imu import ImuPreintegrator
+
+    # simulate a camera pitched 25 deg down at start: gravity alignment
+    # recovers a level world frame from the accel window
+    att = Rotation.from_euler("x", 25.0, degrees=True)
+    up_cam = att.apply([0.0, 0.0, 1.0])
+    pre = ImuPreintegrator()
+    for i in range(100):
+        pre.add_raw(i * 2.5, gyro=(0, 0, 0), accel=9.80665 * up_cam)
+    w0 = pre.gravity_aligned_pose()
+
+    slam = DenseSLAM(K, H, W, voxel_size=0.02, truncation=0.06, cfg=SLAM_CFG)
+    slam.set_initial_pose(w0)
+    rgb = checker_rgb(W, H)
+    pose = look_at((0.0, 0.0, -1.6), CENTER)
+    est0, ok = slam.process_frame(rgb, scene_depth(pose))
+    np.testing.assert_allclose(
+        np.asarray(est0), np.linalg.inv(w0).astype(np.float32), atol=1e-6
+    )
+    # second frame (identical view) tracks in the anchored frame: pose
+    # stays within ICP noise of the anchor (~1 voxel at this scale)
+    est1, ok1 = slam.process_frame(rgb, scene_depth(pose))
+    assert bool(ok1)
+    np.testing.assert_allclose(np.asarray(est1), np.asarray(est0), atol=2.5e-2)
+    # after frame 0 the anchor is frozen
+    import pytest
+
+    with pytest.raises(AssertionError):
+        slam.set_initial_pose(np.eye(4))

@@ -78,3 +78,50 @@ def test_mesh_ply_with_attributes(tmp_path):
     assert data.startswith(b"ply")
     assert b"ht_probability" in data[:400]
     assert len(data) > len(verts) * 19 + len(faces) * 13
+
+
+def test_gravity_alignment_recovers_tilt():
+    from disinfect_slam_tpu.systems.imu import ImuPreintegrator
+
+    # camera tilted: rotate the world up vector into the camera frame
+    # by a known attitude (roll 20 deg, pitch -35 deg)
+    att = Rotation.from_euler("xy", [20.0, -35.0], degrees=True)
+    up_cam = att.apply([0.0, 0.0, 1.0])
+    pre = ImuPreintegrator()
+    rng = np.random.default_rng(1)
+    for i in range(200):
+        pre.add_raw(i * 2.5, gyro=(0, 0, 0),
+                    accel=9.80665 * up_cam + rng.normal(0, 0.02, 3))
+    up = pre.estimate_gravity()
+    np.testing.assert_allclose(up, up_cam, atol=2e-3)
+    w_T_c = pre.gravity_aligned_pose()
+    # the recovered world rotation must map the measured up to world +z
+    np.testing.assert_allclose(
+        w_T_c[:3, :3] @ up_cam, [0.0, 0.0, 1.0], atol=2e-3
+    )
+    # orthonormal, right-handed
+    np.testing.assert_allclose(
+        w_T_c[:3, :3] @ w_T_c[:3, :3].T, np.eye(3), atol=1e-9
+    )
+    assert np.linalg.det(w_T_c[:3, :3]) > 0.99
+
+
+def test_gravity_alignment_fail_open():
+    from disinfect_slam_tpu.systems.imu import ImuPreintegrator
+
+    pre = ImuPreintegrator()
+    # no samples -> identity
+    np.testing.assert_array_equal(pre.gravity_aligned_pose(), np.eye(4))
+    # implausible magnitude (free fall) -> identity
+    for i in range(100):
+        pre.add_raw(i * 2.5, gyro=(0, 0, 0), accel=(0.0, 0.0, 0.1))
+    assert pre.estimate_gravity() is None
+    np.testing.assert_array_equal(pre.gravity_aligned_pose(), np.eye(4))
+    # antiparallel (camera exactly upside down) -> a 180-degree flip,
+    # still orthonormal and mapping up to +z
+    pre2 = ImuPreintegrator()
+    for i in range(100):
+        pre2.add_raw(i * 2.5, gyro=(0, 0, 0), accel=(0.0, 0.0, -9.80665))
+    r = pre2.gravity_aligned_pose()[:3, :3]
+    np.testing.assert_allclose(r @ [0, 0, -1.0], [0, 0, 1.0], atol=1e-9)
+    np.testing.assert_allclose(r @ r.T, np.eye(3), atol=1e-9)
