@@ -168,6 +168,18 @@ def main():
         lambda v, f, m: integrate(v, f, cam, SE3.from_matrix(m), max_depth),
         donate_argnums=0,
     )
+    # alloc_every=2 (documented tolerance, like alloc_stride): fusion
+    # every frame, allocation on even frames — A/B at this scale
+    # (scripts/ab_alloc_every.py): 35.2 -> 31.2 ms/frame, active blocks
+    # -0.39%, |tsdf|sum rel dev 1.1e-4; first-seen fringe defers one
+    # frame, the reference's own lock-miss latency (voxel_hash.cu:83-89)
+    alloc_every = 2 if on_accel else 1
+    step_noalloc = jax.jit(
+        lambda v, f, m: integrate(
+            v, f, cam, SE3.from_matrix(m), max_depth, allocate=False
+        ),
+        donate_argnums=0,
+    ) if alloc_every > 1 else step
     rc = jax.jit(lambda v, m: raycast(v, cam, SE3.from_matrix(m), max_depth))
 
     frames = make_orbit_frames(n_frames, w, h, K)
@@ -187,17 +199,19 @@ def main():
     staged = [stage(f) for f in frames]
     vol = TSDFVolume.create(cfg)
 
-    # warmup / compile
+    # warmup / compile (both programs)
     fr, pose = staged[0]
     vol = step(vol, fr, pose)
+    if alloc_every > 1:
+        vol = step_noalloc(vol, *staged[1])
     jax.block_until_ready(vol.tsdf)
 
     profile_dir = os.environ.get("DSTPU_PROFILE")
     if profile_dir:
         jax.profiler.start_trace(profile_dir)
     t0 = time.perf_counter()
-    for fr, pose in staged[1:]:
-        vol = step(vol, fr, pose)
+    for i, (fr, pose) in enumerate(staged[1:]):
+        vol = (step if i % alloc_every == 0 else step_noalloc)(vol, fr, pose)
     jax.block_until_ready(vol.tsdf)
     dt = time.perf_counter() - t0
     if profile_dir:

@@ -151,6 +151,15 @@ class TSDFConfig:
     # a later frame (fail-open, like the reference's lock-miss drop,
     # voxel_hash.cu:83-89).
     alloc_stride: int = 1
+    # Allocate on every N-th frame only (fusion still runs every frame).
+    # The allocation pass is ~40% of a steady-state frame yet a no-op
+    # whenever no new surface entered the view; skipping it defers
+    # first-seen geometry by at most N-1 frames — the same fail-open
+    # latency class as alloc_stride and the reference's lock-miss drop
+    # (voxel_hash.cu:83-89).  Consumed by systems/tsdf_grid.py and
+    # bench.py (ops/integrate.py integrate(allocate=False) is the
+    # primitive); 1 = reference-exact every-frame allocation.
+    alloc_every: int = 1
 
     # ------------------------------------------------------------------
     @property

@@ -742,15 +742,25 @@ def integrate(
     cam_T_world: SE3,
     max_depth: float,
     return_stats: bool = False,
+    allocate: bool = True,
 ):
     """One frame of semantic TSDF fusion (TSDFGrid::Integrate,
     voxel_tsdf.cu:347-375). Pure function of (volume, frame, pose); jit it
     with donate_argnums=0 to update the volume in place in HBM.
 
     return_stats=True additionally returns IntegrateStats (device
-    scalars: visible count + sampler-skipped blocks)."""
+    scalars: visible count + sampler-skipped blocks).
+
+    allocate=False (static) skips the block-allocation stage entirely —
+    the cfg.alloc_every scheme fuses every frame but allocates on every
+    N-th: geometry first seen on a skipped frame starts fusing one frame
+    late, the SAME fail-open latency class as the reference's hash lock
+    collisions, which drop the allocation and retry next frame
+    (voxel_hash.cu:83-89).  At steady state (no new surface in view) the
+    skipped pass was a provable no-op."""
     d2r = depth_to_range(cam)
-    vol = allocate_blocks(vol, frame.depth, d2r, cam, cam_T_world, max_depth)
+    if allocate:
+        vol = allocate_blocks(vol, frame.depth, d2r, cam, cam_T_world, max_depth)
     vis = gather_visible(vol, cam, cam_T_world, frame.depth, d2r)
     vol, min_abs, skipped = fuse_visible(
         vol, vis, frame, d2r, cam, cam_T_world, max_depth

@@ -51,7 +51,8 @@ class TSDFGrid:
             self.volume = TSDFVolume.create(cfg)
 
         self._integrate = jax.jit(
-            self._integrate_impl, static_argnames=("img_h", "img_w", "max_depth"),
+            self._integrate_impl,
+            static_argnames=("img_h", "img_w", "max_depth", "allocate"),
             donate_argnums=0,
         )
         self._raycast = jax.jit(
@@ -82,10 +83,15 @@ class TSDFGrid:
 
     # ------------------------------------------------------------------
     @staticmethod
-    def _integrate_impl(vol, frame, intr, pose_mat, img_h, img_w, max_depth):
+    def _integrate_impl(
+        vol, frame, intr, pose_mat, img_h, img_w, max_depth, allocate=True
+    ):
         intrinsics = CameraIntrinsics.create(intr[0], intr[1], intr[2], intr[3])
         cam = CameraParams.create(intrinsics, img_h, img_w)
-        return integrate(vol, frame, cam, SE3.from_matrix(pose_mat), max_depth)
+        return integrate(
+            vol, frame, cam, SE3.from_matrix(pose_mat), max_depth,
+            allocate=allocate,
+        )
 
     @staticmethod
     def _integrate_stats_impl(vol, frame, intr, pose_mat, img_h, img_w, max_depth):
@@ -171,9 +177,12 @@ class TSDFGrid:
                     int(np.asarray(stats.visible_count)),
                 )
             else:
+                # cfg.alloc_every: allocation runs on every N-th frame
+                # (frame 0 always allocates); fusion runs every frame
                 self.volume = self._integrate(
                     self.volume, frame, intr, pose,
                     img_h=h, img_w=w, max_depth=float(max_depth),
+                    allocate=self._oob_tick % self.cfg.alloc_every == 0,
                 )
             if debug:
                 logger.debug(
