@@ -146,6 +146,7 @@ def main():
         max_probe=16,
         sampler_splits=2,
         alloc_stride=2 if on_accel else 1,
+        alloc_every=2 if on_accel else 1,
     )
     max_depth = 4.0
 
@@ -168,12 +169,12 @@ def main():
         lambda v, f, m: integrate(v, f, cam, SE3.from_matrix(m), max_depth),
         donate_argnums=0,
     )
-    # alloc_every=2 (documented tolerance, like alloc_stride): fusion
-    # every frame, allocation on even frames — A/B at this scale
+    # cfg.alloc_every=2 (documented tolerance, like alloc_stride):
+    # fusion every frame, allocation on even frames — A/B at this scale
     # (scripts/ab_alloc_every.py): 35.2 -> 31.2 ms/frame, active blocks
     # -0.39%, |tsdf|sum rel dev 1.1e-4; first-seen fringe defers one
     # frame, the reference's own lock-miss latency (voxel_hash.cu:83-89)
-    alloc_every = 2 if on_accel else 1
+    alloc_every = cfg.alloc_every
     step_noalloc = jax.jit(
         lambda v, f, m: integrate(
             v, f, cam, SE3.from_matrix(m), max_depth, allocate=False
@@ -269,17 +270,29 @@ def main():
         online = FusedOnlineStep(
             cfg, K, h, w, max_depth,
             seg_model=seg_model, seg_params=seg_params,
+            depth_factor=5000.0,
         )
+        # sensor-format frames (u8 rgb + u16 depth counts, the L515
+        # delivery format l515.cc:9-13): 3.3x fewer H2D bytes than f32
         host_frames = [
-            (f[1], f[2], f[0]) for f in frames[: min(30, len(frames))]
+            (
+                np.clip(f[1], 0, 255).astype(np.uint8),
+                np.clip(f[2] * 5000.0, 0, 65535).astype(np.uint16),
+                f[0],
+            )
+            for f in frames[: min(30, len(frames))]
         ]  # (rgb, depth, pose) numpy
-        online.step(*host_frames[0])  # compile
+        # compile BOTH alternation variants (allocate on/off) before
+        # timing — a remote compile inside the loop sinks the number
+        for f in host_frames[: max(cfg.alloc_every, 1)]:
+            online.step(*f)
         online.block_until_ready()
+        warm = max(cfg.alloc_every, 1)
         t0 = time.perf_counter()
-        for rgb_f, depth_f, pose_f in host_frames[1:]:
+        for rgb_f, depth_f, pose_f in host_frames[warm:]:
             online.step(rgb_f, depth_f, pose_f)
         online.block_until_ready()
-        online_fps = (len(host_frames) - 1) / (time.perf_counter() - t0)
+        online_fps = (len(host_frames) - warm) / (time.perf_counter() - t0)
         print(
             f"[bench] online (H2D + seg{'' if seg_model else '-off'} + fuse, "
             f"1 dispatch/frame): {online_fps:.2f} FPS", file=sys.stderr,

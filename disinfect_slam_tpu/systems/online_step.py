@@ -52,18 +52,29 @@ class FusedOnlineStep:
         max_depth: float,
         seg_model=None,
         seg_params=None,
+        depth_factor: float = 1000.0,
     ):
         self.cfg = cfg
         self.img_h, self.img_w = img_h, img_w
         self.max_depth = float(max_depth)
+        self.depth_factor = float(depth_factor)
+        depth_factor = self.depth_factor
         intr = CameraIntrinsics.create(*intrinsics)
         cam = CameraParams.create(intr, img_h, img_w)
         self.volume = TSDFVolume.create(cfg)
         model, params = seg_model, seg_params
         self._seg_params = params
 
-        @partial(jax.jit, donate_argnums=0)
-        def _step(vol, seg_p, rgb, depth, pose_mat):
+        @partial(jax.jit, donate_argnums=0, static_argnames=("allocate",))
+        def _step(vol, seg_p, rgb, depth, pose_mat, allocate=True):
+            # Sensor-format inputs convert ON DEVICE (the jit
+            # specializes per dtype): u8 rgb and u16 depth upload 3.3x
+            # fewer bytes than f32 — the formats the reference's sensors
+            # deliver (l515.cc:9-13 Z16 depth + RGB8 color).
+            if rgb.dtype != jnp.float32:
+                rgb = rgb.astype(jnp.float32)
+            if depth.dtype == jnp.uint16:
+                depth = depth.astype(jnp.float32) / depth_factor
             # rgb f32 [H, W, 3] in [0, 255]; depth f32 [H, W] metres
             if model is not None:
                 x = resize_linear(rgb, INFER_H, INFER_W) / 255.0
@@ -76,24 +87,43 @@ class FusedOnlineStep:
                 lt = jnp.ones_like(depth)
             frame = FrameInput(rgb=rgb, depth=depth, ht=ht, lt=lt)
             return integrate(
-                vol, frame, cam, SE3.from_matrix(pose_mat), max_depth
+                vol, frame, cam, SE3.from_matrix(pose_mat), max_depth,
+                allocate=allocate,
             )
 
         self._step = _step
+        self._tick = 0
 
     # ------------------------------------------------------------------
     def step_device(self, rgb, depth, pose_mat) -> None:
-        """Advance one frame from already-staged device arrays."""
-        self.volume = self._step(self.volume, self._seg_params, rgb, depth, pose_mat)
+        """Advance one frame from already-staged device arrays.
+
+        Honors cfg.alloc_every (fusion every frame, allocation on every
+        N-th — see config.py for the fail-open latency argument)."""
+        allocate = self._tick % max(self.cfg.alloc_every, 1) == 0
+        self._tick += 1
+        self.volume = self._step(
+            self.volume, self._seg_params, rgb, depth, pose_mat,
+            allocate=allocate,
+        )
 
     def step(self, rgb: np.ndarray, depth: np.ndarray, pose: np.ndarray) -> None:
         """Advance one frame from host arrays (H2D included — this is
         the honest online path; staging is async so the upload of frame
-        t+1 overlaps the compute of frame t)."""
+        t+1 overlaps the compute of frame t).
+
+        rgb u8 and depth u16 (raw sensor counts, scaled by depth_factor
+        on device) upload as-is; f32 inputs are accepted unchanged."""
+        rgb = np.asarray(rgb)
+        depth = np.asarray(depth)
+        if rgb.dtype != np.uint8:
+            rgb = rgb.astype(np.float32)
+        if depth.dtype != np.uint16:
+            depth = depth.astype(np.float32)
         self.step_device(
-            jax.device_put(jnp.asarray(rgb, jnp.float32)),
-            jax.device_put(jnp.asarray(depth, jnp.float32)),
-            jax.device_put(jnp.asarray(pose, jnp.float32)),
+            jax.device_put(rgb),
+            jax.device_put(depth),
+            jax.device_put(np.asarray(pose, np.float32)),
         )
 
     def block_until_ready(self) -> None:
