@@ -45,6 +45,43 @@ def make_orbit_frames(n_frames, w, h, K):
     return frames
 
 
+def load_replay_frames(n_frames, w, h):
+    """Load the checked-in logged replay (datasets/orbit_vga — the
+    record/replay layout of examples/tsdf/offline.cc:45-83, produced by
+    scripts/make_replay_dataset.py) if it matches the requested shape.
+    Returns bench frame tuples or None.  Replaying the recorded u16
+    PNGs (TUM depth_factor 5000) keeps the benchmark workload identical
+    across rounds and machines, like the reference's offline replay."""
+    logdir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "datasets", "orbit_vga")
+    if not os.path.exists(os.path.join(logdir, "trajectory.txt")):
+        return None
+    try:
+        from disinfect_slam_tpu.io.dataset import LoggedReplay
+
+        replay = LoggedReplay(logdir, depth_factor=5000.0)
+        if len(replay) < n_frames:
+            return None
+        frames = []
+        for frame in replay:
+            if frame.depth.shape != (h, w):
+                return None
+            frames.append((
+                np.asarray(frame.cam_T_world, np.float32),
+                np.asarray(frame.rgb, np.float32),
+                np.asarray(frame.depth, np.float32),
+                np.asarray(frame.ht, np.float32),
+                np.asarray(frame.lt, np.float32),
+            ))
+            if len(frames) == n_frames:
+                break
+        return frames
+    except Exception as e:  # fail open to the in-memory generator
+        print(f"[bench] replay dataset unreadable ({e}); generating",
+              file=sys.stderr)
+        return None
+
+
 def _tpu_alive(timeout: float = 240.0) -> bool:
     """Probe the TPU tunnel in a subprocess (a dead relay hangs forever
     rather than erroring; don't let the benchmark hang with it)."""
@@ -183,7 +220,11 @@ def main():
     ) if alloc_every > 1 else step
     rc = jax.jit(lambda v, m: raycast(v, cam, SE3.from_matrix(m), max_depth))
 
-    frames = make_orbit_frames(n_frames, w, h, K)
+    frames = load_replay_frames(n_frames, w, h)
+    dataset = "orbit_vga (checked-in logged replay; TUM rgbd_1 unavailable: no egress)"
+    if frames is None:
+        frames = make_orbit_frames(n_frames, w, h, K)
+        dataset = "synthetic-orbit (TUM rgbd_1 unavailable: no egress)"
 
     def stage(f):
         pose, rgb, depth, ht, lt = f
@@ -372,9 +413,10 @@ def main():
                 "fallback": fallback,
                 # north-star dataset status (BASELINE.md): the TUM rgbd_1
                 # sequence cannot be fetched in this image (zero egress),
-                # so the workload is the synthetic orbit of the same
-                # resolution/depth statistics
-                "dataset": "synthetic-orbit (TUM rgbd_1 unavailable: no egress)",
+                # so the workload is the checked-in recorded replay (or
+                # its in-memory generator) of the same resolution/depth
+                # statistics
+                "dataset": dataset,
             }
         )
     )
