@@ -183,7 +183,7 @@ def main():
         max_probe=16,
         sampler_splits=2,
         alloc_stride=2 if on_accel else 1,
-        alloc_every=2 if on_accel else 1,
+        alloc_every=3 if on_accel else 1,
     )
     max_depth = 4.0
 
@@ -206,11 +206,15 @@ def main():
         lambda v, f, m: integrate(v, f, cam, SE3.from_matrix(m), max_depth),
         donate_argnums=0,
     )
-    # cfg.alloc_every=2 (documented tolerance, like alloc_stride):
-    # fusion every frame, allocation on even frames — A/B at this scale
-    # (scripts/ab_alloc_every.py): 35.2 -> 31.2 ms/frame, active blocks
-    # -0.39%, |tsdf|sum rel dev 1.1e-4; first-seen fringe defers one
-    # frame, the reference's own lock-miss latency (voxel_hash.cu:83-89)
+    # cfg.alloc_every=3 (documented tolerance, like alloc_stride):
+    # fusion every frame, allocation on every third — A/B sweep at this
+    # scale (scripts/ab_alloc_every.py 1 2 3 4): 34.8 / 30.3 / 28.8 /
+    # 27.9 ms/frame; at 3, active blocks -0.36% and |tsdf|sum rel dev
+    # 1.1e-4 (identical to every=2; every=4 drops -0.94% active and is
+    # not shipped).  First-seen fringe defers <= 2 frames — within the
+    # reference's own lock-miss retry latency, whose collision fixture
+    # takes 3 passes to land 3 blocks (voxel_hash.cu:83-89,
+    # voxel_hash_test.cu:128-180)
     alloc_every = cfg.alloc_every
     step_noalloc = jax.jit(
         lambda v, f, m: integrate(

@@ -81,12 +81,15 @@ def run(alloc_every: int):
 
 def main():
     print(f"[ab] backend={jax.default_backend()}", flush=True)
-    d1, a1, t1, w1 = run(1)
-    d2, a2, t2, w2 = run(2)
-    print(f"[ab] speedup {d1 - d2:+.2f} ms/frame; active {a2 - a1:+d} "
-          f"({100 * (a2 - a1) / a1:+.2f}%), |tsdf|sum rel dev "
-          f"{abs(t2 - t1) / t1:.2e}, wsum rel dev {abs(w2 - w1) / w1:.2e}",
-          flush=True)
+    everies = [int(v) for v in sys.argv[1:]] or [1, 2]
+    d1, a1, t1, w1 = run(everies[0])
+    for e in everies[1:]:
+        d2, a2, t2, w2 = run(e)
+        print(f"[ab] vs {everies[0]}: speedup {d1 - d2:+.2f} ms/frame; "
+              f"active {a2 - a1:+d} "
+              f"({100 * (a2 - a1) / a1:+.2f}%), |tsdf|sum rel dev "
+              f"{abs(t2 - t1) / t1:.2e}, wsum rel dev {abs(w2 - w1) / w1:.2e}",
+              flush=True)
 
 
 if __name__ == "__main__":
