@@ -9,6 +9,7 @@ fail-open class as the reference's lock-miss drop, voxel_hash.cu:83-89).
 import dataclasses
 
 import numpy as np
+import pytest
 
 from disinfect_slam_tpu.systems.tsdf_grid import TSDFGrid
 
@@ -54,11 +55,12 @@ def _active_records(vol):
     return rows[np.lexsort(rows[:, :3].T[::-1])]
 
 
-def test_static_view_exact():
+@pytest.mark.parametrize("every", [2, 3])
+def test_static_view_exact(every):
     pose = look_at((0.02, -0.03, -1.48), (0.1, 0.0, 1.5))
     poses = [pose] * 4
     v1 = _run(1, poses)
-    v2 = _run(2, poses)
+    v2 = _run(every, poses)
     assert int(v1.num_active_blocks) == int(v2.num_active_blocks)
     r1, r2 = _active_records(v1), _active_records(v2)
     # identical voxel SET; values to ~1 ulp (the allocate and no-allocate
@@ -68,13 +70,16 @@ def test_static_view_exact():
     np.testing.assert_allclose(r1, r2, atol=1e-6)
 
 
-def test_moving_view_bounded_divergence():
+@pytest.mark.parametrize("every", [2, 3])
+def test_moving_view_bounded_divergence(every):
+    # every=3 is the shipped bench default (scripts/ab_alloc_every.py
+    # sweep: same measured divergence class as every=2)
     poses = [
         look_at((np.sin(a) * 1.5, 0.01, -1.5 * np.cos(a) + 0.1), (0.1, 0.0, 1.5))
         for a in np.linspace(0, 0.25, 6)
     ]
     v1 = _run(1, poses)
-    v2 = _run(2, poses)
+    v2 = _run(every, poses)
     a1 = int(v1.num_active_blocks)
     a2 = int(v2.num_active_blocks)
     # the fringe first seen on skipped frames defers by one frame; the
