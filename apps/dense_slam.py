@@ -47,6 +47,14 @@ def main():
                          "the logdir has frame_times.txt ('fid t_ms' rows) "
                          "— seeds each frame's ICP with the gyro rotation "
                          "prior")
+    ap.add_argument("--imu-full", action="store_true",
+                    help="with --imu: full inertial seeding — accel "
+                         "preintegration adds a translation prior "
+                         "(systems/imu.py relative_motion) on top of the "
+                         "gyro rotation.  Needs the tracked attitude each "
+                         "frame, so it forces one host sync per frame "
+                         "(breaking the otherwise sync-free loop); worth it "
+                         "on fast-motion sequences only")
     args = ap.parse_args()
 
     import jax
@@ -123,6 +131,7 @@ def main():
 
     poses = {}
     prev_t = None
+    prev_wTc = None
     t0 = time.perf_counter()
     for i, dp in enumerate(frames):
         fid = int(os.path.basename(dp).split("_")[0])
@@ -134,14 +143,32 @@ def main():
             else np.zeros((h, w, 3), np.float32)
         )
         gyro_prior = None
+        trans_prior = None
         if preint is not None and fid in frame_time:
             t = frame_time[fid]
             if prev_t is not None:
-                gyro_prior = preint.relative_rotation(prev_t, t)
+                if args.imu_full:
+                    # full inertial seed: needs the tracked attitude and a
+                    # finite-differenced velocity -> one host sync per frame
+                    wTc = np.asarray(slam.world_T_cam, np.float64)
+                    dt_s = max((t - prev_t) * 1e-3, 1e-6)
+                    v0 = (
+                        (wTc[:3, 3] - prev_wTc[:3, 3]) / dt_s
+                        if prev_wTc is not None
+                        else np.zeros(3)
+                    )
+                    r_rel, dp, _ = preint.relative_motion(
+                        prev_t, t, wTc[:3, :3], v0
+                    )
+                    gyro_prior, trans_prior = r_rel, dp
+                    prev_wTc = wTc
+                else:
+                    gyro_prior = preint.relative_rotation(prev_t, t)
             prev_t = t
         # pose/ok come back as DEVICE arrays (one dispatch, no sync);
         # resolve the whole trajectory in bulk after the loop
-        pose, ok = slam.process_frame(rgb, depth, gyro_prior=gyro_prior)
+        pose, ok = slam.process_frame(rgb, depth, gyro_prior=gyro_prior,
+                                      trans_prior=trans_prior)
         poses[fid] = (pose, ok)
         if (i + 1) % 25 == 0:
             dt = time.perf_counter() - t0

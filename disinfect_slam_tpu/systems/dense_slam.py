@@ -120,7 +120,7 @@ class DenseSLAM:
         from functools import partial as _partial
 
         @_partial(jax.jit, donate_argnums=(0,))
-        def _track_fuse(vol, world_T_cam_prev, frame, gyro_RT):
+        def _track_fuse(vol, world_T_cam_prev, frame, gyro_RT, dp_w):
             # THE steady-state step: track + accept-gate + fuse in ONE
             # dispatch.  The tracking-ok decision (rmse/inlier gate)
             # runs on device so no host sync sits between tracking and
@@ -131,6 +131,9 @@ class DenseSLAM:
             seed = world_T_cam_prev.at[:3, :3].set(
                 world_T_cam_prev[:3, :3] @ gyro_RT
             )
+            # optional world-frame translation prior (IMU preintegration,
+            # systems/imu.py relative_motion) on top of the rotation seed
+            seed = seed.at[:3, 3].add(dp_w)
             T, rmse, inl = _track_frame(vol, prev_cam_T_world, frame.depth, seed)
             ok = jnp.isfinite(rmse) & (rmse < max_rmse) & (inl > 100)
             world_T_cam = jnp.where(ok, T, world_T_cam_prev)
@@ -157,6 +160,7 @@ class DenseSLAM:
         ht: Optional[np.ndarray] = None,
         lt: Optional[np.ndarray] = None,
         gyro_prior: Optional[np.ndarray] = None,
+        trans_prior: Optional[np.ndarray] = None,
     ):
         """Track + fuse one frame; returns (cam_T_world, tracking_ok) as
         DEVICE arrays — the steady-state path is ONE jitted dispatch
@@ -166,7 +170,9 @@ class DenseSLAM:
 
         gyro_prior: optional cam1_R_cam0 from IMU preintegration
         (systems/imu.py) seeding the ICP initial pose through fast
-        rotations.
+        rotations.  trans_prior: optional world-frame camera translation
+        [3] over the frame interval (ImuPreintegrator.relative_motion's
+        delta_p) completing the SE3 seed through fast translations.
         """
         h, w = depth.shape
         if ht is None:
@@ -195,9 +201,14 @@ class DenseSLAM:
                 if gyro_prior is not None
                 else jnp.eye(3, dtype=jnp.float32)
             )
+            dp_w = (
+                jnp.asarray(trans_prior, jnp.float32)
+                if trans_prior is not None
+                else jnp.zeros((3,), jnp.float32)
+            )
             self.volume, self.world_T_cam, cam_T_world, ok = self._track_fuse(
                 self.volume, jnp.asarray(self.world_T_cam, jnp.float32),
-                frame, gyro_RT,
+                frame, gyro_RT, dp_w,
             )
             self._ok_flags.append(ok)
         self.frame_count += 1

@@ -151,6 +151,119 @@ class ImuPreintegrator(GyroPreintegrator):
         return out
 
 
+    def estimate_accel_bias(self, window_ms: float = 500.0) -> None:
+        """Accelerometer bias from the earliest (assumed static) window:
+        the residual after removing the measured gravity reaction.  A
+        no-op when gravity can't be estimated (the bias would then
+        absorb a real force).
+
+        Observability note: a static window cannot separate the
+        transverse bias components from the gravity *direction* — they
+        tilt the estimated up vector and are absorbed into it; only the
+        along-gravity magnitude residual lands in the bias.  That split
+        is self-consistent: as long as gravity_aligned_pose() (the same
+        window's up estimate) anchors the world frame, static intervals
+        preintegrate to exactly zero translation, and real forces leak
+        gravity only at second order (tilt <= |b_xy|/G radians)."""
+        up = self.estimate_gravity(window_ms)
+        if up is None:
+            return
+        t0 = self.samples[0].timestamp_ms
+        sel = [
+            s.accel for s in self.samples if s.timestamp_ms - t0 <= window_ms
+        ]
+        self.accel_bias = np.mean(sel, axis=0) - up * self.GRAVITY
+
+    def relative_motion(
+        self,
+        t0_ms: float,
+        t1_ms: float,
+        world_R_cam0: np.ndarray,
+        v0_world: np.ndarray | tuple = (0.0, 0.0, 0.0),
+    ):
+        """Full inertial preintegration over (t0, t1] — the translation
+        companion to relative_rotation.
+
+        The reference forwards accel+gyro to ORB_SLAM3's stereo-inertial
+        mode and never integrates them itself (disinfect_slam.cc:83-98,
+        zed.cc:33-74); here the same samples yield a full SE3 motion
+        prior for the ICP tracker.  Midpoint integration in a
+        gravity-aligned world frame (+z up):
+
+            R_wc <- R_wc exp(w dt)
+            a_w   = R_wc (f - b_a) + g_w          (g_w = -G z)
+            p    += v dt + a_w dt^2 / 2;  v += a_w dt
+
+        Args: world_R_cam0 — camera attitude at t0 in a gravity-aligned
+        world (e.g. from the tracked pose); v0_world — camera velocity
+        at t0 (e.g. finite-differenced from recent tracked poses).
+
+        Returns (cam1_R_cam0, delta_p_world, v1_world): the rotation in
+        the same convention as relative_rotation, the world-frame
+        translation of the camera over the interval, and the predicted
+        end velocity.
+        """
+        g_w = np.array([0.0, 0.0, -self.GRAVITY])
+        b_a = getattr(self, "accel_bias", np.zeros(3))
+        r_wc = np.asarray(world_R_cam0, np.float64).copy()
+        v = np.asarray(v0_world, np.float64).copy()
+        p = np.zeros(3)
+        prev_t = t0_ms
+        prev_w = None
+        prev_f = None
+
+        def _advance(w_mid, f_mid, dt):
+            nonlocal r_wc, v, p
+            # attitude at the midpoint for rotating the specific force
+            r_half = r_wc @ _exp_so3(w_mid * (0.5 * dt))
+            a_w = r_half @ (f_mid - b_a) + g_w
+            p += v * dt + 0.5 * a_w * dt * dt
+            v += a_w * dt
+            r_wc = r_wc @ _exp_so3(w_mid * dt)
+
+        for s in self.samples:
+            if s.timestamp_ms <= t0_ms:
+                prev_w = s.gyro - self.bias
+                prev_f = s.accel
+                continue
+            if s.timestamp_ms > t1_ms:
+                break
+            w = s.gyro - self.bias
+            f = s.accel
+            dt = (s.timestamp_ms - prev_t) * 1e-3
+            w_mid = w if prev_w is None else 0.5 * (w + prev_w)
+            f_mid = f if prev_f is None else 0.5 * (f + prev_f)
+            _advance(w_mid, f_mid, dt)
+            prev_t = s.timestamp_ms
+            prev_w, prev_f = w, f
+        if prev_t < t1_ms and prev_w is not None:
+            _advance(prev_w, prev_f, (t1_ms - prev_t) * 1e-3)
+
+        r_rel = (np.asarray(world_R_cam0).T @ r_wc).T  # cam1_R_cam0 conv.
+        return r_rel, p, v
+
+
+def seed_pose_with_imu(
+    world_T_cam_prev: np.ndarray,
+    preint: "ImuPreintegrator",
+    t0_ms: float,
+    t1_ms: float,
+    v0_world: np.ndarray | tuple = (0.0, 0.0, 0.0),
+):
+    """Full SE3 ICP seed from inertial preintegration: rotation AND
+    translation priors applied to the previous tracked pose.  Returns
+    (world_T_cam_seed [4, 4], v1_world) — feed v1 back as the next
+    frame's v0 (or re-derive it from tracked poses, which self-corrects
+    accel bias drift)."""
+    r_rel, dp, v1 = preint.relative_motion(
+        t0_ms, t1_ms, world_T_cam_prev[:3, :3], v0_world
+    )
+    out = world_T_cam_prev.copy()
+    out[:3, :3] = world_T_cam_prev[:3, :3] @ r_rel.T
+    out[:3, 3] = world_T_cam_prev[:3, 3] + dp
+    return out, v1
+
+
 def seed_pose_with_gyro(
     world_T_cam_prev: np.ndarray,
     preint: GyroPreintegrator,

@@ -60,6 +60,55 @@ def test_dense_slam_tracks_orbit():
     assert float(np.asarray(res.hit).mean()) > 0.4
 
 
+def test_dense_slam_trans_prior_recovers_fast_translation():
+    """A lateral jump too large for projective ICP alone converges when
+    the IMU translation prior (systems/imu.py relative_motion) seeds the
+    step — the full-SE3-seed path of _track_fuse."""
+    rgb = checker_rgb(W, H)
+    step = 0.3  # m per frame — beyond the ICP basin at this scene
+    pose0 = look_at((0.0, 0.0, -1.5), (0.0, 0.0, CENTER[2]))
+    # the SLAM world frame is the FIRST CAMERA frame; a scene-world
+    # vector maps into it through cam0_T_world's rotation (this is also
+    # the live contract: the IMU preintegrates in the gravity-aligned
+    # frame the tracker is anchored to)
+    to_slam_world = pose0[:3, :3]
+    true_step_sw = to_slam_world @ np.array([step, 0.0, 0.0])
+
+    def run(with_prior: bool):
+        slam = DenseSLAM(K, H, W, voxel_size=0.02, truncation=0.06,
+                         cfg=SLAM_CFG)
+        est, n_ok = [], 0
+        xs = [0.0, 0.0, step, 2 * step]
+        for i, x in enumerate(xs):
+            pose = look_at((x, 0.0, -1.5), (x, 0.0, CENTER[2]))
+            prior = true_step_sw.astype(np.float32) if (
+                with_prior and i >= 2) else None
+            p, ok = slam.process_frame(rgb, scene_depth(pose),
+                                       trans_prior=prior)
+            est.append(np.asarray(p))
+            n_ok += int(np.asarray(ok))
+        return est, n_ok
+
+    def cam_pos_w(cam_T_world):
+        return np.linalg.inv(cam_T_world)[:3, 3]
+
+    est_p, ok_p = run(True)
+    # with the prior every frame tracks and the recovered camera travel
+    # matches the true 2*step (expressed in the SLAM world frame)
+    assert ok_p == 4
+    moved = cam_pos_w(est_p[3]) - cam_pos_w(est_p[1])
+    drift = np.linalg.norm(moved - 2 * true_step_sw)
+    assert drift < 0.03, (drift, moved, 2 * true_step_sw)
+
+    est_n, _ = run(False)
+    moved_n = cam_pos_w(est_n[3]) - cam_pos_w(est_n[1])
+    drift_n = np.linalg.norm(moved_n - 2 * true_step_sw)
+    # without the prior the same jump must do clearly worse (either the
+    # gate rejects or ICP lands short) — this pins that the prior is
+    # actually reaching the seed
+    assert drift_n > 2 * drift, (drift_n, drift)
+
+
 def test_dense_slam_pallas_splat_matches_xla_tracking():
     """Tracking with the Pallas model-depth render must behave identically
     (the z-buffers are bit-identical, so poses agree exactly)."""

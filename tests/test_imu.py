@@ -42,6 +42,103 @@ def test_seed_pose():
     np.testing.assert_allclose(ang, [0.0, 0.0, 0.2], atol=5e-3)
 
 
+def test_inertial_preintegration_constant_accel():
+    from disinfect_slam_tpu.systems.imu import ImuPreintegrator
+
+    # camera aligned with a gravity-aligned world, at rest, then a
+    # constant specific force of 0.8 m/s^2 along camera x for 1 s:
+    # delta_p = a t^2 / 2 = 0.4 m, v1 = 0.8 m/s
+    pre = ImuPreintegrator()
+    g = ImuPreintegrator.GRAVITY
+    for i in range(401):
+        pre.add_raw(i * 2.5, gyro=(0, 0, 0), accel=(0.8, 0.0, g))
+    r_rel, dp, v1 = pre.relative_motion(0.0, 1000.0, np.eye(3))
+    np.testing.assert_allclose(r_rel, np.eye(3), atol=1e-9)
+    np.testing.assert_allclose(dp, [0.4, 0.0, 0.0], atol=2e-3)
+    np.testing.assert_allclose(v1, [0.8, 0.0, 0.0], atol=2e-3)
+
+
+def test_inertial_preintegration_stationary_rotating():
+    from disinfect_slam_tpu.systems.imu import ImuPreintegrator
+
+    # camera spinning in place about the world up axis: the measured
+    # specific force is gravity rotated into the moving camera frame;
+    # preintegration must cancel it (no net translation)
+    g = ImuPreintegrator.GRAVITY
+    w_z = 0.6  # rad/s about camera z (aligned with world up)
+    pre = ImuPreintegrator()
+    for i in range(401):
+        pre.add_raw(i * 2.5, gyro=(0, 0, w_z), accel=(0.0, 0.0, g))
+    r_rel, dp, v1 = pre.relative_motion(0.0, 1000.0, np.eye(3))
+    ang = Rotation.from_matrix(r_rel).as_rotvec()
+    np.testing.assert_allclose(ang, [0.0, 0.0, -w_z], atol=5e-3)
+    np.testing.assert_allclose(dp, np.zeros(3), atol=1e-6)
+    np.testing.assert_allclose(v1, np.zeros(3), atol=1e-6)
+
+
+def test_inertial_preintegration_tilted_camera():
+    from disinfect_slam_tpu.systems.imu import ImuPreintegrator
+
+    # camera pitched down 30 degrees, static: with the correct attitude
+    # supplied, gravity cancels exactly and nothing moves
+    att = Rotation.from_euler("x", 30.0, degrees=True).as_matrix()
+    g = ImuPreintegrator.GRAVITY
+    up_cam = att.T @ np.array([0.0, 0.0, 1.0])
+    pre = ImuPreintegrator()
+    for i in range(201):
+        pre.add_raw(i * 2.5, gyro=(0, 0, 0), accel=g * up_cam)
+    _, dp, v1 = pre.relative_motion(0.0, 500.0, att)
+    np.testing.assert_allclose(dp, np.zeros(3), atol=1e-9)
+    np.testing.assert_allclose(v1, np.zeros(3), atol=1e-9)
+
+
+def test_seed_pose_with_imu_and_accel_bias():
+    from disinfect_slam_tpu.systems.imu import (
+        ImuPreintegrator,
+        seed_pose_with_imu,
+    )
+
+    g = ImuPreintegrator.GRAVITY
+    bias = np.array([0.05, -0.03, 0.02])
+    pre = ImuPreintegrator()
+    rng = np.random.default_rng(7)
+    # 0.5 s static window (bias estimation), then 0.5 s of constant
+    # 0.5 m/s^2 along camera y
+    for i in range(401):
+        t = i * 2.5
+        extra = np.array([0.0, 0.5, 0.0]) if t > 500.0 else np.zeros(3)
+        pre.add_raw(t, gyro=(0, 0, 0),
+                    accel=np.array([0.0, 0.0, g]) + bias + extra
+                    + rng.normal(0, 1e-4, 3))
+    pre.estimate_accel_bias(window_ms=500.0)
+    # transverse bias components are unobservable statically (they fold
+    # into the gravity direction estimate — see estimate_accel_bias);
+    # the along-gravity magnitude residual IS recovered
+    np.testing.assert_allclose(pre.accel_bias[2], bias[2], atol=2e-3)
+
+    # the consistency property that matters: with the SAME window's
+    # gravity-aligned attitude anchoring the world frame, the static
+    # half preintegrates to zero and the forced half to a t^2/2
+    # gravity_aligned_pose returns world_T_cam0, so its rotation
+    # block IS world_R_cam0
+    att = pre.gravity_aligned_pose()[:3, :3]
+    _, dp0, v0 = pre.relative_motion(0.0, 500.0, att)
+    np.testing.assert_allclose(dp0, np.zeros(3), atol=1e-3)
+    np.testing.assert_allclose(v0, np.zeros(3), atol=5e-3)
+
+    prev = np.eye(4)
+    prev[:3, :3] = att  # world_R_cam0 consistent with the bias split
+    prev[:3, 3] = [1.0, 2.0, 3.0]
+    seeded, v1 = seed_pose_with_imu(prev, pre, 500.0, 1000.0)
+    # delta_p = 0.5 * 0.5 * 0.5^2 = 0.0625 m along y on top of prev
+    # (the bias-tilt attitude error leaks force at second order only)
+    np.testing.assert_allclose(
+        seeded[:3, 3], [1.0, 2.0625, 3.0], atol=2e-3
+    )
+    np.testing.assert_allclose(v1, [0.0, 0.25, 0.0], atol=3e-3)
+    np.testing.assert_allclose(seeded[:3, :3], att, atol=1e-6)
+
+
 def test_mesh_ply_with_attributes(tmp_path):
     import os
 
