@@ -29,7 +29,8 @@ W, H = 640, 480
 K = (525.1, 525.3, 319.6, 239.7)
 CFG = TSDFConfig(
     voxel_size=0.004, truncation=0.024,
-    num_buckets_log2=19, num_blocks_log2=18,
+    num_buckets_log2=19,
+    num_blocks_log2=int(os.environ.get("DSTPU_AB_BLOCKS", "18")),
     max_candidates=32768, max_visible=32768,
     max_new_per_round=8192, max_probe=16,
     sampler_splits=2, alloc_stride=2,

@@ -28,9 +28,10 @@ from disinfect_slam_tpu.ops import integrate as I  # noqa: E402
 
 W, H = 640, 480
 K = (525.1, 525.3, 319.6, 239.7)
+BLOCKS_LOG2 = int(sys.argv[1]) if len(sys.argv) > 1 else 17
 CFG = TSDFConfig(
     voxel_size=0.004, truncation=0.024,
-    num_buckets_log2=19, num_blocks_log2=17,
+    num_buckets_log2=19, num_blocks_log2=BLOCKS_LOG2,
     max_candidates=32768, max_visible=32768,
     max_new_per_round=8192, max_probe=16,
     sampler_splits=2, alloc_stride=2,

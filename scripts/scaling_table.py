@@ -1,0 +1,162 @@
+#!/usr/bin/env python
+"""Multi-chip scaling table (VERDICT r3 #6): per-shard visible/fused row
+counts over the orbit replay on a virtual CPU mesh, for D = 1/2/4/8.
+
+The block-ownership shard_map volume (parallel/sharding.py) makes fusion
+embarrassingly parallel: each device fuses only the visible blocks it
+owns, so the multi-chip frame time is set by the MAX per-shard visible
+count (the straggler shard), not the mean.  This script records that
+distribution so the "60 FPS via a v5e-8" projection has measured
+arithmetic behind it instead of a hand wave:
+
+    t_fuse(D) ~= t_fuse(1) * max_shard_visible / total_visible
+
+Run on the 8-virtual-device CPU mesh (JAX_PLATFORMS=cpu,
+xla_force_host_platform_device_count=8); the workload is the same orbit
+geometry as bench.py scaled to CPU-feasible resolution.
+"""
+import json
+import os
+import sys
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import dataclasses  # noqa: E402
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+from jax.sharding import PartitionSpec as P  # noqa: E402
+from jax.experimental.shard_map import shard_map  # noqa: E402
+
+from bench import make_orbit_frames  # noqa: E402
+from disinfect_slam_tpu.config import TSDFConfig  # noqa: E402
+from disinfect_slam_tpu.core.geometry import (  # noqa: E402
+    SE3,
+    CameraIntrinsics,
+    CameraParams,
+)
+from disinfect_slam_tpu.ops.integrate import (  # noqa: E402
+    FrameInput,
+    depth_to_range,
+    gather_visible,
+)
+from disinfect_slam_tpu.parallel.sharding import (  # noqa: E402
+    DistributedTSDF,
+    make_mesh,
+)
+
+# CPU-feasible orbit: the bench's own CPU-fallback scale (same scene
+# geometry — sphere + floor + wall — at 1/16 the pixels, 12 mm voxels).
+# Shard-count distribution is a property of the ownership hash over the
+# visible block set, not of resolution, so the efficiencies transfer.
+W, H = 160, 120
+K = (131.3, 131.3, 79.9, 59.9)
+CFG = TSDFConfig(
+    voxel_size=0.012,
+    truncation=0.072,
+    num_buckets_log2=15,
+    num_blocks_log2=14,
+    max_candidates=8192,
+    max_visible=8192,
+    max_new_per_round=2048,
+    max_probe=16,
+    sampler="gather",
+)
+MAX_DEPTH = 4.0
+N_FRAMES = 12
+
+
+def shard_vis_counts(dist: DistributedTSDF, cam, pose_mat):
+    """Per-shard visible-block count at this pose: [D] i32."""
+    axis = dist.axis
+    sub_cfg = dist.sub_cfg
+
+    def q(vol, pm):
+        vol = jax.tree.map(lambda x: x[0], vol)
+        vol = dataclasses.replace(vol, cfg=sub_cfg)
+        vis = gather_visible(vol, cam, SE3.from_matrix(pm))
+        return vis.count.reshape(1)
+
+    fn = shard_map(
+        q,
+        mesh=dist.mesh,
+        in_specs=(P(axis), P()),
+        out_specs=P(axis),
+        check_rep=False,
+    )
+    return np.asarray(jax.jit(fn)(dist.volume, pose_mat))
+
+
+def main():
+    frames = make_orbit_frames(N_FRAMES, W, H, K)
+    intr = CameraIntrinsics.create(*K)
+    cam = CameraParams.create(intr, H, W)
+
+    rows = []
+    for d in (1, 2, 4, 8):
+        mesh = make_mesh(d)
+        dist = DistributedTSDF(CFG, mesh)
+        per_frame = []
+        for pose_np, rgb, depth, ht, lt in frames:
+            fr = FrameInput(
+                rgb=jnp.asarray(rgb),
+                depth=jnp.asarray(depth),
+                ht=jnp.asarray(ht),
+                lt=jnp.asarray(lt),
+            )
+            dist.integrate(fr, K, pose_np, MAX_DEPTH)
+            counts = shard_vis_counts(dist, cam, jnp.asarray(pose_np))
+            per_frame.append(counts)
+            print(f"  D={d} frame {len(per_frame)}/{N_FRAMES} "
+                  f"counts={counts.tolist()}", flush=True)
+        per_frame = np.stack(per_frame)  # [F, D]
+        # steady state = second half of the orbit
+        ss = per_frame[N_FRAMES // 2 :]
+        total = ss.sum(axis=1)
+        mx = ss.max(axis=1)
+        eff = float(np.mean(total / (d * np.maximum(mx, 1))))
+        row = {
+            "devices": d,
+            "active_blocks": dist.num_active_blocks(),
+            "visible_total_mean": float(total.mean()),
+            "per_shard_visible_mean": float(ss.mean()),
+            "per_shard_visible_max": float(mx.mean()),
+            "parallel_efficiency": round(eff, 3),
+        }
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+
+    # the projection arithmetic, anchored to the measured single-chip
+    # budget (PROGRESS.md r3: fuse 15.8 ms at ~22.3k visible on v5e,
+    # allocate 12.3 every 3rd frame, carve 0.7):
+    eff8 = rows[-1]["parallel_efficiency"]
+    t_fuse1, vis1 = 15.8, 22300.0
+    t_fuse8 = t_fuse1 / (8 * eff8)
+    t_alloc8 = 12.3 / 8 / 3  # candidates split by ownership too, every 3rd
+    t_fixed = 0.7 + 1.5  # carve + projection/dispatch floor (replicated)
+    t8 = t_fuse8 + t_alloc8 + t_fixed
+    print(
+        f"\nprojection @ D=8 (efficiency {eff8:.2f}): "
+        f"fuse {t_fuse8:.1f} + alloc {t_alloc8:.1f} + fixed {t_fixed:.1f} "
+        f"= {t8:.1f} ms/frame = {1000.0 / t8:.0f} FPS",
+        flush=True,
+    )
+    with open(
+        os.path.join(os.path.dirname(__file__), "..", "SCALING_r03.json"), "w"
+    ) as f:
+        json.dump({"rows": rows, "projected_d8_ms": round(t8, 2)}, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()
