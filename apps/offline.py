@@ -50,6 +50,9 @@ def main():
         "--preset", choices=["full", "small"], default="full",
         help="volume capacity preset (small: quick CPU runs)",
     )
+    ap.add_argument("--prefetch", type=int, default=4, metavar="N",
+                    help="decode N frames ahead of the device (0 = "
+                         "synchronous reads, the reference's behavior)")
     ap.add_argument("--profile", metavar="DIR",
                     help="capture a jax.profiler trace of the replay to DIR")
     ap.add_argument("--devices", type=int, default=0, metavar="N",
@@ -102,6 +105,13 @@ def main():
     else:
         replay = LoggedReplay(args.logdir, depth_factor, extrinsics)
     print(f"[offline] {len(replay)} frames")
+    if args.prefetch > 0:
+        # decode ahead of the device (the reference imreads inside its
+        # render loop, offline.cc:157-160; at TPU frame times the PNG
+        # decode would otherwise serialize with fusion)
+        from disinfect_slam_tpu.io.dataset import PrefetchReplay
+
+        replay = PrefetchReplay(replay, depth=args.prefetch)
 
     cfg = None
     if args.preset == "small":

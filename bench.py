@@ -345,6 +345,34 @@ def main():
     except Exception as e:  # pragma: no cover
         print(f"[bench] online bench skipped: {e}", file=sys.stderr)
 
+    # same online path with the latency-first FastSeg arch (shipped
+    # weights, documented lower quality bar — test_seg_weights gates its
+    # IoU); secondary metric so the arch choice has a measured number
+    online_fps_fast = float("nan")
+    try:
+        if on_accel:
+            fast_params = _ldp(arch="fast")
+            if fast_params is not None:
+                online_f = FusedOnlineStep(
+                    cfg, K, h, w, max_depth,
+                    seg_model=_cm(arch="fast"), seg_params=fast_params,
+                    depth_factor=5000.0,
+                )
+                for f in host_frames[: max(cfg.alloc_every, 1)]:
+                    online_f.step(*f)
+                online_f.block_until_ready()
+                t0 = time.perf_counter()
+                for rgb_f, depth_f, pose_f in host_frames[warm:]:
+                    online_f.step(rgb_f, depth_f, pose_f)
+                online_f.block_until_ready()
+                online_fps_fast = (
+                    (len(host_frames) - warm) / (time.perf_counter() - t0)
+                )
+                print(f"[bench] online[fastseg]: {online_fps_fast:.2f} FPS",
+                      file=sys.stderr)
+    except Exception as e:  # pragma: no cover
+        print(f"[bench] fastseg online bench skipped: {e}", file=sys.stderr)
+
     # segmentation inference micro-bench (the reference's
     # examples/segmentation_inference/main.cc measures ms/image)
     seg_ms = float("nan")
@@ -414,6 +442,10 @@ def main():
                 "img": f"{w}x{h}",
                 "voxel_m": cfg.voxel_size,
                 "online_fps": None if online_fps != online_fps else round(online_fps, 2),
+                "online_fps_fast": (
+                    None if online_fps_fast != online_fps_fast
+                    else round(online_fps_fast, 2)
+                ),
                 "fallback": fallback,
                 # north-star dataset status (BASELINE.md): the TUM rgbd_1
                 # sequence cannot be fetched in this image (zero egress),

@@ -202,3 +202,54 @@ class TUMReplay:
             yield ReplayFrame(
                 fid, pose, rgb, depth, np.zeros_like(depth), np.ones_like(depth)
             )
+
+
+class PrefetchReplay:
+    """Decode-ahead wrapper for any replay iterable.
+
+    The reference's offline loop imreads every frame inside the render
+    loop (offline.cc:157-160), serializing PNG decode with integration;
+    at TPU frame times (~29 ms) the ~5-10 ms VGA decode is real
+    throughput.  A single daemon worker decodes up to `depth` frames
+    ahead into a bounded queue (blocking backpressure — replay is
+    lossless, unlike the live drop-oldest native FrameQueue), so decode
+    overlaps device compute while frame ORDER is preserved exactly.
+
+    Worker exceptions propagate to the consumer at the frame where they
+    occurred.
+    """
+
+    def __init__(self, replay, depth: int = 4):
+        self.replay = replay
+        self.depth = int(depth)
+        assert self.depth >= 1
+
+    def __len__(self) -> int:
+        return len(self.replay)
+
+    def __iter__(self) -> Iterator[ReplayFrame]:
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.depth)
+        sentinel = object()
+
+        def worker():
+            try:
+                for frame in self.replay:
+                    q.put(frame)
+            except BaseException as e:  # propagate decode errors in-order
+                q.put(e)
+                return
+            q.put(sentinel)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+        t.join()

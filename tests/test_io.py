@@ -161,3 +161,37 @@ def test_zed_factory_conf_parsing(tmp_path):
     img = np.random.default_rng(0).integers(0, 255, (376, 672), np.uint8)
     l, r = rect.rectify(img.astype(np.float32), img.astype(np.float32))
     assert np.asarray(l).shape == (376, 672)
+
+
+def test_prefetch_replay_order_len_and_errors():
+    from disinfect_slam_tpu.io.dataset import PrefetchReplay
+
+    class FakeReplay:
+        def __init__(self, n, fail_at=None):
+            self.n, self.fail_at = n, fail_at
+
+        def __len__(self):
+            return self.n
+
+        def __iter__(self):
+            for i in range(self.n):
+                if i == self.fail_at:
+                    raise IOError(f"decode failed at {i}")
+                yield i
+
+    pf = PrefetchReplay(FakeReplay(50), depth=3)
+    assert len(pf) == 50
+    assert list(pf) == list(range(50))
+    # re-iterable (fresh worker per pass)
+    assert list(pf) == list(range(50))
+
+    # worker exceptions surface at the failing frame, in order
+    pf2 = PrefetchReplay(FakeReplay(10, fail_at=4), depth=2)
+    got = []
+    try:
+        for x in pf2:
+            got.append(x)
+        assert False, "expected IOError"
+    except IOError as e:
+        assert "at 4" in str(e)
+    assert got == [0, 1, 2, 3]
