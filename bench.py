@@ -161,7 +161,9 @@ def main():
 
     w, h = (640, 480) if on_accel else (160, 120)
     K = (525.1, 525.3, 319.6, 239.7) if on_accel else (131.3, 131.3, 79.9, 59.9)
-    n_frames = 60 if on_accel else 6
+    n_frames = int(
+        os.environ.get("DSTPU_BENCH_FRAMES", "60" if on_accel else "6")
+    )
 
     # north-star config: 4 mm voxels (BASELINE.md).  Pool capacity 2^18
     # blocks = 134M voxels matches the reference exactly
@@ -393,11 +395,12 @@ def main():
             )
         eng = InferenceEngine(model, params)
         rgb_u8 = np.ascontiguousarray(frames[0][1]).astype(np.uint8)
+        seg_iters = int(os.environ.get("DSTPU_BENCH_SEG_ITERS", "10"))
         eng.infer_one(rgb_u8)  # compile
         t0 = time.perf_counter()
-        for _ in range(10):
+        for _ in range(seg_iters):
             eng.infer_one(rgb_u8)
-        seg_ms = (time.perf_counter() - t0) / 10 * 1e3
+        seg_ms = (time.perf_counter() - t0) / seg_iters * 1e3
         # device-only time (input pre-staged): separates network compute
         # from the host<->device transfer, which dominates through the
         # axon relay and overlaps with fusion in the online pipeline
@@ -413,10 +416,10 @@ def main():
         staged_img, probs = _seg_step(staged_img)
         jax.block_until_ready(probs)
         t0 = time.perf_counter()
-        for _ in range(10):
+        for _ in range(seg_iters):
             staged_img, probs = _seg_step(staged_img)
         jax.block_until_ready(probs)
-        seg_dev_ms = (time.perf_counter() - t0) / 10 * 1e3
+        seg_dev_ms = (time.perf_counter() - t0) / seg_iters * 1e3
         print(f"[bench] seg device-only {seg_dev_ms:.2f} ms "
               f"(end-to-end {seg_ms:.2f} incl transfer)", file=sys.stderr)
     except Exception as e:  # pragma: no cover

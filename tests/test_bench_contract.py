@@ -1,0 +1,46 @@
+"""bench.py JSON contract smoke test.
+
+The driver scores the round from bench.py's single JSON stdout line; a
+regression there (exception, missing key, malformed JSON) is worse than
+any perf bug.  Run the real main() end-to-end on the CPU backend at a
+reduced frame/iteration count and pin the contract.
+"""
+
+import json
+import os
+import sys
+
+import pytest
+
+
+def test_bench_json_contract(monkeypatch, capsys):
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    import bench
+
+    # JAX_PLATFORMS=cpu short-circuits the (dead-tunnel) probe; the
+    # conftest already pinned the cpu backend via jax.config
+    monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+    monkeypatch.setenv("DSTPU_BENCH_FRAMES", "4")
+    monkeypatch.setenv("DSTPU_BENCH_RAYCAST", "0")
+    monkeypatch.setenv("DSTPU_BENCH_SEG_ITERS", "2")
+    bench.main()
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out, "bench printed nothing to stdout"
+    payload = json.loads(out[-1])
+
+    # the driver contract
+    assert payload["metric"] == "tsdf_fusion_fps"
+    assert payload["unit"] == "frames/s"
+    assert payload["value"] > 0
+    assert payload["vs_baseline"] == pytest.approx(
+        payload["value"] / 60.0, rel=1e-2
+    )
+    # self-description fields (a CPU run must say so)
+    assert payload["platform"] == "cpu"
+    assert "img" in payload and "voxel_m" in payload
+    assert "dataset" in payload
+    # online metrics: number or null, never absent
+    assert "online_fps" in payload
+    assert "online_fps_fast" in payload
+    if payload["online_fps"] is not None:
+        assert payload["online_fps"] > 0
