@@ -50,6 +50,15 @@ def main():
         "--preset", choices=["full", "small"], default="full",
         help="volume capacity preset (small: quick CPU runs)",
     )
+    ap.add_argument("--grid-log2", type=int, default=0, metavar="L",
+                    help="dense backend: 2^L blocks per axis of coverage "
+                         "(window extent = 2^L * 8 * voxel metres); 0 = "
+                         "preset default")
+    ap.add_argument("--auto-recenter", action="store_true",
+                    help="dense backend: move the coverage window to "
+                         "follow the camera when it nears the grid edge "
+                         "(TSDFGrid.maybe_recenter) — long corridors map "
+                         "fully instead of truncating at +-grid_side/2")
     ap.add_argument("--prefetch", type=int, default=4, metavar="N",
                     help="decode N frames ahead of the device (0 = "
                          "synchronous reads, the reference's behavior)")
@@ -137,6 +146,10 @@ def main():
         import dataclasses
 
         cfg = dataclasses.replace(cfg or TSDFConfig(), sampler=args.sampler)
+    if args.grid_log2:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg or TSDFConfig(), grid_log2=args.grid_log2)
     if args.devices:
         _run_distributed(args, replay, intrinsics, cfg)
         return
@@ -163,6 +176,10 @@ def main():
                     "-- pass --config with the dataset's camera YAML"
                 )
             warned_intr = True
+        if args.auto_recenter:
+            cam_pos = np.linalg.inv(frame.cam_T_world)[:3, 3]
+            if grid.maybe_recenter(cam_pos):
+                print(f"[offline] recentered coverage window at frame {n}")
         with timer.span("integrate"):
             grid.integrate(
                 frame.rgb,

@@ -203,6 +203,62 @@ def _delete_entries_dense(
     )
 
 
+def recenter_dense(vol: TSDFVolume, new_origin) -> TSDFVolume:
+    """Move the dense directory's coverage window to a new grid_origin
+    WITHOUT touching voxel payloads.
+
+    entry_pos stores ABSOLUTE block coordinates (the world frame never
+    moves — only the directory window does, like the reference's
+    coordinate-unbounded hash whose coverage follows wherever allocation
+    goes, voxel_hash.cuh:13-25).  The move is therefore a pure directory
+    rebuild: every live block re-scatters into the table at its new
+    cell; blocks falling outside the new window are released to the
+    free list (their payloads reset on the next acquire, voxel_mem.cu:
+    43-51).  This is how a disinfection robot outruns the fixed
+    +-grid_side/2 window on the production backend: recenter at
+    waypoint cadence (a new cfg = a new jit specialization — do NOT
+    call per frame).
+
+    new_origin: (ox, oy, oz) block coordinates of the window's low
+    corner, each within [coord_min, coord_max - grid_side + 1].
+    """
+    import dataclasses
+
+    cfg = vol.cfg
+    assert cfg.backend == "dense", "recenter applies to the dense directory"
+    new_cfg = dataclasses.replace(
+        cfg, grid_origin=tuple(int(x) for x in new_origin)
+    )
+    new_cfg.validate()
+    if new_cfg.grid_origin == (cfg.grid_origin or (-(cfg.grid_side >> 1),) * 3):
+        return vol  # no-op
+
+    live = vol.entry_block >= 0
+    cell, in_r = table_index(vol.entry_pos, new_cfg)
+    keep = live & in_r
+    drop = live & ~in_r
+    # distinct absolute coords map to distinct in-window cells, so one
+    # scatter rebuilds the whole directory
+    table = (
+        jnp.full((cfg.grid_cells,), EMPTY, jnp.int32)
+        .at[jnp.where(keep, cell, cfg.grid_cells)]
+        .set(vol.entry_block, mode="drop")
+    )
+    # release out-of-window blocks (push above the free-stack top)
+    rank = jnp.cumsum(drop.astype(jnp.int32)) - 1
+    heap_pos = jnp.where(drop, vol.num_free + rank, cfg.num_blocks)
+    heap = vol.heap.at[heap_pos].set(vol.entry_block, mode="drop")
+    entry_block = jnp.where(drop, EMPTY, vol.entry_block)
+    num_free = vol.num_free + jnp.sum(drop.astype(jnp.int32))
+    return vol.replace(
+        cfg=new_cfg,
+        block_table=table,
+        entry_block=entry_block,
+        heap=heap,
+        num_free=num_free,
+    )
+
+
 def lookup(vol: TSDFVolume, block: jnp.ndarray) -> jnp.ndarray:
     """Batched retrieve: block coords [N, 3] -> pool indices [N] (-1 miss).
 

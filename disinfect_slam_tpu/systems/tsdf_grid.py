@@ -281,6 +281,58 @@ class TSDFGrid:
         with self._lock:
             return jax.tree.map(lambda x: x.copy(), self.volume)
 
+    def recenter(self, center_world_m) -> bool:
+        """Move the dense directory window so `center_world_m` (metres,
+        e.g. the robot's position) sits at its center — the escape hatch
+        when a long drive approaches the +-grid_side/2 coverage edge
+        (ops/hash.py recenter_dense; the hash backend needs none: it is
+        coordinate-unbounded like the reference's).  Voxel payloads and
+        absolute coordinates are untouched; blocks leaving the window
+        are released.  Returns True if the window actually moved.
+
+        A move changes cfg (a new jit specialization of the step), so
+        call at waypoint cadence, not per frame."""
+        if self.cfg.backend != "dense":
+            return False
+        from ..ops.hash import recenter_dense
+
+        bs = self.cfg.block_len * self.cfg.voxel_size
+        g = self.cfg.grid_side
+        lo, hi = self.cfg.coord_min, self.cfg.coord_max - g + 1
+        org = tuple(
+            int(np.clip(int(np.floor(c / bs)) - (g >> 1), lo, hi))
+            for c in np.asarray(center_world_m, np.float64)
+        )
+        with self._lock:
+            if org == (self.cfg.grid_origin or (-(g >> 1),) * 3):
+                return False
+            self.volume = recenter_dense(self.volume, org)
+            self.cfg = self.volume.cfg
+            # coverage moved: allow the watchdog to warn again if the
+            # NEW window is outrun too
+            self._warned_oob = False
+            logger.info(
+                "[TSDF] recentered dense window to origin %s blocks", org
+            )
+            return True
+
+    def maybe_recenter(self, cam_pos_world_m, margin_blocks: int = 8) -> bool:
+        """Recenter only when the camera is within `margin_blocks` of the
+        window edge (pure host arithmetic when no move is needed — safe
+        to call per frame; the actual move recompiles, see recenter)."""
+        if self.cfg.backend != "dense":
+            return False
+        bs = self.cfg.block_len * self.cfg.voxel_size
+        g = self.cfg.grid_side
+        org = np.asarray(self.cfg.grid_origin or (-(g >> 1),) * 3)
+        b = np.floor(np.asarray(cam_pos_world_m, np.float64) / bs).astype(int)
+        near_edge = np.any(
+            (b - org < margin_blocks) | (org + g - b <= margin_blocks)
+        )
+        if not near_edge:
+            return False
+        return self.recenter(cam_pos_world_m)
+
     def num_active_blocks(self) -> int:
         with self._lock:
             return int(self.volume.num_active_blocks)

@@ -130,3 +130,99 @@ def test_checkpoint_roundtrip_with_origin(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(vol2.tsdf), np.asarray(grid.volume.tsdf)
     )
+
+
+def test_recenter_follows_corridor():
+    """Driving the corridor WITH recentering: the centered grid that
+    test_centered_grid_truncates_and_warns proves truncates at +6.4 m
+    keeps mapping when the window follows the camera (ops/hash.py
+    recenter_dense via TSDFGrid.recenter)."""
+    cfg = TSDFConfig(
+        voxel_size=VOXEL, truncation=TRUNC,
+        num_blocks_log2=12, max_candidates=8192, max_visible=2048,
+        max_new_per_round=1024, backend="dense", grid_log2=5,
+    )
+    grid = TSDFGrid(VOXEL, TRUNC, cfg=cfg)
+    frames = _corridor_frames(20, spacing=0.5)
+    moved = 0
+    for pose, rgb, depth in frames:
+        cam_pos = np.linalg.inv(pose)[:3, 3]
+        moved += int(grid.recenter(cam_pos))
+        grid.integrate(rgb, depth, None, None, 4.0, K, pose)
+    grid.block_until_ready()
+    assert moved >= 2  # the window actually chased the camera
+    st = grid.gather_valid()
+    pos = np.asarray(st.position)[np.asarray(st.mask)]
+    # the final window is centered ~z=9.5: the wall out at 11 m mapped,
+    # far behind the camera the blocks were released
+    assert pos[:, 2].max() > 9.5
+
+
+def test_recenter_preserves_kept_blocks_and_releases_dropped():
+    """Recentering is a pure directory move: voxel payloads of kept
+    blocks are bit-identical, dropped blocks return to the free list,
+    and a recenter back is a no-op for still-covered content."""
+    import dataclasses as dc
+
+    import jax.numpy as jnp
+
+    from disinfect_slam_tpu.ops.hash import lookup, recenter_dense
+
+    cfg = TSDFConfig(
+        voxel_size=VOXEL, truncation=TRUNC,
+        num_blocks_log2=12, max_candidates=8192, max_visible=2048,
+        max_new_per_round=1024, backend="dense", grid_log2=5,
+    )
+    grid = TSDFGrid(VOXEL, TRUNC, cfg=cfg)
+    frames = _corridor_frames(6, spacing=0.5)
+    _drive(grid, frames)
+    vol0 = grid.snapshot()
+    active0 = int(np.asarray(vol0.num_active_blocks))
+    st0 = grid.gather_valid()
+    rec0 = {
+        tuple(p): t
+        for p, t in zip(
+            np.asarray(st0.position)[np.asarray(st0.mask)],
+            np.asarray(st0.tsdf)[np.asarray(st0.mask)],
+        )
+    }
+
+    # shift the window +8 blocks (+3.2 m) along z: near-camera blocks
+    # (z < -1.6 m is empty; z in [-6.4, -3.2) drops out of coverage)
+    vol1 = recenter_dense(vol0, (-16, -16, -8))
+    # every block whose coord fits the new window must still look up
+    live = np.asarray(vol1.entry_block) >= 0
+    pos_live = np.asarray(vol1.entry_pos)[live]
+    hit = np.asarray(lookup(vol1, jnp.asarray(pos_live)))
+    assert (hit >= 0).all()
+    # payloads untouched (same arrays, same pool rows)
+    np.testing.assert_array_equal(np.asarray(vol1.tsdf), np.asarray(vol0.tsdf))
+    dropped = active0 - int(np.asarray(vol1.num_active_blocks))
+    assert dropped >= 0
+
+    # gather through the moved window: every still-covered voxel
+    # identical to before
+    from disinfect_slam_tpu.ops import gather as gather_ops
+
+    st1 = gather_ops.gather_valid(vol1)
+    rec1 = {
+        tuple(p): t
+        for p, t in zip(
+            np.asarray(st1.position)[np.asarray(st1.mask)],
+            np.asarray(st1.tsdf)[np.asarray(st1.mask)],
+        )
+    }
+    for p, t in rec1.items():
+        assert p in rec0 and rec0[p] == t
+    # and nothing in-window was lost
+    g = vol1.cfg.grid_side
+    org = vol1.cfg.grid_origin
+    bs = cfg.block_len
+    for p, t in rec0.items():
+        bp = tuple(int(np.floor(c / bs)) for c in p)
+        if all(org[i] <= bp[i] < org[i] + g for i in range(3)):
+            assert p in rec1
+
+    # same-origin recenter: exact no-op
+    vol2 = recenter_dense(vol1, (-16, -16, -8))
+    assert vol2 is vol1
