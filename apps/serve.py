@@ -25,6 +25,9 @@ def main():
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=8800)
     ap.add_argument("--mode", choices=["disinf", "slam"], default="disinf")
+    ap.add_argument("--auto-recenter", action="store_true",
+                    help="dense backend: follow the robot past the "
+                         "coverage window edge (TSDFGrid.maybe_recenter)")
     ap.add_argument("--fx", type=float, default=517.3)
     ap.add_argument("--fy", type=float, default=516.5)
     ap.add_argument("--cx", type=float, default=318.6)
@@ -71,6 +74,7 @@ def main():
         system = DISINFSystem(
             intr, voxel_size=args.voxel, truncation=args.trunc,
             max_depth=args.max_depth, half_scale=False,
+            auto_recenter=args.auto_recenter,
         )
 
     svc = ReconstructionService(system, mode=args.mode)

@@ -42,12 +42,14 @@ class DISINFSystem:
         pose_source=None,
         cfg: Optional[TSDFConfig] = None,
         half_scale: bool = True,
+        auto_recenter: bool = False,
     ):
         self.depth_factor = float(depth_factor)
         self.half_scale = half_scale
         self.segmenter = segmenter
         self.pose_source = pose_source  # object with feed_stereo(...)
         self.camera_pose_manager = PoseManager()
+        self.auto_recenter = auto_recenter
         self.tsdf = TSDFSystem(
             voxel_size, truncation, max_depth, intrinsics, extrinsics, cfg=cfg
         )
@@ -74,6 +76,12 @@ class DISINFSystem:
         if self.segmenter is not None:
             ht, lt = self.segmenter(img_rgb)
         pose = self.camera_pose_manager.query_pose(timestamp_ms)
+        if self.auto_recenter:
+            # follow the robot past the dense window edge (a no-op on
+            # the hash backend / when far from the edge); queued frames
+            # straddling a move just re-drop their out-of-window fringe
+            cam_pos = np.linalg.inv(np.asarray(pose, np.float64))[:3, 3]
+            self.tsdf.tsdf.maybe_recenter(cam_pos)
         self.tsdf.integrate(pose, np.asarray(img_rgb, np.float32), depth, ht, lt)
 
     def feed_stereo_imu(

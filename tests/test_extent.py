@@ -226,3 +226,28 @@ def test_recenter_preserves_kept_blocks_and_releases_dropped():
     # same-origin recenter: exact no-op
     vol2 = recenter_dense(vol1, (-16, -16, -8))
     assert vol2 is vol1
+
+
+def test_disinf_system_auto_recenter_corridor():
+    """The facade path (DISINFSystem -> async TSDFSystem -> TSDFGrid)
+    follows the robot with auto_recenter=True: the corridor that
+    truncates at the centered window's +6.4 m maps to its far end."""
+    from disinfect_slam_tpu.systems.disinf_system import DISINFSystem
+
+    cfg = TSDFConfig(
+        voxel_size=VOXEL, truncation=TRUNC,
+        num_blocks_log2=12, max_candidates=8192, max_visible=2048,
+        max_new_per_round=1024, backend="dense", grid_log2=5,
+    )
+    with DISINFSystem(
+        K, depth_factor=1.0, voxel_size=VOXEL, truncation=TRUNC,
+        max_depth=4.0, cfg=cfg, half_scale=False, auto_recenter=True,
+    ) as sys_:
+        for i, (pose, rgb, depth) in enumerate(_corridor_frames(20, 0.5)):
+            ts = i * 100
+            sys_.feed_pose(ts, pose)
+            sys_.feed_rgbd_frame(rgb, depth, ts)
+        sys_.tsdf.flush()
+        st = sys_.tsdf.tsdf.gather_valid()
+    pos = np.asarray(st.position)[np.asarray(st.mask)]
+    assert pos[:, 2].max() > 9.5  # past the centered window's +6.4 m
