@@ -113,6 +113,10 @@ def main():
         for row in np.loadtxt(args.imu, delimiter=",", ndmin=2):
             preint.add_raw(row[0], gyro=row[1:4], accel=row[4:7])
         preint.estimate_bias()
+        if args.imu_full:
+            # translation priors need the accel bias split consistent
+            # with the gravity window (see estimate_accel_bias)
+            preint.estimate_accel_bias()
         w0 = preint.gravity_aligned_pose()
         slam.set_initial_pose(w0)
         tilt = np.degrees(
@@ -132,6 +136,7 @@ def main():
     poses = {}
     prev_t = None
     prev_wTc = None
+    prev_wTc_t = None
     t0 = time.perf_counter()
     for i, dp in enumerate(frames):
         fid = int(os.path.basename(dp).split("_")[0])
@@ -151,17 +156,20 @@ def main():
                     # full inertial seed: needs the tracked attitude and a
                     # finite-differenced velocity -> one host sync per frame
                     wTc = np.asarray(slam.world_T_cam, np.float64)
-                    dt_s = max((t - prev_t) * 1e-3, 1e-6)
+                    # velocity from the PREVIOUS interval: displacement
+                    # prev_wTc -> wTc spans prev_wTc_t -> prev_t, not the
+                    # current frame gap (they differ when frames drop)
                     v0 = (
-                        (wTc[:3, 3] - prev_wTc[:3, 3]) / dt_s
+                        (wTc[:3, 3] - prev_wTc[:3, 3])
+                        / max((prev_t - prev_wTc_t) * 1e-3, 1e-6)
                         if prev_wTc is not None
                         else np.zeros(3)
                     )
-                    r_rel, dp, _ = preint.relative_motion(
+                    r_rel, dp_w, _ = preint.relative_motion(
                         prev_t, t, wTc[:3, :3], v0
                     )
-                    gyro_prior, trans_prior = r_rel, dp
-                    prev_wTc = wTc
+                    gyro_prior, trans_prior = r_rel, dp_w
+                    prev_wTc, prev_wTc_t = wTc, prev_t
                 else:
                     gyro_prior = preint.relative_rotation(prev_t, t)
             prev_t = t

@@ -178,7 +178,7 @@ def main():
             warned_intr = True
         if args.auto_recenter:
             cam_pos = np.linalg.inv(frame.cam_T_world)[:3, 3]
-            if grid.maybe_recenter(cam_pos):
+            if grid.maybe_recenter(cam_pos, max_depth=args.max_depth):
                 print(f"[offline] recentered coverage window at frame {n}")
         with timer.span("integrate"):
             grid.integrate(

@@ -303,6 +303,18 @@ def main():
     # (systems/online_step.py) — the 30 Hz contract the reference's
     # online path targets (examples/tsdf/online.cc:23-70)
     online_fps = float("nan")
+    # sensor-format frames (u8 rgb + u16 depth counts, the L515
+    # delivery format l515.cc:9-13): 3.3x fewer H2D bytes than f32.
+    # Built outside the try blocks: both online benches share them.
+    host_frames = [
+        (
+            np.clip(f[1], 0, 255).astype(np.uint8),
+            np.clip(f[2] * 5000.0, 0, 65535).astype(np.uint16),
+            f[0],
+        )
+        for f in frames[: min(30, len(frames))]
+    ]  # (rgb, depth, pose) numpy
+    warm = max(cfg.alloc_every, 1)
     try:
         from disinfect_slam_tpu.models.segmentation import (
             create_model as _cm,
@@ -319,22 +331,11 @@ def main():
             seg_model=seg_model, seg_params=seg_params,
             depth_factor=5000.0,
         )
-        # sensor-format frames (u8 rgb + u16 depth counts, the L515
-        # delivery format l515.cc:9-13): 3.3x fewer H2D bytes than f32
-        host_frames = [
-            (
-                np.clip(f[1], 0, 255).astype(np.uint8),
-                np.clip(f[2] * 5000.0, 0, 65535).astype(np.uint16),
-                f[0],
-            )
-            for f in frames[: min(30, len(frames))]
-        ]  # (rgb, depth, pose) numpy
         # compile BOTH alternation variants (allocate on/off) before
         # timing — a remote compile inside the loop sinks the number
-        for f in host_frames[: max(cfg.alloc_every, 1)]:
+        for f in host_frames[:warm]:
             online.step(*f)
         online.block_until_ready()
-        warm = max(cfg.alloc_every, 1)
         t0 = time.perf_counter()
         for rgb_f, depth_f, pose_f in host_frames[warm:]:
             online.step(rgb_f, depth_f, pose_f)
@@ -360,7 +361,7 @@ def main():
                     seg_model=_cm(arch="fast"), seg_params=fast_params,
                     depth_factor=5000.0,
                 )
-                for f in host_frames[: max(cfg.alloc_every, 1)]:
+                for f in host_frames[:warm]:
                     online_f.step(*f)
                 online_f.block_until_ready()
                 t0 = time.perf_counter()

@@ -233,23 +233,46 @@ class PrefetchReplay:
 
         q: "queue.Queue" = queue.Queue(maxsize=self.depth)
         sentinel = object()
+        stop = threading.Event()
+
+        def _put(item) -> bool:
+            # bounded put that notices consumer abandonment (early break
+            # from the generator) instead of blocking forever
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def worker():
             try:
                 for frame in self.replay:
-                    q.put(frame)
+                    if not _put(frame):
+                        return
             except BaseException as e:  # propagate decode errors in-order
-                q.put(e)
+                _put(e)
                 return
-            q.put(sentinel)
+            _put(sentinel)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                break
-            if isinstance(item, BaseException):
-                raise item
-            yield item
-        t.join()
+        try:
+            while True:
+                item = q.get()
+                if item is sentinel:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            # early exit (break / --max-frames) or error: release the
+            # worker and drop any frames it already decoded
+            stop.set()
+            try:
+                while True:
+                    q.get_nowait()
+            except queue.Empty:
+                pass
+            t.join(timeout=5.0)

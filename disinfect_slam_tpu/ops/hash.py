@@ -101,6 +101,16 @@ def _lookup_dense(vol: TSDFVolume, block: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(in_range, pool, EMPTY)
 
 
+def _push_free(heap, num_free, mask, blk, cfg: TSDFConfig):
+    """Push blk[i] where mask[i] onto the free stack (above the top) —
+    the shared release discipline of ReleaseBlock (voxel_mem.cu:57-61).
+    Returns (heap, new num_free)."""
+    rank = jnp.cumsum(mask.astype(jnp.int32)) - 1
+    heap_pos = jnp.where(mask, num_free + rank, cfg.num_blocks)
+    heap = heap.at[heap_pos].set(blk, mode="drop")
+    return heap, num_free + jnp.sum(mask.astype(jnp.int32))
+
+
 def _insert_dense(
     vol: TSDFVolume, block: jnp.ndarray, valid: jnp.ndarray
 ) -> Tuple[TSDFVolume, jnp.ndarray]:
@@ -191,10 +201,7 @@ def _delete_entries_dense(
     entry_block = vol.entry_block.at[jnp.where(valid, safe_idx, cfg.num_blocks)].set(
         EMPTY, mode="drop"
     )
-    rank = jnp.cumsum(valid.astype(jnp.int32)) - 1
-    heap_pos = jnp.where(valid, vol.num_free + rank, cfg.num_blocks)
-    heap = vol.heap.at[heap_pos].set(blk, mode="drop")
-    num_free = vol.num_free + jnp.sum(valid.astype(jnp.int32))
+    heap, num_free = _push_free(vol.heap, vol.num_free, valid, blk, cfg)
     return vol.replace(
         block_table=block_table,
         entry_block=entry_block,
@@ -244,12 +251,11 @@ def recenter_dense(vol: TSDFVolume, new_origin) -> TSDFVolume:
         .at[jnp.where(keep, cell, cfg.grid_cells)]
         .set(vol.entry_block, mode="drop")
     )
-    # release out-of-window blocks (push above the free-stack top)
-    rank = jnp.cumsum(drop.astype(jnp.int32)) - 1
-    heap_pos = jnp.where(drop, vol.num_free + rank, cfg.num_blocks)
-    heap = vol.heap.at[heap_pos].set(vol.entry_block, mode="drop")
+    # release out-of-window blocks
+    heap, num_free = _push_free(
+        vol.heap, vol.num_free, drop, vol.entry_block, cfg
+    )
     entry_block = jnp.where(drop, EMPTY, vol.entry_block)
-    num_free = vol.num_free + jnp.sum(drop.astype(jnp.int32))
     return vol.replace(
         cfg=new_cfg,
         block_table=table,
@@ -411,10 +417,7 @@ def delete_entries(
     wslot = jnp.where(valid, safe_idx, num_entries)
     entry_block = vol.entry_block.at[wslot].set(TOMBSTONE, mode="drop")
 
-    rank = jnp.cumsum(valid.astype(jnp.int32)) - 1
-    heap_pos = jnp.where(valid, vol.num_free + rank, cfg.num_blocks)
-    heap = vol.heap.at[heap_pos].set(blk, mode="drop")
-    num_free = vol.num_free + jnp.sum(valid.astype(jnp.int32))
+    heap, num_free = _push_free(vol.heap, vol.num_free, valid, blk, cfg)
     return vol.replace(entry_block=entry_block, heap=heap, num_free=num_free)
 
 

@@ -50,6 +50,7 @@ class DISINFSystem:
         self.pose_source = pose_source  # object with feed_stereo(...)
         self.camera_pose_manager = PoseManager()
         self.auto_recenter = auto_recenter
+        self.max_depth = float(max_depth)
         self.tsdf = TSDFSystem(
             voxel_size, truncation, max_depth, intrinsics, extrinsics, cfg=cfg
         )
@@ -81,7 +82,7 @@ class DISINFSystem:
             # the hash backend / when far from the edge); queued frames
             # straddling a move just re-drop their out-of-window fringe
             cam_pos = np.linalg.inv(np.asarray(pose, np.float64))[:3, 3]
-            self.tsdf.tsdf.maybe_recenter(cam_pos)
+            self.tsdf.tsdf.maybe_recenter(cam_pos, max_depth=self.max_depth)
         self.tsdf.integrate(pose, np.asarray(img_rgb, np.float32), depth, ht, lt)
 
     def feed_stereo_imu(

@@ -78,6 +78,10 @@ class TSDFGrid:
         # dropped on device and accumulate in volume.oob_count)
         self._oob_tick = 0
         self._warned_oob = False
+        # oob_count is cumulative; the watchdog warns on growth past
+        # this baseline (recenter advances it so a move doesn't re-warn
+        # about drops that predate the new window)
+        self._oob_base = 0
         # functional state guard for concurrent host threads
         self._lock = threading.Lock()
 
@@ -196,7 +200,7 @@ class TSDFGrid:
             # dispatched, and only every 30 frames until it fires.
             self._oob_tick += 1
             if not self._warned_oob and self._oob_tick % 30 == 0:
-                oob = int(np.asarray(self.volume.oob_count))
+                oob = int(np.asarray(self.volume.oob_count)) - self._oob_base
                 if oob:
                     cfg = self.cfg
                     extent = cfg.grid_side * cfg.block_len * cfg.voxel_size
@@ -308,22 +312,40 @@ class TSDFGrid:
                 return False
             self.volume = recenter_dense(self.volume, org)
             self.cfg = self.volume.cfg
-            # coverage moved: allow the watchdog to warn again if the
-            # NEW window is outrun too
+            # coverage moved: allow the watchdog to warn again, but only
+            # about drops AFTER the move (oob_count is cumulative)
             self._warned_oob = False
+            self._oob_base = int(np.asarray(self.volume.oob_count))
             logger.info(
                 "[TSDF] recentered dense window to origin %s blocks", org
             )
             return True
 
-    def maybe_recenter(self, cam_pos_world_m, margin_blocks: int = 8) -> bool:
-        """Recenter only when the camera is within `margin_blocks` of the
+    def maybe_recenter(
+        self,
+        cam_pos_world_m,
+        margin_blocks: int | None = None,
+        max_depth: float | None = None,
+    ) -> bool:
+        """Recenter only when the camera is within the margin of the
         window edge (pure host arithmetic when no move is needed — safe
-        to call per frame; the actual move recompiles, see recenter)."""
+        to call per frame; the actual move recompiles, see recenter).
+
+        The margin should cover the view frustum: observations past the
+        edge are dropped until the move happens, so pass `max_depth` to
+        derive margin = ceil(max_depth / block metres) — the window then
+        moves BEFORE the frustum outruns it.  Fallback margin is a
+        quarter of the window; either is capped at 3/8 window so a
+        frustum larger than the window cannot retrigger every frame."""
         if self.cfg.backend != "dense":
             return False
         bs = self.cfg.block_len * self.cfg.voxel_size
         g = self.cfg.grid_side
+        if margin_blocks is None:
+            margin_blocks = (
+                int(np.ceil(max_depth / bs)) if max_depth else g >> 2
+            )
+        margin_blocks = min(margin_blocks, 3 * g // 8)
         org = np.asarray(self.cfg.grid_origin or (-(g >> 1),) * 3)
         b = np.floor(np.asarray(cam_pos_world_m, np.float64) / bs).astype(int)
         near_edge = np.any(

@@ -77,8 +77,9 @@ MAX_DEPTH = 4.0
 N_FRAMES = 12
 
 
-def shard_vis_counts(dist: DistributedTSDF, cam, pose_mat):
-    """Per-shard visible-block count at this pose: [D] i32."""
+def make_shard_vis_counts(dist: DistributedTSDF, cam):
+    """Build the jitted per-shard visible-count query ONCE per mesh
+    (constructing shard_map+jit per call would recompile every frame)."""
     axis = dist.axis
     sub_cfg = dist.sub_cfg
 
@@ -88,14 +89,14 @@ def shard_vis_counts(dist: DistributedTSDF, cam, pose_mat):
         vis = gather_visible(vol, cam, SE3.from_matrix(pm))
         return vis.count.reshape(1)
 
-    fn = shard_map(
+    fn = jax.jit(shard_map(
         q,
         mesh=dist.mesh,
         in_specs=(P(axis), P()),
         out_specs=P(axis),
         check_rep=False,
-    )
-    return np.asarray(jax.jit(fn)(dist.volume, pose_mat))
+    ))
+    return lambda pose_mat: np.asarray(fn(dist.volume, pose_mat))
 
 
 def main():
@@ -107,6 +108,7 @@ def main():
     for d in (1, 2, 4, 8):
         mesh = make_mesh(d)
         dist = DistributedTSDF(CFG, mesh)
+        counts_at = make_shard_vis_counts(dist, cam)
         per_frame = []
         for pose_np, rgb, depth, ht, lt in frames:
             fr = FrameInput(
@@ -116,7 +118,7 @@ def main():
                 lt=jnp.asarray(lt),
             )
             dist.integrate(fr, K, pose_np, MAX_DEPTH)
-            counts = shard_vis_counts(dist, cam, jnp.asarray(pose_np))
+            counts = counts_at(jnp.asarray(pose_np))
             per_frame.append(counts)
             print(f"  D={d} frame {len(per_frame)}/{N_FRAMES} "
                   f"counts={counts.tolist()}", flush=True)
