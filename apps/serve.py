@@ -64,10 +64,6 @@ def main():
     if args.mode == "slam":
         from disinfect_slam_tpu.systems.dense_slam import DenseSLAM
 
-        if args.auto_recenter:
-            print("[serve] WARNING: --auto-recenter applies to disinf "
-                  "mode only (DenseSLAM keeps its sync-free loop); flag "
-                  "ignored in slam mode")
         system = DenseSLAM(
             intr, args.height, args.width,
             voxel_size=args.voxel, truncation=args.trunc, max_depth=args.max_depth,
@@ -81,7 +77,8 @@ def main():
             auto_recenter=args.auto_recenter,
         )
 
-    svc = ReconstructionService(system, mode=args.mode)
+    svc = ReconstructionService(system, mode=args.mode,
+                                auto_recenter=args.auto_recenter)
 
     replay = None
     if args.replay or args.synthetic:

@@ -210,6 +210,44 @@ def _delete_entries_dense(
     )
 
 
+def recenter_origin_for(cfg: TSDFConfig, cam_pos_world_m):
+    """Window origin (block coords, clipped into packed-coord range)
+    centering the dense window on a world position."""
+    import numpy as np
+
+    bs = cfg.block_len * cfg.voxel_size
+    g = cfg.grid_side
+    lo, hi = cfg.coord_min, cfg.coord_max - g + 1
+    return tuple(
+        int(np.clip(int(np.floor(c / bs)) - (g >> 1), lo, hi))
+        for c in np.asarray(cam_pos_world_m, np.float64)
+    )
+
+
+def needs_recenter(
+    cfg: TSDFConfig, cam_pos_world_m, margin_blocks=None, max_depth=None
+) -> bool:
+    """True when the camera is within the margin of the dense window
+    edge.  Pass max_depth to derive a frustum-deep margin (observations
+    past the edge drop until the window moves); fallback is a quarter
+    window; either caps at 3/8 window so an oversized frustum cannot
+    retrigger every frame.  Pure host arithmetic."""
+    import numpy as np
+
+    if cfg.backend != "dense":
+        return False
+    bs = cfg.block_len * cfg.voxel_size
+    g = cfg.grid_side
+    if margin_blocks is None:
+        margin_blocks = int(np.ceil(max_depth / bs)) if max_depth else g >> 2
+    margin_blocks = min(margin_blocks, 3 * g // 8)
+    org = np.asarray(cfg.grid_origin or (-(g >> 1),) * 3)
+    b = np.floor(np.asarray(cam_pos_world_m, np.float64) / bs).astype(int)
+    return bool(
+        np.any((b - org < margin_blocks) | (org + g - b <= margin_blocks))
+    )
+
+
 def recenter_dense(vol: TSDFVolume, new_origin) -> TSDFVolume:
     """Move the dense directory's coverage window to a new grid_origin
     WITHOUT touching voxel payloads.

@@ -214,6 +214,28 @@ class DenseSLAM:
         self.frame_count += 1
         return cam_T_world, ok
 
+    def maybe_recenter(self, margin_blocks: int | None = None) -> bool:
+        """Dense backend: move the coverage window to follow the tracked
+        camera when it nears the edge (ops/hash.py recenter_dense; no-op
+        on the hash backend or far from the edge).  Reading the tracked
+        pose forces a host sync, and a move recompiles the step — call
+        at waypoint cadence (e.g. every ~30 frames), not per frame."""
+        from ..ops.hash import (
+            needs_recenter,
+            recenter_dense,
+            recenter_origin_for,
+        )
+
+        cfg = self.volume.cfg
+        cam_pos = np.asarray(self.world_T_cam, np.float64)[:3, 3]
+        if not needs_recenter(cfg, cam_pos, margin_blocks, self.max_depth):
+            return False
+        org = recenter_origin_for(cfg, cam_pos)
+        if org == (cfg.grid_origin or (-(cfg.grid_side >> 1),) * 3):
+            return False
+        self.volume = recenter_dense(self.volume, org)
+        return True
+
     @property
     def lost_count(self) -> int:
         """Number of tracking-lost frames so far (forces a sync on the

@@ -42,9 +42,11 @@ class ReconstructionService:
     """Wraps either a DISINFSystem (poses provided) or DenseSLAM
     (self-tracking) behind frame-in / artifacts-out methods."""
 
-    def __init__(self, system, mode: str = "disinf"):
+    def __init__(self, system, mode: str = "disinf",
+                 auto_recenter: bool = False):
         self.system = system
         self.mode = mode
+        self.auto_recenter = auto_recenter
         self._lock = threading.Lock()
         self.frames = 0
 
@@ -52,6 +54,11 @@ class ReconstructionService:
         with self._lock:
             self.frames += 1
             if self.mode == "slam":
+                # waypoint-cadence window follow (each check syncs on the
+                # tracked pose, so not per frame; DISINFSystem handles
+                # its own recentering in disinf mode)
+                if self.auto_recenter and self.frames % 30 == 0:
+                    self.system.maybe_recenter()
                 est, ok = self.system.process_frame(rgb, depth, ht, lt)
                 return est, bool(ok)
             if pose is not None:

@@ -298,15 +298,10 @@ class TSDFGrid:
         call at waypoint cadence, not per frame."""
         if self.cfg.backend != "dense":
             return False
-        from ..ops.hash import recenter_dense
+        from ..ops.hash import recenter_dense, recenter_origin_for
 
-        bs = self.cfg.block_len * self.cfg.voxel_size
         g = self.cfg.grid_side
-        lo, hi = self.cfg.coord_min, self.cfg.coord_max - g + 1
-        org = tuple(
-            int(np.clip(int(np.floor(c / bs)) - (g >> 1), lo, hi))
-            for c in np.asarray(center_world_m, np.float64)
-        )
+        org = recenter_origin_for(self.cfg, center_world_m)
         with self._lock:
             if org == (self.cfg.grid_origin or (-(g >> 1),) * 3):
                 return False
@@ -337,21 +332,11 @@ class TSDFGrid:
         moves BEFORE the frustum outruns it.  Fallback margin is a
         quarter of the window; either is capped at 3/8 window so a
         frustum larger than the window cannot retrigger every frame."""
-        if self.cfg.backend != "dense":
-            return False
-        bs = self.cfg.block_len * self.cfg.voxel_size
-        g = self.cfg.grid_side
-        if margin_blocks is None:
-            margin_blocks = (
-                int(np.ceil(max_depth / bs)) if max_depth else g >> 2
-            )
-        margin_blocks = min(margin_blocks, 3 * g // 8)
-        org = np.asarray(self.cfg.grid_origin or (-(g >> 1),) * 3)
-        b = np.floor(np.asarray(cam_pos_world_m, np.float64) / bs).astype(int)
-        near_edge = np.any(
-            (b - org < margin_blocks) | (org + g - b <= margin_blocks)
-        )
-        if not near_edge:
+        from ..ops.hash import needs_recenter
+
+        if not needs_recenter(
+            self.cfg, cam_pos_world_m, margin_blocks, max_depth
+        ):
             return False
         return self.recenter(cam_pos_world_m)
 

@@ -251,3 +251,36 @@ def test_disinf_system_auto_recenter_corridor():
         st = sys_.tsdf.tsdf.gather_valid()
     pos = np.asarray(st.position)[np.asarray(st.mask)]
     assert pos[:, 2].max() > 9.5  # past the centered window's +6.4 m
+
+
+def test_dense_slam_maybe_recenter():
+    """DenseSLAM's own window follow: a tracked camera near the window
+    edge triggers the directory move; payload arrays untouched."""
+    import dataclasses as dc
+
+    from .scenes import checker_rgb as _rgb
+    from disinfect_slam_tpu.systems.dense_slam import DenseSLAM
+
+    cfg = TSDFConfig(
+        voxel_size=VOXEL, truncation=TRUNC,
+        num_blocks_log2=12, max_candidates=8192, max_visible=2048,
+        max_new_per_round=1024, backend="dense", grid_log2=5,
+    )
+    slam = DenseSLAM(K, H, W, voxel_size=VOXEL, truncation=TRUNC,
+                     max_depth=4.0, cfg=cfg)
+    rgb = _rgb(W, H)
+    # centered start: camera at origin is >margin from every edge at
+    # this window (32 blocks, margin = ceil(4.0/0.4) = 10)
+    pose0, _, depth0 = _corridor_frames(1)[0]
+    slam.process_frame(rgb, depth0)
+    assert slam.maybe_recenter() is False
+    # teleport the tracked pose near the +z edge (anchor pose moves the
+    # SLAM world; simpler: fake the tracked pose directly)
+    w_T_c = np.eye(4, dtype=np.float32)
+    w_T_c[2, 3] = 4.0  # 10 blocks from center, window edge at 6.4 m
+    slam.world_T_cam = w_T_c
+    t0 = np.asarray(slam.volume.tsdf)
+    assert slam.maybe_recenter() is True
+    org = slam.volume.cfg.grid_origin
+    assert org is not None and org[2] > -16
+    np.testing.assert_array_equal(np.asarray(slam.volume.tsdf), t0)
