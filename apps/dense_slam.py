@@ -119,12 +119,11 @@ def main():
             preint.estimate_accel_bias()
         w0 = preint.gravity_aligned_pose()
         slam.set_initial_pose(w0)
-        tilt = np.degrees(
-            np.arccos(np.clip(w0[2, 2], -1.0, 1.0))
-        )
-        print(f"[slam] gravity-aligned start (tilt {tilt:.1f} deg)"
-              if w0[2, 2] < 1.0 - 1e-9
-              else "[slam] imu: no gravity estimate (identity start)")
+        if preint.estimate_gravity() is None:
+            print("[slam] imu: no gravity estimate (identity start)")
+        else:
+            tilt = np.degrees(np.arccos(np.clip(w0[2, 2], -1.0, 1.0)))
+            print(f"[slam] gravity-aligned start (tilt {tilt:.1f} deg)")
         ft = os.path.join(args.logdir, "frame_times.txt")
         if os.path.exists(ft):
             for line in open(ft):

@@ -178,14 +178,12 @@ def main():
         ocfg = _dc.replace(ocfg, voxel_size=args.voxel, truncation=args.trunc)
         seg_model = seg_params = None
         if args.segment:
-            from disinfect_slam_tpu.models.segmentation import (
-                create_model as _cm, load_default_params as _ldp,
-            )
-
-            seg_model = _cm(arch=args.seg_arch)
-            seg_params = _ldp(arch=args.seg_arch)
+            # reuse the model/params resolved above (honors --seg-ckpt;
+            # the fused path previously reloaded the shipped defaults
+            # and silently ignored a user checkpoint)
+            seg_model, seg_params = engine.model, engine.params
             if seg_params is None:
-                print("[online] WARNING: no shipped weights; --fused runs seg-off")
+                print("[online] WARNING: no seg weights; --fused runs seg-off")
                 seg_model = None
         step = FusedOnlineStep(
             ocfg, intrinsics, fh, fw, args.max_depth,
@@ -209,8 +207,11 @@ def main():
 
             grid = TSDFGrid(args.voxel, args.trunc, cfg=ocfg)
             grid.volume = step.volume
+            last_pose = replay.entries[-1][1]
+            if last_pose is None:  # stereo capture without trajectory rows
+                last_pose = np.eye(4, dtype=np.float32)
             render_to_png(
-                grid, args.render_dir, replay.entries[-1][1],
+                grid, args.render_dir, last_pose,
                 (intrinsics, 360, 640), max_depth=args.max_depth,
             )
             print(f"[online] rendered final view to {args.render_dir}")

@@ -236,6 +236,10 @@ class TSDFConfig:
         )
         assert self.sampler_splits in (1, 2, 3), self.sampler_splits
         assert self.alloc_stride >= 1, self.alloc_stride
+        assert self.alloc_every >= 1, (
+            "alloc_every is a cadence (1 = allocate every frame); "
+            f"got {self.alloc_every}"
+        )
         if self.backend == "hash":
             assert self.max_probe >= self.entries_per_bucket
             assert self.num_blocks <= self.num_entries

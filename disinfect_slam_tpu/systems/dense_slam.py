@@ -63,8 +63,11 @@ class DenseSLAM:
         self.world_T_cam = np.eye(4, dtype=np.float32)
         self.frame_count = 0
         # per-frame device ok flags; lost_count resolves them lazily so
-        # the steady-state loop never blocks on the gate
+        # the steady-state loop never blocks on the gate.  Resolved
+        # flags fold into _lost_resolved and the list drains (bounded
+        # memory for long-running services)
         self._ok_flags: list = []
+        self._lost_resolved = 0
 
         cam = self.cam
         md = self.max_depth
@@ -211,6 +214,10 @@ class DenseSLAM:
                 frame, gyro_RT, dp_w,
             )
             self._ok_flags.append(ok)
+            # bound the pending-flag buffers: by 1024 frames the early
+            # flags are long computed, so the drain sync is free
+            if len(self._ok_flags) >= 1024:
+                self._drain_ok_flags()
         self.frame_count += 1
         return cam_T_world, ok
 
@@ -236,13 +243,19 @@ class DenseSLAM:
         self.volume = recenter_dense(self.volume, org)
         return True
 
+    def _drain_ok_flags(self) -> None:
+        if self._ok_flags:
+            self._lost_resolved += int(
+                np.sum(~np.asarray(jnp.stack(self._ok_flags)))
+            )
+            self._ok_flags.clear()
+
     @property
     def lost_count(self) -> int:
         """Number of tracking-lost frames so far (forces a sync on the
         pending flags; cheap, call it for reporting, not per frame)."""
-        if not self._ok_flags:
-            return 0
-        return int(np.sum(~np.asarray(jnp.stack(self._ok_flags))))
+        self._drain_ok_flags()
+        return self._lost_resolved
 
     def render(self, cam_T_world: Optional[np.ndarray] = None):
         if cam_T_world is None:

@@ -69,7 +69,14 @@ class GyroPreintegrator:
             self.bias = np.mean(sel, axis=0)
 
     def relative_rotation(self, t0_ms: float, t1_ms: float) -> np.ndarray:
-        """cam(t1)_R_cam(t0) from gyro integration over (t0, t1]."""
+        """cam(t1)_R_cam(t0) from gyro integration over (t0, t1].
+
+        Body rates compose on the RIGHT: R(t+dt) = R(t) exp(w dt), so
+        the accumulated delta is exp(w_0 dt) ... exp(w_N dt) in
+        chronological order (left-multiplying reversed the chain — a
+        second-order commutator error on tumbling motion; same
+        convention as relative_motion's r_wc update).
+        """
         r = np.eye(3)
         prev_t = t0_ms
         prev_w = None
@@ -82,11 +89,11 @@ class GyroPreintegrator:
             w = s.gyro - self.bias
             dt = (s.timestamp_ms - prev_t) * 1e-3
             w_mid = w if prev_w is None else 0.5 * (w + prev_w)
-            r = _exp_so3(w_mid * dt) @ r
+            r = r @ _exp_so3(w_mid * dt)
             prev_t = s.timestamp_ms
             prev_w = w
         if prev_t < t1_ms and prev_w is not None:
-            r = _exp_so3(prev_w * (t1_ms - prev_t) * 1e-3) @ r
+            r = r @ _exp_so3(prev_w * (t1_ms - prev_t) * 1e-3)
         # rotation of the WORLD seen from the camera advances opposite to
         # the camera's own rotation
         return r.T

@@ -70,7 +70,7 @@ class TSDFGrid:
         self._gather_valid = jax.jit(gather_ops.gather_valid)
         self._integrate_stats = jax.jit(
             self._integrate_stats_impl,
-            static_argnames=("img_h", "img_w", "max_depth"),
+            static_argnames=("img_h", "img_w", "max_depth", "allocate"),
             donate_argnums=0,
         )
         # out-of-coverage allocation watchdog (checked every N frames;
@@ -98,12 +98,14 @@ class TSDFGrid:
         )
 
     @staticmethod
-    def _integrate_stats_impl(vol, frame, intr, pose_mat, img_h, img_w, max_depth):
+    def _integrate_stats_impl(
+        vol, frame, intr, pose_mat, img_h, img_w, max_depth, allocate=True
+    ):
         intrinsics = CameraIntrinsics.create(intr[0], intr[1], intr[2], intr[3])
         cam = CameraParams.create(intrinsics, img_h, img_w)
         return integrate(
             vol, frame, cam, SE3.from_matrix(pose_mat), max_depth,
-            return_stats=True,
+            return_stats=True, allocate=allocate,
         )
 
     @staticmethod
@@ -166,9 +168,12 @@ class TSDFGrid:
             if debug:
                 # stats variant: same step + device-scalar observability
                 # (visible count, sampler patch-overflow blocks)
+                # same allocate gate as the production branch: DEBUG
+                # logging must observe, not change, the reconstruction
                 self.volume, stats = self._integrate_stats(
                     self.volume, frame, intr, pose,
                     img_h=h, img_w=w, max_depth=float(max_depth),
+                    allocate=self._oob_tick % self.cfg.alloc_every == 0,
                 )
                 sk = int(np.asarray(stats.sampler_skipped))
                 if sk:

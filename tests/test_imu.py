@@ -222,3 +222,27 @@ def test_gravity_alignment_fail_open():
     r = pre2.gravity_aligned_pose()[:3, :3]
     np.testing.assert_allclose(r @ [0, 0, -1.0], [0, 0, 1.0], atol=1e-9)
     np.testing.assert_allclose(r @ r.T, np.eye(3), atol=1e-9)
+
+
+def test_relative_rotation_noncommuting_order():
+    """Body rates compose on the right: a 90-deg x-spin followed by a
+    90-deg y-spin must integrate to exp(X) @ exp(Y) (chronological),
+    not the reversed chain — and must agree with relative_motion."""
+    from disinfect_slam_tpu.systems.imu import ImuPreintegrator
+
+    w = np.pi / 2  # rad/s, 1 s each phase
+    pre = ImuPreintegrator()
+    for i in range(801):
+        t = i * 2.5
+        gyro = (w, 0, 0) if t <= 1000.0 else (0, w, 0)
+        pre.add_raw(t, gyro=gyro, accel=(0, 0, 0))
+    r_rel = pre.relative_rotation(0.0, 2000.0)
+    expected = (
+        Rotation.from_rotvec([np.pi / 2, 0, 0])
+        * Rotation.from_rotvec([0, np.pi / 2, 0])
+    ).as_matrix().T  # cam1_R_cam0 = delta^T
+    # midpoint rule smears one sample across the phase switch: ~1e-3
+    np.testing.assert_allclose(r_rel, expected, atol=5e-3)
+    # and the full-preintegration rotation agrees
+    r_rel2, _, _ = pre.relative_motion(0.0, 2000.0, np.eye(3))
+    np.testing.assert_allclose(r_rel2, r_rel, atol=1e-9)
