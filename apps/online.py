@@ -53,6 +53,9 @@ def main():
     ap.add_argument("--baseline", type=float, default=0.12,
                     help="stereo baseline in metres (ZED: 0.12)")
     ap.add_argument("--max-disp", type=int, default=64)
+    ap.add_argument("--auto-recenter", action="store_true",
+                    help="dense backend: follow the camera past the "
+                         "coverage window edge (TSDFGrid.maybe_recenter)")
     ap.add_argument("--render-dir")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--preset", choices=["full", "small"], default="full")
@@ -226,6 +229,7 @@ def main():
         segmenter=segmenter,
         half_scale=False,
         cfg=cfg,
+        auto_recenter=args.auto_recenter,
     ) as system:
         period = 1.0 / args.fps
         t_start = time.perf_counter()
