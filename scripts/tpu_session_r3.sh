@@ -1,0 +1,28 @@
+#!/bin/bash
+# Round-3 TPU measurement session: run SERIALLY (concurrent TPU jobs
+# inflate numbers 15-30%, PROGRESS.md).  Each stage appends to
+# /tmp/r3_session.log; safe to re-run (compile cache persists).
+set -u
+cd "$(dirname "$0")/.."
+LOG=${1:-/tmp/r3_session.log}
+exec > >(tee -a "$LOG") 2>&1
+
+echo "=== r3 TPU session $(date) ==="
+
+echo "--- [1/5] kernel parity gate (tpu_verify) ---"
+timeout 900 python scripts/tpu_verify.py || { echo "VERIFY FAILED"; exit 1; }
+
+echo "--- [2/5] stage budget @ 2^17 ---"
+timeout 1800 python scripts/profile_r3.py 17
+
+echo "--- [3/5] stage budget @ 2^18 (the capacity-gap question) ---"
+timeout 1800 python scripts/profile_r3.py 18
+
+echo "--- [4/5] bench with profiler trace ---"
+rm -rf /tmp/prof_r3
+DSTPU_PROFILE=/tmp/prof_r3 timeout 1800 python bench.py
+
+echo "--- [5/5] trace attribution ---"
+python scripts/trace_summary.py /tmp/prof_r3 40
+
+echo "=== session done $(date) ==="
