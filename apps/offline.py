@@ -64,6 +64,9 @@ def main():
                          "synchronous reads, the reference's behavior)")
     ap.add_argument("--profile", metavar="DIR",
                     help="capture a jax.profiler trace of the replay to DIR")
+    ap.add_argument("--save-dist", metavar="NPZ",
+                    help="with --devices: elastic sharded checkpoint, "
+                         "restorable onto ANY device count")
     ap.add_argument("--devices", type=int, default=0, metavar="N",
                     help="shard the volume over N devices (DistributedTSDF "
                          "block-ownership sharding; on a CPU host set "
@@ -314,6 +317,13 @@ def _run_distributed(args, replay, intrinsics, cfg):
         rec = dist.gather_all_tsdf()  # [N, 4] f32 records, all shards
         rec.astype("<f4").tofile(args.save)
         print(f"[offline] saved {rec.shape[0]} voxels to {args.save}")
+    if args.save_dist:
+        from disinfect_slam_tpu.parallel.sharding import save_distributed
+
+        nb = save_distributed(args.save_dist, dist)
+        print(f"[offline] elastic checkpoint: {nb} blocks -> "
+              f"{args.save_dist} (restorable onto any device count via "
+              "parallel.sharding.load_distributed)")
 
 
 if __name__ == "__main__":
