@@ -194,6 +194,14 @@ def verify_splat() -> Tuple[bool, float, str]:
 CHECKS: List[Tuple[str, Callable[[], Tuple[bool, float, str]]]] = [
     ("sample_kernel splits=3 (bit-exact)", lambda: verify_sample_kernel(splits=3)),
     ("sample_kernel splits=2 (tolerance)", lambda: verify_sample_kernel(splits=2)),
+    # 1920x1080 exceeds the whole-image-in-VMEM threshold, forcing the
+    # double-buffered patch-DMA path (the reference's max frame size,
+    # voxel_tsdf.cu:10-12) — without this the DMA path has zero
+    # hardware coverage since the VMEM path took over at bench scale
+    (
+        "sample_kernel 1080p patch-DMA path (bit-exact)",
+        lambda: verify_sample_kernel(w=1920, h=1080, v_blocks=64, splits=3),
+    ),
     ("count early-exit", verify_count_exit),
     ("integrate pallas vs gather (bit-exact)", verify_integrate_parity),
     ("integrate fused kernel (~1 ulp)", verify_fused_kernel),
