@@ -82,10 +82,16 @@ def load_replay_frames(n_frames, w, h):
         return None
 
 
-def _tpu_alive(timeout: float = 240.0) -> bool:
+def _tpu_alive(timeout: float = 240.0, retries: int = 3, wait_s: float = 120.0) -> bool:
     """Probe the TPU tunnel in a subprocess (a dead relay hangs forever
-    rather than erroring; don't let the benchmark hang with it)."""
+    rather than erroring; don't let the benchmark hang with it).
+
+    The relay has been observed to drop out for minutes at a time; a
+    CPU-fallback headline is far worse than a delayed one, so retry a
+    few times with a pause before giving up.  Worst case this delays the
+    fallback by retries * (timeout + wait_s) ~ 18 min."""
     import subprocess
+    import time as _time
 
     code = (
         "import jax, jax.numpy as jnp;"
@@ -94,13 +100,23 @@ def _tpu_alive(timeout: float = 240.0) -> bool:
         "jax.block_until_ready(y); print('ok')"
         % os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
     )
-    try:
-        out = subprocess.run(
-            [sys.executable, "-c", code], capture_output=True, timeout=timeout
-        )
-        return b"ok" in out.stdout
-    except Exception:
-        return False
+    for attempt in range(retries):
+        try:
+            out = subprocess.run(
+                [sys.executable, "-c", code], capture_output=True, timeout=timeout
+            )
+            if b"ok" in out.stdout:
+                return True
+        except Exception:
+            pass
+        if attempt + 1 < retries:
+            print(
+                f"[bench] TPU probe attempt {attempt + 1}/{retries} failed; "
+                f"retrying in {wait_s:.0f}s",
+                file=sys.stderr,
+            )
+            _time.sleep(wait_s)
+    return False
 
 
 def _verify_sampler(splits: int, w, h) -> bool:
