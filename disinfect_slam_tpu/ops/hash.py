@@ -159,17 +159,29 @@ def _insert_dense(
     num_free = vol.num_free - jnp.sum(ok.astype(jnp.int32))
 
     # payload reset (voxel_mem.cu:43-51) via compacted winner rows; ok
-    # implies rank < w, so every acquired block gets a reset row
+    # implies rank < w, so every acquired block gets a reset row.
+    # Padding slots get DISTINCT out-of-bounds indices (num_blocks +
+    # slot) so the whole index vector is genuinely unique (heap pops are
+    # distinct pool rows) and the scatter emitter can skip collision
+    # handling; every >= num_blocks index still drops.
     crank = jnp.where(ok, rank, w)
     compact = (
-        jnp.full((w,), cfg.num_blocks, jnp.int32).at[crank].set(pool_idx, mode="drop")
+        (cfg.num_blocks + jnp.arange(w, dtype=jnp.int32))
+        .at[crank]
+        .set(pool_idx, mode="drop")
     )
     v = cfg.block_volume
-    tsdf = vol.tsdf.at[compact].set(jnp.full((w, v), RESET_TSDF, jnp.float32), mode="drop")
+    tsdf = vol.tsdf.at[compact].set(
+        jnp.full((w, v), RESET_TSDF, jnp.float32), mode="drop", unique_indices=True
+    )
     # zero the whole packed rgbw word (weight=0 AND rgb=0; see
     # core/state.py on the stale-rgb divergence from voxel_mem.cu:43-51)
-    rgbw = vol.rgbw.at[compact].set(jnp.zeros((w, v), jnp.uint32), mode="drop")
-    prob = vol.prob.at[compact].set(jnp.full((w, v), RESET_PROB, jnp.float32), mode="drop")
+    rgbw = vol.rgbw.at[compact].set(
+        jnp.zeros((w, v), jnp.uint32), mode="drop", unique_indices=True
+    )
+    prob = vol.prob.at[compact].set(
+        jnp.full((w, v), RESET_PROB, jnp.float32), mode="drop", unique_indices=True
+    )
 
     vol = vol.replace(
         block_table=block_table,

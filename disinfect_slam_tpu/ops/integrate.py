@@ -580,16 +580,22 @@ def fuse_visible(
     tsdf_new = jnp.minimum(1.0, sdf / cfg.truncation)
     w_new = (1.0 - depth / max_depth) * 4.0
 
+    # Index hints: dense-backend pool indices are ascending (entry i <->
+    # pool slot i and compaction preserves entry order), so the row
+    # gathers/scatters can promise sorted/unique to XLA's emitters.
+    # Padding rows clip to num_blocks-1 (duplicated), so the gather only
+    # claims sorted, not unique.
+    dense = cfg.backend == "dense"
     pool = jnp.clip(vis.pool_idx, 0, cfg.num_blocks - 1)  # [V]
-    tsdf_old = vol.tsdf[pool]  # [V, 512]
+    tsdf_old = vol.tsdf.at[pool].get(indices_are_sorted=dense)  # [V, 512]
     # ONE packed gather for color+weight (VoxelRGBW word); unpack with
     # shifts in-flight — no [V, 512, 3] arrays anywhere in this path
-    rgbw_old = vol.rgbw[pool]  # [V, 512] u32
+    rgbw_old = vol.rgbw.at[pool].get(indices_are_sorted=dense)  # [V, 512] u32
     w_old = (rgbw_old >> 24).astype(jnp.float32)
     r_old = (rgbw_old & 0xFF).astype(jnp.float32)
     g_old = ((rgbw_old >> 8) & 0xFF).astype(jnp.float32)
     b_old = ((rgbw_old >> 16) & 0xFF).astype(jnp.float32)
-    prob_old = vol.prob[pool]
+    prob_old = vol.prob.at[pool].get(indices_are_sorted=dense)
 
     w_comb = w_old + w_new
     w_safe = jnp.where(w_comb == 0, 1.0, w_comb)
@@ -631,12 +637,24 @@ def fuse_visible(
     )
     rgbw_w = jnp.where(update, rgbw_upd, rgbw_old)
 
-    # scatter rows back (padded rows drop via OOB index)
-    wpool = jnp.where(vis.mask, vis.pool_idx, cfg.num_blocks)
+    # scatter rows back (padded rows drop via OOB index).  Padding gets
+    # DISTINCT out-of-bounds indices (num_blocks + position) so the
+    # whole index vector is genuinely unique — and, on the dense
+    # backend, ascending — letting the scatter emitter skip its
+    # collision handling.  Live rows: vis.pool_idx < num_blocks;
+    # padding: >= num_blocks, ascending by position, all dropped.
+    pad = cfg.num_blocks + jnp.arange(vcap, dtype=jnp.int32)
+    wpool = jnp.where(vis.mask, vis.pool_idx, pad)
     vol = vol.replace(
-        tsdf=vol.tsdf.at[wpool].set(tsdf_w, mode="drop"),
-        rgbw=vol.rgbw.at[wpool].set(rgbw_w, mode="drop"),
-        prob=vol.prob.at[wpool].set(prob_w, mode="drop"),
+        tsdf=vol.tsdf.at[wpool].set(
+            tsdf_w, mode="drop", unique_indices=True, indices_are_sorted=dense
+        ),
+        rgbw=vol.rgbw.at[wpool].set(
+            rgbw_w, mode="drop", unique_indices=True, indices_are_sorted=dense
+        ),
+        prob=vol.prob.at[wpool].set(
+            prob_w, mode="drop", unique_indices=True, indices_are_sorted=dense
+        ),
     )
     return vol, jnp.min(jnp.abs(tsdf_w), axis=-1), skipped
 
@@ -663,15 +681,18 @@ def _fuse_visible_kernel(
     v0 = jnp.min(v_for_min, axis=1).astype(jnp.int32)
     gate = (vis.mask[:, None] & in_img).astype(jnp.float32)
 
+    # same index hints as fuse_visible (see there)
+    dense = cfg.backend == "dense"
     pool = jnp.clip(vis.pool_idx, 0, cfg.num_blocks - 1)
     interpret = jax.default_backend() != "tpu"
-    rgbw_old = vol.rgbw[pool]
+    rgbw_old = vol.rgbw.at[pool].get(indices_are_sorted=dense)
     if stacked.size * 4 <= VMEM_IMG_BYTES:
         # VMEM-resident image + packed RGBW word I/O: one third the
         # payload operands of the unpacked form and no patch DMA
         tsdf_w, rgbw_w, prob_w, minabs_w = fuse_rows_packed(
             stacked, u0, v0, us, vs, z, gate,
-            vol.tsdf[pool], rgbw_old, vol.prob[pool],
+            vol.tsdf.at[pool].get(indices_are_sorted=dense), rgbw_old,
+            vol.prob.at[pool].get(indices_are_sorted=dense),
             truncation=float(cfg.truncation),
             max_depth=float(max_depth),
             max_weight=float(cfg.max_weight),
@@ -684,8 +705,9 @@ def _fuse_visible_kernel(
     else:
         tsdf_w, w_w, prob_w, r_w, g_w, b_w, minabs_w = fuse_rows(
             stacked, u0, v0, us, vs, z, gate,
-            vol.tsdf[pool], (rgbw_old >> 24).astype(jnp.float32),
-            vol.prob[pool],
+            vol.tsdf.at[pool].get(indices_are_sorted=dense),
+            (rgbw_old >> 24).astype(jnp.float32),
+            vol.prob.at[pool].get(indices_are_sorted=dense),
             (rgbw_old & 0xFF).astype(jnp.float32),
             ((rgbw_old >> 8) & 0xFF).astype(jnp.float32),
             ((rgbw_old >> 16) & 0xFF).astype(jnp.float32),
@@ -704,11 +726,18 @@ def _fuse_visible_kernel(
             | (b_w.astype(jnp.uint32) << 16)
             | (w_w.astype(jnp.uint32) << 24)
         )
-    wpool = jnp.where(vis.mask, vis.pool_idx, cfg.num_blocks)
+    pad = cfg.num_blocks + jnp.arange(vis.mask.shape[0], dtype=jnp.int32)
+    wpool = jnp.where(vis.mask, vis.pool_idx, pad)
     vol = vol.replace(
-        tsdf=vol.tsdf.at[wpool].set(tsdf_w, mode="drop"),
-        rgbw=vol.rgbw.at[wpool].set(rgbw_w, mode="drop"),
-        prob=vol.prob.at[wpool].set(prob_w, mode="drop"),
+        tsdf=vol.tsdf.at[wpool].set(
+            tsdf_w, mode="drop", unique_indices=True, indices_are_sorted=dense
+        ),
+        rgbw=vol.rgbw.at[wpool].set(
+            rgbw_w, mode="drop", unique_indices=True, indices_are_sorted=dense
+        ),
+        prob=vol.prob.at[wpool].set(
+            prob_w, mode="drop", unique_indices=True, indices_are_sorted=dense
+        ),
     )
     return vol, minabs_w[:, 0], jnp.zeros((), jnp.int32)
 
