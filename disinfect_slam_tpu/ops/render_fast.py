@@ -54,9 +54,14 @@ def _surf_visible(vol, cam, cam_T_world, band: float, cap: int) -> VisibleSet:
     """
     cfg = vol.cfg
     vis = gather_visible(vol, cam, cam_T_world)
+    # dense-backend pool indices are ascending after compaction (see
+    # ops/integrate.py fuse_visible) — promise it to the gather emitter
+    dense = cfg.backend == "dense"
     pool = jnp.clip(vis.pool_idx, 0, cfg.num_blocks - 1)
     band_tsdf = band * cfg.voxel_size / cfg.truncation
-    minabs = jnp.min(jnp.abs(vol.tsdf[pool]), axis=-1)
+    minabs = jnp.min(
+        jnp.abs(vol.tsdf.at[pool].get(indices_are_sorted=dense)), axis=-1
+    )
     has = vis.mask & (minabs < band_tsdf)
     cap = min(cap, cfg.max_visible)
     order = jnp.argsort(jnp.where(has, 0, 1), stable=True)[:cap]
@@ -106,8 +111,10 @@ def _project_for_splat(vol, cam, cam_T_world, max_depth, band, surf_cap=None):
     v = vx.round_half_away(pih[..., 1] / z).astype(jnp.int32)
     in_img = (u >= 0) & (u < wid) & (v >= 0) & (v < hgt) & (z > 0) & (z <= max_depth)
 
+    # the stable argsort in _surf_visible preserves ascending pool order,
+    # so the sorted promise holds for both vis sources on dense
     pool = jnp.clip(vis.pool_idx, 0, cfg.num_blocks - 1)
-    tsdf = vol.tsdf[pool]
+    tsdf = vol.tsdf.at[pool].get(indices_are_sorted=cfg.backend == "dense")
 
     # surface band: within ~`band` voxels of the zero crossing.  No
     # weight gate: the reference's fusion rounds weight to 0 for depths
@@ -181,9 +188,11 @@ def splat_render(
     # pass 2: winners scatter packed payload; ties broken by max packed
     # value (deterministic)
     won = (pix < n_pix) & (depth_q == zbuf[jnp.clip(pix, 0, n_pix - 1)])
+    dense = cfg.backend == "dense"
     packed = jnp.tile(
         pack_payload_rgbw(
-            vol.rgbw[pool].reshape(-1), vol.prob[pool].reshape(-1)
+            vol.rgbw.at[pool].get(indices_are_sorted=dense).reshape(-1),
+            vol.prob.at[pool].get(indices_are_sorted=dense).reshape(-1),
         ), 4
     )
     wpix = jnp.where(won, pix, n_pix)
