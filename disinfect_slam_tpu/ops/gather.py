@@ -54,10 +54,15 @@ def _download(vol: TSDFVolume, vis: VisibleSet) -> SpatialTSDF:
     pos_grid = vx.block_to_point(vis.block_pos, cfg)[:, None, :] + offs[None, :, :]
     pos_world = pos_grid.astype(jnp.float32) * cfg.voxel_size
 
+    # dense-backend pool indices are ascending after compaction (see
+    # ops/integrate.py fuse_visible)
+    dense = cfg.backend == "dense"
     pool = jnp.clip(vis.pool_idx, 0, cfg.num_blocks - 1)
-    tsdf = vol.tsdf[pool]
-    weight = (vol.rgbw[pool] >> 24).astype(jnp.float32)
-    prob = vol.prob[pool]
+    tsdf = vol.tsdf.at[pool].get(indices_are_sorted=dense)
+    weight = (vol.rgbw.at[pool].get(indices_are_sorted=dense) >> 24).astype(
+        jnp.float32
+    )
+    prob = vol.prob.at[pool].get(indices_are_sorted=dense)
     mask = jnp.broadcast_to(vis.mask[:, None], tsdf.shape)
     return SpatialTSDF(
         position=pos_world.reshape(-1, 3),
