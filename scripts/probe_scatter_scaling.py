@@ -58,8 +58,14 @@ def timeit(fn, *args, iters=20, label=""):
 
 def main():
     print(f"platform={jax.devices()[0].platform}", flush=True)
-    rows = jnp.asarray(np.random.randint(0, 1 << 16, size=(U,)), jnp.int32)
+    # genuinely unique rows (unique_indices=True with real duplicates
+    # would be UB and mis-measure)
+    rows = jnp.asarray(
+        np.random.choice(1 << 16, size=U, replace=False), jnp.int32
+    )
     upd = jnp.asarray(np.random.rand(U, V), jnp.float32)
+
+    rows_sorted = jnp.sort(rows)
 
     print(f"-- single donated row-scatter, {U} rows of {V} f32 --", flush=True)
     for log2 in (16, 17, 18):
@@ -69,14 +75,25 @@ def main():
         def mk(n=n):
             return jnp.zeros((n, V), jnp.float32)
 
-        pool = mk()
-
         def scat(p, r, u):
             # chain: derive the update from the pool so iterations serialize
             return p.at[r].set(u + p[0, 0], mode="drop")
 
-        f = jax.jit(scat, donate_argnums=0)
-        timeit(f, pool, rows, upd, label=f"N=2^{log2} scatter")
+        def scat_unique(p, r, u):
+            return p.at[r].set(u + p[0, 0], mode="drop", unique_indices=True)
+
+        def scat_hinted(p, r, u):
+            return p.at[r].set(
+                u + p[0, 0], mode="drop", unique_indices=True,
+                indices_are_sorted=True,
+            )
+
+        timeit(jax.jit(scat, donate_argnums=0), mk(), rows, upd,
+               label=f"N=2^{log2} scatter (no hints)")
+        timeit(jax.jit(scat_unique, donate_argnums=0), mk(), rows, upd,
+               label=f"N=2^{log2} scatter (unique)")
+        timeit(jax.jit(scat_hinted, donate_argnums=0), mk(), rows_sorted, upd,
+               label=f"N=2^{log2} scatter (unique+sorted)")
 
     print(f"-- payload pattern: reset-scatter + row-gather + fuse-scatter "
           f"on 3 arrays (tsdf f32 / rgbw u32 / prob f32) --", flush=True)
