@@ -267,3 +267,41 @@ def test_alloc_tile_compaction_matches_sort_path():
     assert w2 * h2 * 2 >= (1 << 17)
     assert outs["sort"].shape == outs["filter"].shape
     np.testing.assert_array_equal(outs["sort"], outs["filter"])
+
+
+@BOTH
+def test_visible_pool_indices_sorted_unique_invariant(cfg):
+    """The fuse/splat/export gathers promise indices_are_sorted (dense)
+    and the payload scatters promise unique_indices to XLA — wrong
+    results on TPU if the compaction ever stops delivering ascending
+    (dense) / collision-free pool rows.  Pin the precondition here.
+
+    Dense backend: entry i <-> pool slot i and compact_mask preserves
+    entry order, so live pool_idx must be strictly increasing.  Both
+    backends: live pool_idx must be duplicate-free."""
+    from disinfect_slam_tpu.ops.integrate import gather_visible
+    from disinfect_slam_tpu.ops.render_fast import _surf_visible
+
+    pose_np = look_at((0.013, -0.027, -1.5), (0.013, -0.021, 1.007))
+    depth = render_sphere(
+        W, H, K, pose_np, center=(0.013, -0.021, 1.007), radius=0.613
+    ).astype(np.float32)
+    frame = make_frame(depth)
+    intr = CameraIntrinsics.create(*K)
+    cam = CameraParams.create(intr, H, W)
+    pose = SE3.from_matrix(pose_np)
+    vol = TSDFVolume.create(cfg)
+    for _ in range(2):
+        vol = integrate(vol, frame, cam, pose, MAX_DEPTH)
+
+    def check(vis, where):
+        mask = np.asarray(vis.mask)
+        pool = np.asarray(vis.pool_idx)[mask]
+        assert len(pool) > 4, f"{where}: degenerate visible set"
+        assert len(np.unique(pool)) == len(pool), f"{where}: duplicate pool rows"
+        if cfg.backend == "dense":
+            assert np.all(np.diff(pool) > 0), f"{where}: not ascending"
+
+    check(gather_visible(vol, cam, pose), "gather_visible")
+    vis_surf, _ = _surf_visible(vol, cam, pose, band=1.0, cap=256)
+    check(vis_surf, "_surf_visible")
