@@ -119,6 +119,15 @@ class TSDFConfig:
     # (225-229 ms) — the mip build + extra gate costs more than the
     # skipped fusion work in closed indoor scenes.
     alloc_dedup: str = "filter"
+    # Pass indices_are_sorted/unique_indices promises to XLA on the hot
+    # payload row gathers/scatters (ops/integrate.py, ops/render_fast.py,
+    # ops/gather.py).  The promises provably hold (dense pool indices are
+    # ascending through compaction; scatter padding uses distinct OOB
+    # values — pinned by test_visible_pool_indices_sorted_unique_invariant),
+    # so this is semantics-free; the flag exists for hardware A/B and as
+    # a kill switch if a backend miscompiles the hinted emitters
+    # (scripts/tpu_verify.py cross-checks on/off bit-exact on TPU).
+    index_hints: bool = True
     # NOTE (r3): the former `visible_buckets` host-side bucketing is
     # gone — the sample/fuse kernels now take the live visible count as
     # a scalar and skip tiles past it (count early-exit), which scales

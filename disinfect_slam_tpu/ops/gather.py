@@ -56,7 +56,7 @@ def _download(vol: TSDFVolume, vis: VisibleSet) -> SpatialTSDF:
 
     # dense-backend pool indices are ascending after compaction (see
     # ops/integrate.py fuse_visible)
-    dense = cfg.backend == "dense"
+    dense = cfg.backend == "dense" and cfg.index_hints
     pool = jnp.clip(vis.pool_idx, 0, cfg.num_blocks - 1)
     tsdf = vol.tsdf.at[pool].get(indices_are_sorted=dense)
     weight = (vol.rgbw.at[pool].get(indices_are_sorted=dense) >> 24).astype(

@@ -172,15 +172,17 @@ def _insert_dense(
     )
     v = cfg.block_volume
     tsdf = vol.tsdf.at[compact].set(
-        jnp.full((w, v), RESET_TSDF, jnp.float32), mode="drop", unique_indices=True
+        jnp.full((w, v), RESET_TSDF, jnp.float32), mode="drop",
+        unique_indices=cfg.index_hints
     )
     # zero the whole packed rgbw word (weight=0 AND rgb=0; see
     # core/state.py on the stale-rgb divergence from voxel_mem.cu:43-51)
     rgbw = vol.rgbw.at[compact].set(
-        jnp.zeros((w, v), jnp.uint32), mode="drop", unique_indices=True
+        jnp.zeros((w, v), jnp.uint32), mode="drop", unique_indices=cfg.index_hints
     )
     prob = vol.prob.at[compact].set(
-        jnp.full((w, v), RESET_PROB, jnp.float32), mode="drop", unique_indices=True
+        jnp.full((w, v), RESET_PROB, jnp.float32), mode="drop",
+        unique_indices=cfg.index_hints
     )
 
     vol = vol.replace(

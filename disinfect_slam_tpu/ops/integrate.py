@@ -585,7 +585,7 @@ def fuse_visible(
     # gathers/scatters can promise sorted/unique to XLA's emitters.
     # Padding rows clip to num_blocks-1 (duplicated), so the gather only
     # claims sorted, not unique.
-    dense = cfg.backend == "dense"
+    dense = cfg.backend == "dense" and cfg.index_hints
     pool = jnp.clip(vis.pool_idx, 0, cfg.num_blocks - 1)  # [V]
     tsdf_old = vol.tsdf.at[pool].get(indices_are_sorted=dense)  # [V, 512]
     # ONE packed gather for color+weight (VoxelRGBW word); unpack with
@@ -647,13 +647,13 @@ def fuse_visible(
     wpool = jnp.where(vis.mask, vis.pool_idx, pad)
     vol = vol.replace(
         tsdf=vol.tsdf.at[wpool].set(
-            tsdf_w, mode="drop", unique_indices=True, indices_are_sorted=dense
+            tsdf_w, mode="drop", unique_indices=cfg.index_hints, indices_are_sorted=dense
         ),
         rgbw=vol.rgbw.at[wpool].set(
-            rgbw_w, mode="drop", unique_indices=True, indices_are_sorted=dense
+            rgbw_w, mode="drop", unique_indices=cfg.index_hints, indices_are_sorted=dense
         ),
         prob=vol.prob.at[wpool].set(
-            prob_w, mode="drop", unique_indices=True, indices_are_sorted=dense
+            prob_w, mode="drop", unique_indices=cfg.index_hints, indices_are_sorted=dense
         ),
     )
     return vol, jnp.min(jnp.abs(tsdf_w), axis=-1), skipped
@@ -682,7 +682,7 @@ def _fuse_visible_kernel(
     gate = (vis.mask[:, None] & in_img).astype(jnp.float32)
 
     # same index hints as fuse_visible (see there)
-    dense = cfg.backend == "dense"
+    dense = cfg.backend == "dense" and cfg.index_hints
     pool = jnp.clip(vis.pool_idx, 0, cfg.num_blocks - 1)
     interpret = jax.default_backend() != "tpu"
     rgbw_old = vol.rgbw.at[pool].get(indices_are_sorted=dense)
@@ -730,13 +730,13 @@ def _fuse_visible_kernel(
     wpool = jnp.where(vis.mask, vis.pool_idx, pad)
     vol = vol.replace(
         tsdf=vol.tsdf.at[wpool].set(
-            tsdf_w, mode="drop", unique_indices=True, indices_are_sorted=dense
+            tsdf_w, mode="drop", unique_indices=cfg.index_hints, indices_are_sorted=dense
         ),
         rgbw=vol.rgbw.at[wpool].set(
-            rgbw_w, mode="drop", unique_indices=True, indices_are_sorted=dense
+            rgbw_w, mode="drop", unique_indices=cfg.index_hints, indices_are_sorted=dense
         ),
         prob=vol.prob.at[wpool].set(
-            prob_w, mode="drop", unique_indices=True, indices_are_sorted=dense
+            prob_w, mode="drop", unique_indices=cfg.index_hints, indices_are_sorted=dense
         ),
     )
     return vol, minabs_w[:, 0], jnp.zeros((), jnp.int32)

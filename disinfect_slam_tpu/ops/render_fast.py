@@ -56,7 +56,7 @@ def _surf_visible(vol, cam, cam_T_world, band: float, cap: int) -> VisibleSet:
     vis = gather_visible(vol, cam, cam_T_world)
     # dense-backend pool indices are ascending after compaction (see
     # ops/integrate.py fuse_visible) — promise it to the gather emitter
-    dense = cfg.backend == "dense"
+    dense = cfg.backend == "dense" and cfg.index_hints
     pool = jnp.clip(vis.pool_idx, 0, cfg.num_blocks - 1)
     band_tsdf = band * cfg.voxel_size / cfg.truncation
     minabs = jnp.min(
@@ -114,7 +114,9 @@ def _project_for_splat(vol, cam, cam_T_world, max_depth, band, surf_cap=None):
     # the stable argsort in _surf_visible preserves ascending pool order,
     # so the sorted promise holds for both vis sources on dense
     pool = jnp.clip(vis.pool_idx, 0, cfg.num_blocks - 1)
-    tsdf = vol.tsdf.at[pool].get(indices_are_sorted=cfg.backend == "dense")
+    tsdf = vol.tsdf.at[pool].get(
+        indices_are_sorted=cfg.backend == "dense" and cfg.index_hints
+    )
 
     # surface band: within ~`band` voxels of the zero crossing.  No
     # weight gate: the reference's fusion rounds weight to 0 for depths
@@ -188,7 +190,7 @@ def splat_render(
     # pass 2: winners scatter packed payload; ties broken by max packed
     # value (deterministic)
     won = (pix < n_pix) & (depth_q == zbuf[jnp.clip(pix, 0, n_pix - 1)])
-    dense = cfg.backend == "dense"
+    dense = cfg.backend == "dense" and cfg.index_hints
     packed = jnp.tile(
         pack_payload_rgbw(
             vol.rgbw.at[pool].get(indices_are_sorted=dense).reshape(-1),

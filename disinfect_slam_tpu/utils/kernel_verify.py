@@ -82,7 +82,7 @@ def verify_count_exit(seed: int = 1) -> Tuple[bool, float, str]:
     return err == 0.0, err, "live rows must match bit-exactly"
 
 
-def _small_scene_step(sampler: str, splits: int = 3):
+def _small_scene_step(sampler: str, splits: int = 3, index_hints: bool = True):
     """One integrate step on a small synthetic scene under `sampler`."""
     import jax
     import jax.numpy as jnp
@@ -102,7 +102,7 @@ def _small_scene_step(sampler: str, splits: int = 3):
         voxel_size=0.008, truncation=0.048,
         num_blocks_log2=12, max_candidates=8192, max_visible=2048,
         max_new_per_round=2048, backend="dense", grid_log2=6,
-        sampler=sampler, sampler_splits=splits,
+        sampler=sampler, sampler_splits=splits, index_hints=index_hints,
     )
     rng = np.random.default_rng(7)
     depth = (2.0 + 0.8 * rng.random((h, w))).astype(np.float32)
@@ -147,6 +147,24 @@ def verify_integrate_parity(splits: int = 3) -> Tuple[bool, float, str]:
         return ok, max(terr, perr, float(rerr), float(werr)), "bit-exact"
     ok = terr < 1e-4 and werr == 0 and rerr <= 1 and perr < 1e-4
     return ok, max(terr, perr), "tolerance mode"
+
+
+def verify_index_hints() -> Tuple[bool, float, str]:
+    """integrate with indices_are_sorted/unique_indices promises vs
+    without: the promises provably hold (see TSDFConfig.index_hints), so
+    any divergence means this backend's hinted gather/scatter emitters
+    miscompile and the flag must be turned off."""
+    a = _small_scene_step("gather", index_hints=True)
+    b = _small_scene_step("gather", index_hints=False)
+    terr = float(np.abs(np.asarray(a.tsdf) - np.asarray(b.tsdf)).max())
+    rerr = int(
+        np.abs(
+            np.asarray(a.rgbw, np.int64) - np.asarray(b.rgbw, np.int64)
+        ).max()
+    )
+    perr = float(np.abs(np.asarray(a.prob) - np.asarray(b.prob)).max())
+    ok = terr == 0.0 and rerr == 0 and perr == 0.0
+    return ok, max(terr, float(rerr), perr), "hints on/off bit-exact"
 
 
 def verify_fused_kernel() -> Tuple[bool, float, str]:
@@ -194,6 +212,7 @@ def verify_splat() -> Tuple[bool, float, str]:
 CHECKS: List[Tuple[str, Callable[[], Tuple[bool, float, str]]]] = [
     ("sample_kernel splits=3 (bit-exact)", lambda: verify_sample_kernel(splits=3)),
     ("sample_kernel splits=2 (tolerance)", lambda: verify_sample_kernel(splits=2)),
+    ("index_hints on/off (bit-exact)", verify_index_hints),
     # 1920x1080 exceeds the whole-image-in-VMEM threshold, forcing the
     # double-buffered patch-DMA path (the reference's max frame size,
     # voxel_tsdf.cu:10-12) — without this the DMA path has zero
