@@ -18,6 +18,9 @@ timeout 900 python scripts/tpu_verify.py || { echo "VERIFY FAILED"; exit 1; }
 echo "--- [2/6] scatter scaling probe (capacity-overhead suspect) ---"
 timeout 1800 python scripts/probe_scatter_scaling.py
 
+echo "--- [2b/6] index-hints x capacity A/B (full integrate) ---"
+timeout 2400 python scripts/ab_index_hints.py
+
 echo "--- [3/6] stage budget @ 2^17 ---"
 timeout 1800 python scripts/profile_r3.py 17
 
