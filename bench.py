@@ -216,6 +216,24 @@ def main():
 
             cfg = dataclasses.replace(cfg, sampler="gather")
 
+    # same for the sorted/unique gather-scatter promises: a backend
+    # miscompiling the hinted emitters would corrupt BOTH sampler paths
+    # identically, so cross-check hints on/off and fall back to the
+    # unhinted emitters if they ever disagree (fail-open, like above)
+    if on_accel and cfg.index_hints:
+        try:
+            from disinfect_slam_tpu.utils.kernel_verify import verify_index_hints
+
+            hok, herr, hdet = verify_index_hints()
+        except Exception as e:  # pragma: no cover
+            hok, herr, hdet = False, float("nan"), f"EXCEPTION: {e}"
+        if not hok:
+            print(f"[bench] index-hints check failed: err={herr} ({hdet}); "
+                  "disabling hints", file=sys.stderr)
+            import dataclasses
+
+            cfg = dataclasses.replace(cfg, index_hints=False)
+
     intr = CameraIntrinsics.create(*K)
     cam = CameraParams.create(intr, h, w)
     # pose conversion happens INSIDE the jit: per-frame host work must be
