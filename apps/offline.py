@@ -54,6 +54,10 @@ def main():
                     help="dense backend: 2^L blocks per axis of coverage "
                          "(window extent = 2^L * 8 * voxel metres); 0 = "
                          "preset default")
+    ap.add_argument("--scatter-window", type=int, default=0, metavar="L",
+                    help="route fuse payload write-backs through a 2^L-row "
+                         "window around the live pool rows (bounded scatter "
+                         "operand; 0 = plain full-pool scatter)")
     ap.add_argument("--auto-recenter", action="store_true",
                     help="dense backend: move the coverage window to "
                          "follow the camera when it nears the grid edge "
@@ -153,6 +157,12 @@ def main():
         import dataclasses
 
         cfg = dataclasses.replace(cfg or TSDFConfig(), grid_log2=args.grid_log2)
+    if args.scatter_window:
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg or TSDFConfig(), scatter_window_log2=args.scatter_window
+        )
     if args.devices:
         _run_distributed(args, replay, intrinsics, cfg)
         return

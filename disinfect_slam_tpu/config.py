@@ -128,6 +128,18 @@ class TSDFConfig:
     # a kill switch if a backend miscompiles the hinted emitters
     # (scripts/tpu_verify.py cross-checks on/off bit-exact on TPU).
     index_hints: bool = True
+    # Windowed fuse scatter: route the three per-frame payload
+    # write-backs through a 2^k-row window sliced around the (ascending)
+    # live pool rows — scatter operand becomes O(window), independent of
+    # pool capacity, at the cost of one dynamic_slice +
+    # dynamic_update_slice round trip per array (~2*W*2 KB of extra HBM
+    # traffic each).  Candidate fix for the measured 2^17->2^18
+    # capacity overhead (PROGRESS.md): if the TPU scatter emitter does
+    # an O(operand) pass, bounding the operand erases it.  Dense
+    # backend only (needs the sorted-live-prefix invariant); falls back
+    # to the plain full-pool scatter in-program (lax.cond) when the
+    # live row span exceeds the window.  0 = off.
+    scatter_window_log2: int = 0
     # NOTE (r3): the former `visible_buckets` host-side bucketing is
     # gone — the sample/fuse kernels now take the live visible count as
     # a scalar and skip tiles past it (count early-exit), which scales

@@ -37,6 +37,7 @@ from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from ..config import TSDFConfig
 from ..core import voxel as vx
@@ -637,26 +638,83 @@ def fuse_visible(
     )
     rgbw_w = jnp.where(update, rgbw_upd, rgbw_old)
 
-    # scatter rows back (padded rows drop via OOB index).  Padding gets
-    # DISTINCT out-of-bounds indices (num_blocks + position) so the
-    # whole index vector is genuinely unique — and, on the dense
-    # backend, ascending — letting the scatter emitter skip its
-    # collision handling.  Live rows: vis.pool_idx < num_blocks;
-    # padding: >= num_blocks, ascending by position, all dropped.
+    vol = _scatter_payload_rows(vol, vis, tsdf_w, rgbw_w, prob_w)
+    return vol, jnp.min(jnp.abs(tsdf_w), axis=-1), skipped
+
+
+def _scatter_payload_rows(
+    vol: TSDFVolume,
+    vis: VisibleSet,
+    tsdf_w: jnp.ndarray,
+    rgbw_w: jnp.ndarray,
+    prob_w: jnp.ndarray,
+) -> TSDFVolume:
+    """Write fused payload rows back to the pool.
+
+    Padded rows drop via OOB index: padding gets DISTINCT out-of-bounds
+    indices (num_blocks + position) so the whole index vector is
+    genuinely unique — and, on the dense backend, ascending (live rows
+    are the compacted ascending prefix, pinned by
+    test_visible_pool_indices_sorted_unique_invariant) — letting the
+    scatter emitter skip its collision handling.
+
+    cfg.scatter_window_log2 > 0 (dense backend): route the scatters
+    through a 2^k-row window around the live rows so the scatter operand
+    is O(window) instead of O(pool) — see the config field's rationale.
+    Falls back to the plain full-pool scatter in-program when the live
+    span exceeds the window (fail-open, bit-identical either way).
+    """
+    cfg = vol.cfg
+    vcap = vis.mask.shape[0]
+    dense = cfg.backend == "dense" and cfg.index_hints
     pad = cfg.num_blocks + jnp.arange(vcap, dtype=jnp.int32)
     wpool = jnp.where(vis.mask, vis.pool_idx, pad)
-    vol = vol.replace(
-        tsdf=vol.tsdf.at[wpool].set(
-            tsdf_w, mode="drop", unique_indices=cfg.index_hints, indices_are_sorted=dense
-        ),
-        rgbw=vol.rgbw.at[wpool].set(
-            rgbw_w, mode="drop", unique_indices=cfg.index_hints, indices_are_sorted=dense
-        ),
-        prob=vol.prob.at[wpool].set(
-            prob_w, mode="drop", unique_indices=cfg.index_hints, indices_are_sorted=dense
-        ),
+
+    def full_set(arr, upd):
+        return arr.at[wpool].set(
+            upd, mode="drop", unique_indices=cfg.index_hints,
+            indices_are_sorted=dense,
+        )
+
+    wlog2 = cfg.scatter_window_log2
+    win = 1 << wlog2
+    if wlog2 <= 0 or cfg.backend != "dense" or win >= cfg.num_blocks:
+        return vol.replace(
+            tsdf=full_set(vol.tsdf, tsdf_w),
+            rgbw=full_set(vol.rgbw, rgbw_w),
+            prob=full_set(vol.prob, prob_w),
+        )
+
+    count = vis.count
+    first = jnp.where(count > 0, wpool[0], 0)
+    last = jnp.where(count > 0, wpool[jnp.maximum(count - 1, 0)], 0)
+    # sublane-aligned window base, clamped so the slice stays in range
+    base = jnp.clip(first & ~7, 0, cfg.num_blocks - win).astype(jnp.int32)
+    fits = (last - base) < win
+    # local indices keep the sorted/unique invariant: live rows map to
+    # [0, win) preserving order; padding maps to win + position (OOB,
+    # ascending, past every live value)
+    lrows = jnp.where(
+        vis.mask, wpool - base, win + jnp.arange(vcap, dtype=jnp.int32)
     )
-    return vol, jnp.min(jnp.abs(tsdf_w), axis=-1), skipped
+    zero = jnp.zeros((), jnp.int32)
+
+    def win_set(arr, upd):
+        w = lax.dynamic_slice(arr, (base, zero), (win, arr.shape[1]))
+        w = w.at[lrows].set(
+            upd, mode="drop", unique_indices=cfg.index_hints,
+            indices_are_sorted=dense,
+        )
+        return lax.dynamic_update_slice(arr, w, (base, zero))
+
+    def windowed(t, c, p):
+        return win_set(vol.tsdf, t), win_set(vol.rgbw, c), win_set(vol.prob, p)
+
+    def fallback(t, c, p):
+        return full_set(vol.tsdf, t), full_set(vol.rgbw, c), full_set(vol.prob, p)
+
+    tsdf, rgbw, prob = lax.cond(fits, windowed, fallback, tsdf_w, rgbw_w, prob_w)
+    return vol.replace(tsdf=tsdf, rgbw=rgbw, prob=prob)
 
 
 def _fuse_visible_kernel(
@@ -726,19 +784,7 @@ def _fuse_visible_kernel(
             | (b_w.astype(jnp.uint32) << 16)
             | (w_w.astype(jnp.uint32) << 24)
         )
-    pad = cfg.num_blocks + jnp.arange(vis.mask.shape[0], dtype=jnp.int32)
-    wpool = jnp.where(vis.mask, vis.pool_idx, pad)
-    vol = vol.replace(
-        tsdf=vol.tsdf.at[wpool].set(
-            tsdf_w, mode="drop", unique_indices=cfg.index_hints, indices_are_sorted=dense
-        ),
-        rgbw=vol.rgbw.at[wpool].set(
-            rgbw_w, mode="drop", unique_indices=cfg.index_hints, indices_are_sorted=dense
-        ),
-        prob=vol.prob.at[wpool].set(
-            prob_w, mode="drop", unique_indices=cfg.index_hints, indices_are_sorted=dense
-        ),
-    )
+    vol = _scatter_payload_rows(vol, vis, tsdf_w, rgbw_w, prob_w)
     return vol, minabs_w[:, 0], jnp.zeros((), jnp.int32)
 
 

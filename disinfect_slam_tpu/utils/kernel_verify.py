@@ -82,7 +82,12 @@ def verify_count_exit(seed: int = 1) -> Tuple[bool, float, str]:
     return err == 0.0, err, "live rows must match bit-exactly"
 
 
-def _small_scene_step(sampler: str, splits: int = 3, index_hints: bool = True):
+def _small_scene_step(
+    sampler: str,
+    splits: int = 3,
+    index_hints: bool = True,
+    scatter_window_log2: int = 0,
+):
     """One integrate step on a small synthetic scene under `sampler`."""
     import jax
     import jax.numpy as jnp
@@ -103,6 +108,7 @@ def _small_scene_step(sampler: str, splits: int = 3, index_hints: bool = True):
         num_blocks_log2=12, max_candidates=8192, max_visible=2048,
         max_new_per_round=2048, backend="dense", grid_log2=6,
         sampler=sampler, sampler_splits=splits, index_hints=index_hints,
+        scatter_window_log2=scatter_window_log2,
     )
     rng = np.random.default_rng(7)
     depth = (2.0 + 0.8 * rng.random((h, w))).astype(np.float32)
@@ -167,6 +173,24 @@ def verify_index_hints() -> Tuple[bool, float, str]:
     return ok, max(terr, float(rerr), perr), "hints on/off bit-exact"
 
 
+def verify_scatter_window() -> Tuple[bool, float, str]:
+    """integrate with the windowed fuse scatter vs the plain full-pool
+    scatter: provably bit-identical (same updates, same drop semantics),
+    so any divergence means the dynamic_slice/scatter/update_slice
+    lowering miscompiles on this backend and the flag must stay off."""
+    a = _small_scene_step("gather", scatter_window_log2=0)
+    b = _small_scene_step("gather", scatter_window_log2=10)
+    terr = float(np.abs(np.asarray(a.tsdf) - np.asarray(b.tsdf)).max())
+    rerr = int(
+        np.abs(
+            np.asarray(a.rgbw, np.int64) - np.asarray(b.rgbw, np.int64)
+        ).max()
+    )
+    perr = float(np.abs(np.asarray(a.prob) - np.asarray(b.prob)).max())
+    ok = terr == 0.0 and rerr == 0 and perr == 0.0
+    return ok, max(terr, float(rerr), perr), "windowed scatter bit-exact"
+
+
 def verify_fused_kernel() -> Tuple[bool, float, str]:
     """Fused sample+math kernel vs the gather path (~1 ulp fma slack;
     rgb may round one step differently on exact .5 boundaries)."""
@@ -213,6 +237,7 @@ CHECKS: List[Tuple[str, Callable[[], Tuple[bool, float, str]]]] = [
     ("sample_kernel splits=3 (bit-exact)", lambda: verify_sample_kernel(splits=3)),
     ("sample_kernel splits=2 (tolerance)", lambda: verify_sample_kernel(splits=2)),
     ("index_hints on/off (bit-exact)", verify_index_hints),
+    ("scatter_window on/off (bit-exact)", verify_scatter_window),
     # 1920x1080 exceeds the whole-image-in-VMEM threshold, forcing the
     # double-buffered patch-DMA path (the reference's max frame size,
     # voxel_tsdf.cu:10-12) — without this the DMA path has zero

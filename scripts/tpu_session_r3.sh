@@ -21,6 +21,9 @@ timeout 1800 python scripts/probe_scatter_scaling.py
 echo "--- [2b/6] index-hints x capacity A/B (full integrate) ---"
 timeout 2400 python scripts/ab_index_hints.py
 
+echo "--- [2c/6] windowed-scatter x capacity A/B (full integrate) ---"
+timeout 2400 python scripts/ab_scatter_window.py
+
 echo "--- [3/6] stage budget @ 2^17 ---"
 timeout 1800 python scripts/profile_r3.py 17
 

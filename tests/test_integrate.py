@@ -305,3 +305,41 @@ def test_visible_pool_indices_sorted_unique_invariant(cfg):
     check(gather_visible(vol, cam, pose), "gather_visible")
     vis_surf, _ = _surf_visible(vol, cam, pose, band=1.0, cap=256)
     check(vis_surf, "_surf_visible")
+
+
+def test_scatter_window_matches_plain():
+    """cfg.scatter_window_log2 routes the fuse payload write-backs
+    through a dynamic window (O(window) scatter operand); the volume
+    must come out voxel-for-voxel identical to the plain full-pool
+    scatter, on BOTH the windowed branch (window covers the live span)
+    and the in-program fallback (window too small -> full scatter)."""
+    from disinfect_slam_tpu.ops.gather import gather_valid
+
+    pose_a = look_at((0.013, -0.027, -1.5), (0.013, -0.021, 1.007))
+    pose_b = look_at((0.35, 0.11, -1.4), (0.013, -0.021, 1.007))
+    depth_a = render_sphere(
+        W, H, K, pose_a, center=(0.013, -0.021, 1.007), radius=0.613
+    ).astype(np.float32)
+    depth_b = render_sphere(
+        W, H, K, pose_b, center=(0.013, -0.021, 1.007), radius=0.613
+    ).astype(np.float32)
+    frames = [(make_frame(depth_a), pose_a), (make_frame(depth_b), pose_b)]
+
+    def volume_rows(wlog2):
+        cfg = dataclasses.replace(CFG_DENSE, scatter_window_log2=wlog2)
+        g = gather_valid(run_ours(frames, cfg))
+        m = np.asarray(g.mask)
+        rows = np.concatenate(
+            [np.asarray(g.position)[m],
+             np.asarray(g.tsdf)[m][:, None],
+             np.asarray(g.weight)[m][:, None],
+             np.asarray(g.prob)[m][:, None]], axis=1)
+        return rows[np.lexsort(rows[:, :3].T[::-1])]
+
+    plain = volume_rows(0)
+    assert plain.shape[0] > 64, "degenerate scene"
+    # windowed branch taken: 2^9 = 512 rows covers every live row of the
+    # 2^10 pool (allocation starts at row 0)
+    np.testing.assert_array_equal(plain, volume_rows(9))
+    # fallback branch taken: a 16-row window cannot cover the live span
+    np.testing.assert_array_equal(plain, volume_rows(4))
