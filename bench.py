@@ -202,6 +202,10 @@ def main():
         sampler_splits=2,
         alloc_stride=2 if on_accel else 1,
         alloc_every=3 if on_accel else 1,
+        # windowed fuse scatter (bounded scatter operand): off until the
+        # TPU A/B (scripts/ab_scatter_window.py) decides; flip here or
+        # via DSTPU_SCATTER_WINDOW=<log2>
+        scatter_window_log2=int(os.environ.get("DSTPU_SCATTER_WINDOW", "0")),
     )
     max_depth = 4.0
 
@@ -233,6 +237,24 @@ def main():
             import dataclasses
 
             cfg = dataclasses.replace(cfg, index_hints=False)
+
+    # windowed-scatter path: cross-check on hardware before trusting it
+    # for the headline (fail-open back to the plain full-pool scatter)
+    if on_accel and cfg.scatter_window_log2 > 0:
+        try:
+            from disinfect_slam_tpu.utils.kernel_verify import (
+                verify_scatter_window,
+            )
+
+            sok, serr, sdet = verify_scatter_window()
+        except Exception as e:  # pragma: no cover
+            sok, serr, sdet = False, float("nan"), f"EXCEPTION: {e}"
+        if not sok:
+            print(f"[bench] scatter-window check failed: err={serr} ({sdet}); "
+                  "using the plain scatter", file=sys.stderr)
+            import dataclasses
+
+            cfg = dataclasses.replace(cfg, scatter_window_log2=0)
 
     intr = CameraIntrinsics.create(*K)
     cam = CameraParams.create(intr, h, w)
