@@ -63,6 +63,11 @@ def main():
                          "follow the camera when it nears the grid edge "
                          "(TSDFGrid.maybe_recenter) — long corridors map "
                          "fully instead of truncating at +-grid_side/2")
+    ap.add_argument("--spill", action="store_true",
+                    help="with --auto-recenter: spill blocks leaving the "
+                         "coverage window to host RAM and restore them when "
+                         "the window returns (unbounded scenes at bounded "
+                         "HBM; systems/block_streaming.py)")
     ap.add_argument("--prefetch", type=int, default=4, metavar="N",
                     help="decode N frames ahead of the device (0 = "
                          "synchronous reads, the reference's behavior)")
@@ -166,7 +171,7 @@ def main():
     if args.devices:
         _run_distributed(args, replay, intrinsics, cfg)
         return
-    grid = TSDFGrid(args.voxel, args.trunc, cfg=cfg)
+    grid = TSDFGrid(args.voxel, args.trunc, cfg=cfg, host_spill=args.spill)
     timer = StageTimer()
 
     n = 0

@@ -1,0 +1,209 @@
+"""Host-RAM block streaming: spill blocks evicted by dense-window
+recentering to host memory and restore them when the window returns.
+
+The reference RESERVED this mode but never built it — voxel_mem.cuh:76-77
+keeps `offset < 0` for "voxel block on CPU" — and SURVEY.md §5 names host
+offload as the TPU build's spatial working-set scaling axis.  With a
+HostBlockStore attached to TSDFGrid, the production dense backend
+becomes effectively unbounded: HBM holds the active ±grid_side/2 window,
+host RAM holds everything the robot has ever mapped, and revisited areas
+come back voxel-for-voxel instead of refusing from scratch.
+
+Cadence: spill/restore run only inside recenter (a host-coordinated,
+recompiling event — systems/tsdf_grid.py recenter docstring); the
+per-frame fusion hot path is untouched.
+
+Policies:
+  - spill: every live block falling outside the NEW window is pulled to
+    host (coords + tsdf/rgbw/prob rows) before recenter_dense releases
+    its pool row.  A re-spill of the same coordinate overwrites the
+    stored copy (newest wins).
+  - restore: stored blocks inside the (new) window are batch-inserted
+    and their payloads scattered back, then dropped from the store.  A
+    coordinate that is ALREADY live on device wins over the stored copy
+    (the device data is newer); the stale store entry is discarded.
+    Blocks the insert machinery drops (pool exhausted / claim rounds
+    lost) stay in the store for the next recenter — fail-open, like the
+    reference's lock-miss retry (voxel_hash.cu:83-89).
+  - checkpointing: the store is host state; save_npz/load_npz persist it
+    next to the volume checkpoint (ops/checkpoint.py covers only the
+    device volume).
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Dict, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.state import TSDFVolume
+
+logger = logging.getLogger("disinfect_slam_tpu.block_streaming")
+
+_Key = Tuple[int, int, int]
+# payload rows per block: (tsdf f32[V], rgbw u32[V], prob f32[V])
+_Payload = Tuple[np.ndarray, np.ndarray, np.ndarray]
+
+# spill/restore transfers are padded to a multiple of this many rows so
+# the eager gathers/scatters specialize to a bounded set of shapes
+# (every distinct shape is its own compile on a remote-attached chip)
+_PAD_ROWS = 2048
+
+
+def _pad_to(n: int) -> int:
+    return max(_PAD_ROWS, ((n + _PAD_ROWS - 1) // _PAD_ROWS) * _PAD_ROWS)
+
+
+class HostBlockStore:
+    """Dict of spilled blocks, keyed by absolute block coordinate."""
+
+    def __init__(self) -> None:
+        self._store: Dict[_Key, _Payload] = {}
+
+    def __len__(self) -> int:
+        return len(self._store)
+
+    def __contains__(self, key: _Key) -> bool:
+        return tuple(int(x) for x in key) in self._store
+
+    def nbytes(self) -> int:
+        if not self._store:
+            return 0
+        v = next(iter(self._store.values()))
+        per = sum(a.nbytes for a in v) + 3 * 4
+        return per * len(self._store)
+
+    def payload(self, key: _Key) -> _Payload:
+        return self._store[tuple(int(x) for x in key)]
+
+    # ------------------------------------------------------------------
+    def spill_out_of_window(self, vol: TSDFVolume, new_cfg) -> int:
+        """Copy every live block that falls OUTSIDE new_cfg's dense
+        window into the store.  Call BEFORE ops.hash.recenter_dense
+        (which releases those pool rows).  Returns blocks spilled."""
+        from ..ops.hash import table_index
+
+        live = np.asarray(vol.entry_block) >= 0
+        _, in_r = table_index(vol.entry_pos, new_cfg)
+        drop = live & ~np.asarray(in_r)
+        n = int(drop.sum())
+        if n == 0:
+            return 0
+        coords = np.asarray(vol.entry_pos)[drop]
+        rows = np.asarray(vol.entry_block)[drop]
+        # padded device gather (clipped pad rows are discarded below)
+        pad = _pad_to(n)
+        rows_p = np.zeros((pad,), np.int32)
+        rows_p[:n] = rows
+        rj = jnp.asarray(rows_p)
+        tsdf = np.asarray(vol.tsdf[rj])[:n]
+        rgbw = np.asarray(vol.rgbw[rj])[:n]
+        prob = np.asarray(vol.prob[rj])[:n]
+        for i in range(n):
+            self._store[tuple(int(c) for c in coords[i])] = (
+                tsdf[i], rgbw[i], prob[i],
+            )
+        logger.info(
+            "[spill] %d blocks -> host store (%d total, %.1f MB)",
+            n, len(self._store), self.nbytes() / 1e6,
+        )
+        return n
+
+    # ------------------------------------------------------------------
+    def restore_into_window(self, vol: TSDFVolume) -> Tuple[TSDFVolume, int]:
+        """Insert stored blocks that fall inside vol.cfg's window and
+        write their payloads back.  Call AFTER recenter_dense.  Returns
+        (volume, blocks restored)."""
+        from ..ops.hash import insert, lookup, table_index
+
+        cfg = vol.cfg
+        if not self._store:
+            return vol, 0
+        keys = np.array(list(self._store.keys()), np.int32).reshape(-1, 3)
+        _, in_r = table_index(jnp.asarray(keys), cfg)
+        sel = np.asarray(in_r)
+        cand = keys[sel]
+        if cand.shape[0] == 0:
+            return vol, 0
+
+        restored = 0
+        chunk_rows = min(cfg.max_new_per_round, 4096)
+        for lo in range(0, cand.shape[0], chunk_rows):
+            chunk = cand[lo:lo + chunk_rows]
+            m = chunk.shape[0]
+            pad = _pad_to(m)
+            coords_p = np.zeros((pad, 3), np.int32)
+            coords_p[:m] = chunk
+            valid_p = np.zeros((pad,), bool)
+            valid_p[:m] = True
+            cj = jnp.asarray(coords_p)
+
+            before = np.asarray(lookup(vol, cj))[:m]
+            fresh = before < 0  # device data wins over stale store copies
+            vj = jnp.asarray(valid_p & np.pad(fresh, (0, pad - m)))
+            vol, _ = insert(vol, cj, vj)
+            after = np.asarray(lookup(vol, cj))[:m]
+            ok = fresh & (after >= 0)
+
+            n_ok = int(ok.sum())
+            if n_ok:
+                # scatter stored payloads over the freshly-reset rows
+                rows_p = np.full((pad,), cfg.num_blocks, np.int32)
+                t_p = np.zeros((pad, cfg.block_volume), np.float32)
+                c_p = np.zeros((pad, cfg.block_volume), np.uint32)
+                p_p = np.zeros((pad, cfg.block_volume), np.float32)
+                j = 0
+                for i in range(m):
+                    if not ok[i]:
+                        continue
+                    t, c, p = self._store[tuple(int(x) for x in chunk[i])]
+                    rows_p[j] = after[i]
+                    t_p[j], c_p[j], p_p[j] = t, c, p
+                    j += 1
+                rj = jnp.asarray(rows_p)
+                vol = vol.replace(
+                    tsdf=vol.tsdf.at[rj].set(jnp.asarray(t_p), mode="drop"),
+                    rgbw=vol.rgbw.at[rj].set(jnp.asarray(c_p), mode="drop"),
+                    prob=vol.prob.at[rj].set(jnp.asarray(p_p), mode="drop"),
+                )
+            # evict consumed entries: restored blocks AND live-wins
+            # duplicates; insert-dropped blocks stay for the next pass
+            for i in range(m):
+                if ok[i] or not fresh[i]:
+                    self._store.pop(tuple(int(x) for x in chunk[i]), None)
+            restored += n_ok
+
+        kept = int(sel.sum()) - restored
+        logger.info(
+            "[restore] %d blocks <- host store (%d in-window unplaced, "
+            "%d still stored)", restored, kept, len(self._store),
+        )
+        return vol, restored
+
+    # ------------------------------------------------------------------
+    def save_npz(self, path: str) -> None:
+        """Persist the store next to a volume checkpoint."""
+        if self._store:
+            keys = np.array(list(self._store.keys()), np.int32)
+            t = np.stack([v[0] for v in self._store.values()])
+            c = np.stack([v[1] for v in self._store.values()])
+            p = np.stack([v[2] for v in self._store.values()])
+        else:
+            keys = np.zeros((0, 3), np.int32)
+            t = np.zeros((0, 0), np.float32)
+            c = np.zeros((0, 0), np.uint32)
+            p = np.zeros((0, 0), np.float32)
+        np.savez_compressed(path, keys=keys, tsdf=t, rgbw=c, prob=p)
+
+    @classmethod
+    def load_npz(cls, path: str) -> "HostBlockStore":
+        z = np.load(path)
+        store = cls()
+        keys = z["keys"]
+        for i in range(keys.shape[0]):
+            store._store[tuple(int(x) for x in keys[i])] = (
+                z["tsdf"][i], z["rgbw"][i], z["prob"][i],
+            )
+        return store

@@ -38,6 +38,7 @@ class TSDFGrid:
         truncation: float = 0.06,
         cfg: Optional[TSDFConfig] = None,
         device=None,
+        host_spill: bool = False,
     ):
         if cfg is None:
             cfg = TSDFConfig(voxel_size=voxel_size, truncation=truncation)
@@ -84,6 +85,14 @@ class TSDFGrid:
         self._oob_base = 0
         # functional state guard for concurrent host threads
         self._lock = threading.Lock()
+        # host-RAM spill store for blocks evicted by recentering (the
+        # reference's reserved-but-unbuilt CPU streaming mode,
+        # voxel_mem.cuh:76-77) — see systems/block_streaming.py
+        self.spill_store = None
+        if host_spill:
+            from .block_streaming import HostBlockStore
+
+            self.spill_store = HostBlockStore()
 
     # ------------------------------------------------------------------
     @staticmethod
@@ -310,8 +319,15 @@ class TSDFGrid:
         with self._lock:
             if org == (self.cfg.grid_origin or (-(g >> 1),) * 3):
                 return False
+            if self.spill_store is not None:
+                new_cfg = dataclasses.replace(self.cfg, grid_origin=org)
+                self.spill_store.spill_out_of_window(self.volume, new_cfg)
             self.volume = recenter_dense(self.volume, org)
             self.cfg = self.volume.cfg
+            if self.spill_store is not None:
+                self.volume, _ = self.spill_store.restore_into_window(
+                    self.volume
+                )
             # coverage moved: allow the watchdog to warn again, but only
             # about drops AFTER the move (oob_count is cumulative)
             self._warned_oob = False

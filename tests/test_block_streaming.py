@@ -1,0 +1,153 @@
+"""Host-RAM block streaming (systems/block_streaming.py): blocks evicted
+by dense-window recentering spill to a host store and come back
+voxel-for-voxel when the window returns — the reference's
+reserved-but-unbuilt CPU streaming mode (voxel_mem.cuh:76-77)."""
+
+import logging
+
+import numpy as np
+
+from disinfect_slam_tpu.config import TSDFConfig
+from disinfect_slam_tpu.systems.tsdf_grid import TSDFGrid
+
+from .scenes import checker_rgb, look_at, render_wall
+
+W, H = 80, 60
+K = (60.0, 60.0, 39.5, 29.5)
+VOXEL, TRUNC = 0.05, 0.2  # block = 0.4 m
+
+
+def _cfg(**kw):
+    base = dict(
+        voxel_size=VOXEL, truncation=TRUNC,
+        num_blocks_log2=12, max_candidates=8192, max_visible=2048,
+        max_new_per_round=1024, backend="dense", grid_log2=5,
+    )
+    base.update(kw)
+    return TSDFConfig(**base)
+
+
+def _fuse_wall(grid, wall_z=1.5, cam_z=0.0, n=2):
+    rgb = checker_rgb(W, H)
+    pose = look_at((0.0, 0.0, cam_z), (0.0, 0.0, cam_z + 2.0)).astype(
+        np.float32
+    )
+    depth = render_wall(W, H, K, pose, wall_z=wall_z)
+    for _ in range(n):
+        grid.integrate(rgb, depth, None, None, 4.0, K, pose)
+    grid.block_until_ready()
+    return pose
+
+
+def _rows(grid):
+    st = grid.gather_valid()
+    m = np.asarray(st.mask)
+    rows = np.concatenate(
+        [np.asarray(st.position)[m],
+         np.asarray(st.tsdf)[m][:, None],
+         np.asarray(st.weight)[m][:, None],
+         np.asarray(st.prob)[m][:, None]], axis=1)
+    return rows[np.lexsort(rows[:, :3].T[::-1])]
+
+
+def test_spill_restore_roundtrip():
+    """Recenter away (everything spills), recenter back (everything
+    restores): the volume must be voxel-for-voxel what it was."""
+    grid = TSDFGrid(VOXEL, TRUNC, cfg=_cfg(), host_spill=True)
+    _fuse_wall(grid)
+    before = _rows(grid)
+    n_before = grid.num_active_blocks()
+    assert n_before > 8
+
+    # window to z in [1.6, 14.4) m: the wall band around z=1.5 leaves
+    assert grid.recenter((0.0, 0.0, 8.0))
+    assert len(grid.spill_store) > 0
+    spilled = len(grid.spill_store)
+    assert grid.num_active_blocks() == n_before - spilled
+
+    # window back over the origin: everything returns
+    assert grid.recenter((0.0, 0.0, 0.0))
+    assert len(grid.spill_store) == 0
+    assert grid.num_active_blocks() == n_before
+    np.testing.assert_array_equal(before, _rows(grid))
+
+
+def test_corridor_loop_keeps_map_only_with_spill():
+    """Drive out past the window, come back: with host_spill the early
+    corridor is still mapped; without it, recentering forgot it."""
+    def run(host_spill):
+        grid = TSDFGrid(VOXEL, TRUNC, cfg=_cfg(), host_spill=host_spill)
+        # out: camera 0 -> 9 m, then back to 0, recentering as we go;
+        # no new frames once heading back, so the far geometry can only
+        # survive through the store
+        rgb = checker_rgb(W, H)
+        for z in np.arange(0.0, 9.5, 1.0):
+            grid.recenter((0.0, 0.0, float(z)))
+            pose = look_at((0.0, 0.0, z), (0.0, 0.0, z + 2.0)).astype(
+                np.float32
+            )
+            depth = render_wall(W, H, K, pose, wall_z=z + 1.5)
+            grid.integrate(rgb, depth, None, None, 4.0, K, pose)
+        for z in np.arange(9.0, -0.1, -1.0):
+            grid.recenter((0.0, 0.0, float(z)))
+        grid.block_until_ready()
+        # at z=0 the far geometry is off-device either way; drive back
+        # out and see whether it comes back
+        grid.recenter((0.0, 0.0, 9.0))
+        st = grid.gather_valid()
+        m = np.asarray(st.mask)
+        return np.asarray(st.position)[m], np.asarray(st.weight)[m]
+
+    pos_s, w_s = run(True)
+    far_blocks_spill = (pos_s[:, 2] > 8.0).sum()
+    # the z > 8 m geometry left the window on the way back and was
+    # RESTORED from the host store on the final recenter
+    assert far_blocks_spill > 0
+    assert (w_s > 0).any()
+
+    pos_n, _ = run(False)
+    far_blocks_plain = (pos_n[:, 2] > 8.0).sum() if pos_n.size else 0
+    # without the store, recentering released it for good
+    assert far_blocks_plain == 0
+    assert far_blocks_spill > far_blocks_plain
+
+
+def test_restore_live_wins():
+    """A stored block whose coordinate is live on device again must NOT
+    clobber the (newer) device payload; the stale entry is discarded."""
+    grid = TSDFGrid(VOXEL, TRUNC, cfg=_cfg(), host_spill=True)
+    _fuse_wall(grid)
+    before = _rows(grid)
+    live = np.asarray(grid.volume.entry_block) >= 0
+    assert live.any()
+    # block coord of some live entry
+    coord = tuple(int(c) for c in np.asarray(grid.volume.entry_pos)[live][0])
+    v = grid.cfg.block_volume
+    grid.spill_store._store[coord] = (
+        np.full((v,), 0.123, np.float32),
+        np.full((v,), 7, np.uint32),
+        np.full((v,), 0.9, np.float32),
+    )
+    vol, restored = grid.spill_store.restore_into_window(grid.volume)
+    grid.volume = vol
+    assert restored == 0
+    assert len(grid.spill_store) == 0  # stale copy discarded
+    np.testing.assert_array_equal(before, _rows(grid))
+
+
+def test_store_npz_roundtrip(tmp_path):
+    from disinfect_slam_tpu.systems.block_streaming import HostBlockStore
+
+    grid = TSDFGrid(VOXEL, TRUNC, cfg=_cfg(), host_spill=True)
+    _fuse_wall(grid)
+    grid.recenter((0.0, 0.0, 8.0))
+    assert len(grid.spill_store) > 0
+    p = str(tmp_path / "store.npz")
+    grid.spill_store.save_npz(p)
+    loaded = HostBlockStore.load_npz(p)
+    assert len(loaded) == len(grid.spill_store)
+    for k, (t, c, pr) in grid.spill_store._store.items():
+        t2, c2, p2 = loaded.payload(k)
+        np.testing.assert_array_equal(t, t2)
+        np.testing.assert_array_equal(c, c2)
+        np.testing.assert_array_equal(pr, p2)
