@@ -28,6 +28,10 @@ def main():
     ap.add_argument("--auto-recenter", action="store_true",
                     help="dense backend: follow the robot past the "
                          "coverage window edge (TSDFGrid.maybe_recenter)")
+    ap.add_argument("--spill", action="store_true",
+                    help="with --auto-recenter: spill blocks leaving the "
+                         "window to host RAM and restore them on return "
+                         "(systems/block_streaming.py)")
     ap.add_argument("--fx", type=float, default=517.3)
     ap.add_argument("--fy", type=float, default=516.5)
     ap.add_argument("--cx", type=float, default=318.6)
@@ -67,6 +71,7 @@ def main():
         system = DenseSLAM(
             intr, args.height, args.width,
             voxel_size=args.voxel, truncation=args.trunc, max_depth=args.max_depth,
+            host_spill=args.spill,
         )
     else:
         from disinfect_slam_tpu.systems.disinf_system import DISINFSystem
@@ -74,7 +79,7 @@ def main():
         system = DISINFSystem(
             intr, voxel_size=args.voxel, truncation=args.trunc,
             max_depth=args.max_depth, half_scale=False,
-            auto_recenter=args.auto_recenter,
+            auto_recenter=args.auto_recenter, host_spill=args.spill,
         )
 
     svc = ReconstructionService(system, mode=args.mode,

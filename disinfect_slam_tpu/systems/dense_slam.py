@@ -42,6 +42,7 @@ class DenseSLAM:
         cfg: Optional[TSDFConfig] = None,
         max_rmse: float = 0.08,
         splat_impl: str = "auto",
+        host_spill: bool = False,
     ):
         # splat_impl: "xla" scatter z-buffer or "pallas" patch kernel
         # (ops/pallas/splat_kernel.py) for the model depth render --
@@ -68,6 +69,12 @@ class DenseSLAM:
         # memory for long-running services)
         self._ok_flags: list = []
         self._lost_resolved = 0
+        # host-RAM spill store across recenters (systems/block_streaming.py)
+        self.spill_store = None
+        if host_spill:
+            from .block_streaming import HostBlockStore
+
+            self.spill_store = HostBlockStore()
 
         cam = self.cam
         md = self.max_depth
@@ -240,7 +247,14 @@ class DenseSLAM:
         org = recenter_origin_for(cfg, cam_pos)
         if org == (cfg.grid_origin or (-(cfg.grid_side >> 1),) * 3):
             return False
+        if self.spill_store is not None:
+            import dataclasses
+
+            new_cfg = dataclasses.replace(cfg, grid_origin=org)
+            self.spill_store.spill_out_of_window(self.volume, new_cfg)
         self.volume = recenter_dense(self.volume, org)
+        if self.spill_store is not None:
+            self.volume, _ = self.spill_store.restore_into_window(self.volume)
         return True
 
     def _drain_ok_flags(self) -> None:

@@ -43,6 +43,7 @@ class DISINFSystem:
         cfg: Optional[TSDFConfig] = None,
         half_scale: bool = True,
         auto_recenter: bool = False,
+        host_spill: bool = False,
     ):
         self.depth_factor = float(depth_factor)
         self.half_scale = half_scale
@@ -52,7 +53,8 @@ class DISINFSystem:
         self.auto_recenter = auto_recenter
         self.max_depth = float(max_depth)
         self.tsdf = TSDFSystem(
-            voxel_size, truncation, max_depth, intrinsics, extrinsics, cfg=cfg
+            voxel_size, truncation, max_depth, intrinsics, extrinsics,
+            cfg=cfg, host_spill=host_spill,
         )
 
     # ------------------------------------------------------------------

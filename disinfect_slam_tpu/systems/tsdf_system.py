@@ -47,8 +47,10 @@ class TSDFSystem:
         intrinsics: Tuple[float, float, float, float],
         extrinsics: Optional[np.ndarray] = None,
         cfg: Optional[TSDFConfig] = None,
+        host_spill: bool = False,
     ):
-        self.tsdf = TSDFGrid(voxel_size, truncation, cfg=cfg)
+        self.tsdf = TSDFGrid(voxel_size, truncation, cfg=cfg,
+                             host_spill=host_spill)
         self.max_depth = float(max_depth)
         self.intrinsics = tuple(float(x) for x in intrinsics)
         self.cam_T_posecam = (

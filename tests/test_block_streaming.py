@@ -151,3 +151,34 @@ def test_store_npz_roundtrip(tmp_path):
         np.testing.assert_array_equal(t, t2)
         np.testing.assert_array_equal(c, c2)
         np.testing.assert_array_equal(pr, p2)
+
+
+def test_dense_slam_recenter_spills_and_restores():
+    """DenseSLAM(host_spill=True): maybe_recenter routes departing
+    blocks through the store and brings them back when the tracked
+    camera returns."""
+    from disinfect_slam_tpu.systems.dense_slam import DenseSLAM
+
+    cfg = _cfg(grid_log2=4)  # 16 blocks * 0.4 m: +-3.2 m window
+    slam = DenseSLAM(
+        K, H, W, voxel_size=VOXEL, truncation=TRUNC, cfg=cfg,
+        host_spill=True,
+    )
+    rgb = checker_rgb(W, H)
+    pose = look_at((0.0, 0.0, 0.0), (0.0, 0.0, 2.0)).astype(np.float32)
+    depth = render_wall(W, H, K, pose, wall_z=1.5)
+    slam.process_frame(rgb, depth)
+    n0 = int(np.asarray(slam.volume.num_active_blocks))
+    assert n0 > 4
+
+    # teleport the tracked pose far +z: window follows, wall spills
+    slam.world_T_cam = np.array(np.linalg.inv(
+        look_at((0.0, 0.0, 6.0), (0.0, 0.0, 8.0))), np.float32)
+    assert slam.maybe_recenter()
+    assert len(slam.spill_store) > 0
+
+    # and back: the wall restores voxel-for-voxel
+    slam.world_T_cam = np.eye(4, dtype=np.float32)
+    assert slam.maybe_recenter()
+    assert len(slam.spill_store) == 0
+    assert int(np.asarray(slam.volume.num_active_blocks)) == n0
