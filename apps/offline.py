@@ -68,6 +68,12 @@ def main():
                          "coverage window to host RAM and restore them when "
                          "the window returns (unbounded scenes at bounded "
                          "HBM; systems/block_streaming.py)")
+    ap.add_argument("--page-radius", type=float, default=0.0, metavar="M",
+                    help="with --spill: pool-pressure paging at waypoint "
+                         "cadence — evict blocks farther than M metres "
+                         "from the camera when the pool nears exhaustion, "
+                         "restore stored blocks within M on revisit "
+                         "(TSDFGrid.maybe_page)")
     ap.add_argument("--prefetch", type=int, default=4, metavar="N",
                     help="decode N frames ahead of the device (0 = "
                          "synchronous reads, the reference's behavior)")
@@ -198,6 +204,12 @@ def main():
             cam_pos = np.linalg.inv(frame.cam_T_world)[:3, 3]
             if grid.maybe_recenter(cam_pos, max_depth=args.max_depth):
                 print(f"[offline] recentered coverage window at frame {n}")
+        if args.spill and args.page_radius > 0 and n % 10 == 0:
+            cam_pos = np.linalg.inv(frame.cam_T_world)[:3, 3]
+            r, e = grid.maybe_page(cam_pos, radius_m=args.page_radius)
+            if r or e:
+                print(f"[offline] paged at frame {n}: restored {r}, "
+                      f"evicted {e}")
         with timer.span("integrate"):
             grid.integrate(
                 frame.rgb,

@@ -79,20 +79,9 @@ class HostBlockStore:
         return self._store[tuple(int(x) for x in key)]
 
     # ------------------------------------------------------------------
-    def spill_out_of_window(self, vol: TSDFVolume, new_cfg) -> int:
-        """Copy every live block that falls OUTSIDE new_cfg's dense
-        window into the store.  Call BEFORE ops.hash.recenter_dense
-        (which releases those pool rows).  Returns blocks spilled."""
-        from ..ops.hash import table_index
-
-        live = np.asarray(vol.entry_block) >= 0
-        _, in_r = table_index(vol.entry_pos, new_cfg)
-        drop = live & ~np.asarray(in_r)
-        n = int(drop.sum())
-        if n == 0:
-            return 0
-        coords = np.asarray(vol.entry_pos)[drop]
-        rows = np.asarray(vol.entry_block)[drop]
+    def _stash(self, vol: TSDFVolume, coords: np.ndarray, rows: np.ndarray):
+        """Pull payload rows [n] to host and store them under coords."""
+        n = rows.shape[0]
         # padded device gather (clipped pad rows are discarded below)
         pad = _pad_to(n)
         rows_p = np.zeros((pad,), np.int32)
@@ -105,6 +94,22 @@ class HostBlockStore:
             self._store[tuple(int(c) for c in coords[i])] = (
                 tsdf[i], rgbw[i], prob[i],
             )
+
+    def spill_out_of_window(self, vol: TSDFVolume, new_cfg) -> int:
+        """Copy every live block that falls OUTSIDE new_cfg's dense
+        window into the store.  Call BEFORE ops.hash.recenter_dense
+        (which releases those pool rows).  Returns blocks spilled."""
+        from ..ops.hash import table_index
+
+        live = np.asarray(vol.entry_block) >= 0
+        _, in_r = table_index(vol.entry_pos, new_cfg)
+        drop = live & ~np.asarray(in_r)
+        n = int(drop.sum())
+        if n == 0:
+            return 0
+        self._stash(
+            vol, np.asarray(vol.entry_pos)[drop], np.asarray(vol.entry_block)[drop]
+        )
         logger.info(
             "[spill] %d blocks -> host store (%d total, %.1f MB)",
             n, len(self._store), self.nbytes() / 1e6,
@@ -112,19 +117,92 @@ class HostBlockStore:
         return n
 
     # ------------------------------------------------------------------
-    def restore_into_window(self, vol: TSDFVolume) -> Tuple[TSDFVolume, int]:
-        """Insert stored blocks that fall inside vol.cfg's window and
-        write their payloads back.  Call AFTER recenter_dense.  Returns
+    def spill_cold(
+        self,
+        vol: TSDFVolume,
+        cam_pos_m,
+        n_evict: int,
+        keep_radius_m: float = 0.0,
+    ) -> Tuple[TSDFVolume, int]:
+        """Pool-pressure eviction: store + delete the n_evict live blocks
+        FARTHEST from cam_pos_m (never within keep_radius_m unless the
+        pool cannot progress otherwise).  Works on both index backends —
+        the reference's analogue simply stops allocating when the pool
+        exhausts (voxel_mem.cu AquireBlock returns nothing to retry).
+        Returns (volume, blocks evicted)."""
+        from ..ops.hash import delete_entries
+
+        cfg = vol.cfg
+        live = np.asarray(vol.entry_block) >= 0
+        idx = np.nonzero(live)[0]
+        if idx.size == 0 or n_evict <= 0:
+            return vol, 0
+        pos = np.asarray(vol.entry_pos)[idx].astype(np.float64)
+        centers = (pos * cfg.block_len + cfg.block_len / 2.0) * cfg.voxel_size
+        dist = np.linalg.norm(centers - np.asarray(cam_pos_m, np.float64), axis=1)
+        order = np.argsort(-dist)  # farthest first
+        if keep_radius_m > 0.0:
+            far = order[dist[order] > keep_radius_m]
+            pick = far[:n_evict] if far.size >= n_evict else order[:n_evict]
+        else:
+            pick = order[:n_evict]
+        sel = idx[pick]
+        n = sel.shape[0]
+        self._stash(vol, np.asarray(vol.entry_pos)[sel], np.asarray(vol.entry_block)[sel])
+
+        pad = _pad_to(n)
+        eidx = np.full((pad,), -1, np.int32)
+        eidx[:n] = sel
+        vol = delete_entries(
+            vol, jnp.asarray(eidx), jnp.asarray(eidx >= 0)
+        )
+        logger.info(
+            "[spill-cold] evicted %d blocks beyond %.1f m (%d stored, "
+            "%.1f MB)", n, keep_radius_m, len(self._store), self.nbytes() / 1e6,
+        )
+        return vol, n
+
+    # ------------------------------------------------------------------
+    def restore_into_window(
+        self,
+        vol: TSDFVolume,
+        center_m=None,
+        radius_m: float = 0.0,
+        max_restore: int | None = None,
+    ) -> Tuple[TSDFVolume, int]:
+        """Insert stored blocks that fall inside vol.cfg's coverage (the
+        dense window, or the packed-coord range on the hash backend) and
+        write their payloads back.  Call AFTER recenter_dense, or at
+        paging cadence with (center_m, radius_m) to pull back only the
+        blocks near the camera, capped at max_restore.  Returns
         (volume, blocks restored)."""
+        from ..core import voxel as vx
         from ..ops.hash import insert, lookup, table_index
 
         cfg = vol.cfg
         if not self._store:
             return vol, 0
         keys = np.array(list(self._store.keys()), np.int32).reshape(-1, 3)
-        _, in_r = table_index(jnp.asarray(keys), cfg)
+        if cfg.backend == "dense":
+            _, in_r = table_index(jnp.asarray(keys), cfg)
+        else:
+            in_r = vx.in_coord_range(jnp.asarray(keys), cfg)
         sel = np.asarray(in_r)
-        cand = keys[sel]
+        if center_m is not None and radius_m > 0.0:
+            centers = (
+                keys.astype(np.float64) * cfg.block_len + cfg.block_len / 2.0
+            ) * cfg.voxel_size
+            dist = np.linalg.norm(
+                centers - np.asarray(center_m, np.float64), axis=1
+            )
+            sel = sel & (dist <= radius_m)
+            # nearest first, so a max_restore cap keeps the closest
+            order = np.argsort(dist)
+            cand = keys[order][sel[order]]
+        else:
+            cand = keys[sel]
+        if max_restore is not None:
+            cand = cand[:max_restore]
         if cand.shape[0] == 0:
             return vol, 0
 
@@ -175,7 +253,7 @@ class HostBlockStore:
                     self._store.pop(tuple(int(x) for x in chunk[i]), None)
             restored += n_ok
 
-        kept = int(sel.sum()) - restored
+        kept = int(cand.shape[0]) - restored
         logger.info(
             "[restore] %d blocks <- host store (%d in-window unplaced, "
             "%d still stored)", restored, kept, len(self._store),

@@ -361,6 +361,47 @@ class TSDFGrid:
             return False
         return self.recenter(cam_pos_world_m)
 
+    def maybe_page(
+        self,
+        cam_pos_world_m,
+        radius_m: float,
+        min_free_frac: float = 0.05,
+        target_free_frac: float = 0.15,
+    ) -> Tuple[int, int]:
+        """Pool-pressure paging against the host spill store (requires
+        host_spill=True): restore stored blocks within radius_m of the
+        camera while pool room allows, then — if free blocks fall below
+        min_free_frac of the pool — evict the farthest live blocks
+        (beyond radius_m when possible) until target_free_frac is free.
+
+        The reference's pool simply stops allocating when exhausted
+        (voxel_mem.cu AquireBlock); with paging, a bounded pool maps an
+        unbounded drive and revisited areas come back voxel-for-voxel.
+        Reads num_free (a host sync) — call at waypoint cadence, like
+        maybe_recenter.  Returns (restored, evicted)."""
+        if self.spill_store is None:
+            return (0, 0)
+        with self._lock:
+            b = self.cfg.num_blocks
+            free = int(np.asarray(self.volume.num_free))
+            restored = evicted = 0
+            # evict first: after a long drive the pool is full of FAR
+            # blocks, and the near restores need their rows
+            if free < min_free_frac * b:
+                n_evict = int(target_free_frac * b) - free
+                self.volume, evicted = self.spill_store.spill_cold(
+                    self.volume, cam_pos_world_m, n_evict,
+                    keep_radius_m=radius_m,
+                )
+                free = int(np.asarray(self.volume.num_free))
+            room = free - int(min_free_frac * b)
+            if room > 0 and len(self.spill_store):
+                self.volume, restored = self.spill_store.restore_into_window(
+                    self.volume, center_m=cam_pos_world_m,
+                    radius_m=radius_m, max_restore=room,
+                )
+            return (restored, evicted)
+
     def num_active_blocks(self) -> int:
         with self._lock:
             return int(self.volume.num_active_blocks)

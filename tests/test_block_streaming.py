@@ -182,3 +182,72 @@ def test_dense_slam_recenter_spills_and_restores():
     assert slam.maybe_recenter()
     assert len(slam.spill_store) == 0
     assert int(np.asarray(slam.volume.num_active_blocks)) == n0
+
+
+def test_pool_pressure_paging_unbounded_drive():
+    """A 128-block pool cannot hold a long sweep along a persistent
+    wall.  The reference just stops allocating when the pool exhausts;
+    with maybe_page the farthest blocks evict to host RAM, the sweep
+    keeps mapping, and a revisit restores the start voxel-for-voxel."""
+    def cfg_small():
+        return TSDFConfig(
+            voxel_size=VOXEL, truncation=TRUNC,
+            num_buckets_log2=12, num_blocks_log2=7, max_probe=16,
+            max_candidates=4096, max_visible=512, max_new_per_round=128,
+            insert_rounds=4, backend="hash",
+        )
+
+    # camera sweeps +x along a FIXED wall at z=2 (persistent geometry:
+    # mapped patches leave the frustum but are never observed empty, so
+    # carving cannot recycle the pool)
+    xs = np.arange(0.0, 8.5, 1.0)
+
+    def drive(paging):
+        grid = TSDFGrid(VOXEL, TRUNC, cfg=cfg_small(), host_spill=paging)
+        rgb = checker_rgb(W, H)
+        for x in xs:
+            if paging:
+                grid.maybe_page((float(x), 0.0, 0.0), radius_m=3.0)
+            pose = look_at((x, 0.0, 0.0), (x, 0.0, 2.0)).astype(np.float32)
+            depth = render_wall(W, H, K, pose, wall_z=2.0)
+            grid.integrate(rgb, depth, None, None, 4.0, K, pose)
+        grid.block_until_ready()
+        return grid
+
+    plain = drive(False)
+    st = plain.gather_valid()
+    pos = np.asarray(st.position)[np.asarray(st.mask)]
+    # pool exhausted mid-sweep: the far end never allocated
+    assert int(np.asarray(plain.volume.num_free)) == 0
+    plain_max_x = pos[:, 0].max()
+    assert plain_max_x < xs[-1]
+
+    paged = drive(True)
+    st = paged.gather_valid()
+    pos = np.asarray(st.position)[np.asarray(st.mask)]
+    # the far end IS mapped — eviction made room
+    assert pos[:, 0].max() > plain_max_x
+    assert len(paged.spill_store) > 0
+
+    # snapshot what the store holds for the sweep start, then revisit
+    start_keys = [k for k in paged.spill_store._store
+                  if (k[0] * 8 + 4) * VOXEL < 2.0]
+    assert start_keys, "sweep start should be in the store"
+    # restore is nearest-first and row-capped: check the nearest key
+    key = min(start_keys, key=lambda k: sum(((c * 8 + 4) * VOXEL) ** 2
+                                            for c in k))
+    stored_tsdf = paged.spill_store.payload(key)[0].copy()
+    restored, evicted = paged.maybe_page((0.0, 0.0, 0.0), radius_m=3.0)
+    assert restored > 0
+    assert key not in paged.spill_store
+    # the restored block's payload is bit-identical to what was evicted
+    from disinfect_slam_tpu.ops.hash import lookup
+    import jax.numpy as jnp
+
+    row = int(np.asarray(lookup(
+        paged.volume, jnp.asarray(np.array([key], np.int32))
+    ))[0])
+    assert row >= 0
+    np.testing.assert_array_equal(
+        stored_tsdf, np.asarray(paged.volume.tsdf[row])
+    )
