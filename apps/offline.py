@@ -200,16 +200,17 @@ def main():
                     "-- pass --config with the dataset's camera YAML"
                 )
             warned_intr = True
-        if args.auto_recenter:
+        if args.auto_recenter or (args.spill and args.page_radius > 0):
             cam_pos = np.linalg.inv(frame.cam_T_world)[:3, 3]
-            if grid.maybe_recenter(cam_pos, max_depth=args.max_depth):
+            if args.auto_recenter and grid.maybe_recenter(
+                cam_pos, max_depth=args.max_depth
+            ):
                 print(f"[offline] recentered coverage window at frame {n}")
-        if args.spill and args.page_radius > 0 and n % 10 == 0:
-            cam_pos = np.linalg.inv(frame.cam_T_world)[:3, 3]
-            r, e = grid.maybe_page(cam_pos, radius_m=args.page_radius)
-            if r or e:
-                print(f"[offline] paged at frame {n}: restored {r}, "
-                      f"evicted {e}")
+            if args.spill and args.page_radius > 0 and n % 10 == 0:
+                r, e = grid.maybe_page(cam_pos, radius_m=args.page_radius)
+                if r or e:
+                    print(f"[offline] paged at frame {n}: restored {r}, "
+                          f"evicted {e}")
         with timer.span("integrate"):
             grid.integrate(
                 frame.rgb,

@@ -20,11 +20,13 @@ Policies:
     stored copy (newest wins).
   - restore: stored blocks inside the (new) window are batch-inserted
     and their payloads scattered back, then dropped from the store.  A
-    coordinate that is ALREADY live on device wins over the stored copy
-    (the device data is newer); the stale store entry is discarded.
-    Blocks the insert machinery drops (pool exhausted / claim rounds
-    lost) stay in the store for the next recenter — fail-open, like the
-    reference's lock-miss retry (voxel_hash.cu:83-89).
+    coordinate that is ALREADY live on device MERGES: the live row
+    re-fused from a DEFAULT reset after the eviction, so the two rows
+    hold disjoint observations and weight-proportional fusion
+    (_merge_rows) loses neither.  Blocks the insert machinery drops
+    (pool exhausted / claim rounds lost) stay in the store for the next
+    pass — fail-open, like the reference's lock-miss retry
+    (voxel_hash.cu:83-89).
   - checkpointing: the store is host state; save_npz/load_npz persist it
     next to the volume checkpoint (ops/checkpoint.py covers only the
     device volume).
@@ -54,6 +56,67 @@ _PAD_ROWS = 2048
 
 def _pad_to(n: int) -> int:
     return max(_PAD_ROWS, ((n + _PAD_ROWS - 1) // _PAD_ROWS) * _PAD_ROWS)
+
+
+def _merge_rows(t_l, c_l, p_l, t_s, c_s, p_s, max_weight, prob_eps=0.0):
+    """Combine two independently-fused payload rows with the engine's
+    weight-proportional fusion formulas (ops/integrate.py fuse_visible,
+    voxel_tsdf.cu:189-202).
+
+    Used when a restore finds its coordinate live on device again: the
+    live row re-accumulated from a DEFAULT reset *after* the stored row
+    was evicted (the store only holds blocks deleted at stash time), so
+    the two rows fuse disjoint observation sets and merging loses
+    neither — where plain device-wins would silently drop the stored
+    history.  Voxels unobserved in both rows (w==0 each) keep the live
+    bits."""
+    w_l = (c_l >> 24).astype(np.float64)
+    w_s = (c_s >> 24).astype(np.float64)
+    w_c = w_l + w_s
+    w_safe = np.where(w_c == 0, 1.0, w_c)
+
+    def ch(c, sh):
+        return ((c >> sh) & 0xFF).astype(np.float64)
+
+    def rha(x):  # round half away from zero, like the engine
+        return np.where(x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5))
+
+    t = (t_l.astype(np.float64) * w_l + t_s.astype(np.float64) * w_s) / w_safe
+    r = rha((ch(c_l, 0) * w_l + ch(c_s, 0) * w_s) / w_safe)
+    g = rha((ch(c_l, 8) * w_l + ch(c_s, 8) * w_s) / w_safe)
+    b = rha((ch(c_l, 16) * w_l + ch(c_s, 16) * w_s) / w_safe)
+    w = np.minimum(rha(w_c), max_weight)
+
+    # log-odds geometric fusion with the powf(0,0)==1 edge semantics
+    def plog(x, e):
+        with np.errstate(divide="ignore"):
+            lg = np.log(x.astype(np.float64))
+        return np.where(e == 0.0, 0.0, e * lg)
+
+    e_l = w_l / w_safe
+    e_s = w_s / w_safe
+    pos = np.exp(plog(p_l, e_l) + plog(p_s, e_s))
+    neg = np.exp(plog(1.0 - p_l, e_l) + plog(1.0 - p_s, e_s))
+    den = pos + neg
+    p = np.where(den > 0, pos / np.where(den > 0, den, 1.0), p_l)
+    if prob_eps > 0.0:
+        p = np.clip(p, prob_eps, 1.0 - prob_eps)
+
+    word = (
+        r.astype(np.uint32)
+        | (g.astype(np.uint32) << 8)
+        | (b.astype(np.uint32) << 16)
+        | (w.astype(np.uint32) << 24)
+    )
+    # exact shortcuts: a voxel unobserved on one side takes the other
+    # side's bits verbatim (the f64 weighted forms above are only
+    # float-faithful, not bit-faithful, at w=0 edges)
+    t = np.where(w_s == 0, t_l, np.where(w_l == 0, t_s, t))
+    word = np.where(w_s == 0, c_l, np.where(w_l == 0, c_s, word))
+    p = np.where(w_s == 0, p_l, np.where(w_l == 0, p_s, p))
+    return (
+        t.astype(np.float32), word.astype(np.uint32), p.astype(np.float32)
+    )
 
 
 class HostBlockStore:
@@ -142,10 +205,22 @@ class HostBlockStore:
         dist = np.linalg.norm(centers - np.asarray(cam_pos_m, np.float64), axis=1)
         order = np.argsort(-dist)  # farthest first
         if keep_radius_m > 0.0:
+            # NEVER evict inside the keep radius: those blocks may be in
+            # the live frustum (mid-fusion) and evicting them both loses
+            # freshness and churns straight back in through restore.
+            # Under-evicting is safe — allocation stays fail-open.
             far = order[dist[order] > keep_radius_m]
-            pick = far[:n_evict] if far.size >= n_evict else order[:n_evict]
+            if far.size < n_evict:
+                logger.warning(
+                    "[spill-cold] pool pressure inside keep radius: "
+                    "wanted %d evictions, only %d blocks beyond %.1f m",
+                    n_evict, far.size, keep_radius_m,
+                )
+            pick = far[:n_evict]
         else:
             pick = order[:n_evict]
+        if pick.size == 0:
+            return vol, 0
         sel = idx[pick]
         n = sel.shape[0]
         self._stash(vol, np.asarray(vol.entry_pos)[sel], np.asarray(vol.entry_block)[sel])
@@ -219,11 +294,48 @@ class HostBlockStore:
             cj = jnp.asarray(coords_p)
 
             before = np.asarray(lookup(vol, cj))[:m]
-            fresh = before < 0  # device data wins over stale store copies
+            fresh = before < 0
             vj = jnp.asarray(valid_p & np.pad(fresh, (0, pad - m)))
             vol, _ = insert(vol, cj, vj)
             after = np.asarray(lookup(vol, cj))[:m]
             ok = fresh & (after >= 0)
+
+            # coordinates live again on device: the live row re-fused
+            # from a reset AFTER the eviction, so MERGE the stored
+            # history in (weight-proportional, _merge_rows) instead of
+            # discarding either copy
+            conflicts = np.nonzero(~fresh)[0]
+            if conflicts.size:
+                n_c = conflicts.size
+                cpad = _pad_to(n_c)
+                crow = np.full((cpad,), cfg.num_blocks, np.int32)
+                crow[:n_c] = before[conflicts]
+                crj = jnp.asarray(crow)
+                t_l = np.asarray(vol.tsdf[crj])[:n_c]
+                c_l = np.asarray(vol.rgbw[crj])[:n_c]
+                p_l = np.asarray(vol.prob[crj])[:n_c]
+                t_s = np.stack(
+                    [self._store[tuple(int(x) for x in chunk[i])][0]
+                     for i in conflicts])
+                c_s = np.stack(
+                    [self._store[tuple(int(x) for x in chunk[i])][1]
+                     for i in conflicts])
+                p_s = np.stack(
+                    [self._store[tuple(int(x) for x in chunk[i])][2]
+                     for i in conflicts])
+                t_m, c_m, p_m = _merge_rows(
+                    t_l, c_l, p_l, t_s, c_s, p_s,
+                    max_weight=cfg.max_weight, prob_eps=cfg.prob_eps,
+                )
+                t_w = np.zeros((cpad, cfg.block_volume), np.float32)
+                c_w = np.zeros((cpad, cfg.block_volume), np.uint32)
+                p_w = np.zeros((cpad, cfg.block_volume), np.float32)
+                t_w[:n_c], c_w[:n_c], p_w[:n_c] = t_m, c_m, p_m
+                vol = vol.replace(
+                    tsdf=vol.tsdf.at[crj].set(jnp.asarray(t_w), mode="drop"),
+                    rgbw=vol.rgbw.at[crj].set(jnp.asarray(c_w), mode="drop"),
+                    prob=vol.prob.at[crj].set(jnp.asarray(p_w), mode="drop"),
+                )
 
             n_ok = int(ok.sum())
             if n_ok:
@@ -246,12 +358,12 @@ class HostBlockStore:
                     rgbw=vol.rgbw.at[rj].set(jnp.asarray(c_p), mode="drop"),
                     prob=vol.prob.at[rj].set(jnp.asarray(p_p), mode="drop"),
                 )
-            # evict consumed entries: restored blocks AND live-wins
-            # duplicates; insert-dropped blocks stay for the next pass
+            # evict consumed entries: restored blocks AND merged
+            # conflicts; insert-dropped blocks stay for the next pass
             for i in range(m):
                 if ok[i] or not fresh[i]:
                     self._store.pop(tuple(int(x) for x in chunk[i]), None)
-            restored += n_ok
+            restored += n_ok + int(conflicts.size)
 
         kept = int(cand.shape[0]) - restored
         logger.info(

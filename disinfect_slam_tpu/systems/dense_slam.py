@@ -254,7 +254,13 @@ class DenseSLAM:
             self.spill_store.spill_out_of_window(self.volume, new_cfg)
         self.volume = recenter_dense(self.volume, org)
         if self.spill_store is not None:
-            self.volume, _ = self.spill_store.restore_into_window(self.volume)
+            # cap by pool headroom (see TSDFGrid.recenter)
+            free = int(np.asarray(self.volume.num_free))
+            room = max(0, free - int(0.05 * cfg.num_blocks))
+            if room:
+                self.volume, _ = self.spill_store.restore_into_window(
+                    self.volume, max_restore=room
+                )
         return True
 
     def _drain_ok_flags(self) -> None:

@@ -325,9 +325,15 @@ class TSDFGrid:
             self.volume = recenter_dense(self.volume, org)
             self.cfg = self.volume.cfg
             if self.spill_store is not None:
-                self.volume, _ = self.spill_store.restore_into_window(
-                    self.volume
-                )
+                # cap by pool headroom: an uncapped bulk restore after a
+                # long paged drive would re-exhaust the pool and undo
+                # maybe_page's eviction work
+                free = int(np.asarray(self.volume.num_free))
+                room = max(0, free - int(0.05 * self.cfg.num_blocks))
+                if room:
+                    self.volume, _ = self.spill_store.restore_into_window(
+                        self.volume, max_restore=room
+                    )
             # coverage moved: allow the watchdog to warn again, but only
             # about drops AFTER the move (oob_count is cumulative)
             self._warned_oob = False

@@ -6,90 +6,15 @@ the +6-9 ms fixed cost at 2^18 comes from the scatter emitter's
 collision handling, hints-on erases it; if not, the gap survives both
 settings and the trace is the next tool.
 
-Times the chained donated step on the bench orbit at steady state,
-every-frame allocation (matching ab_alloc_every's every=1 row: 34.8 ms
-at 2^18, 28.6 at 2^17 pre-hints).  Run serially on an idle chip.
+Protocol lives in scripts/capacity_ab.py (shared with
+ab_scatter_window).
 """
 import os
 import sys
-import time
 
-sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, os.path.dirname(__file__))
 
-import numpy as np
-import jax
-import jax.numpy as jnp
-
-jax.config.update(
-    "jax_compilation_cache_dir",
-    os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".jax_cache"),
-)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
-
-from bench import make_orbit_frames  # noqa: E402
-from disinfect_slam_tpu.config import TSDFConfig  # noqa: E402
-from disinfect_slam_tpu.core.geometry import SE3, CameraIntrinsics, CameraParams  # noqa: E402
-from disinfect_slam_tpu.core.state import TSDFVolume  # noqa: E402
-from disinfect_slam_tpu.ops import integrate as I  # noqa: E402
-
-W, H = 640, 480
-K = (525.1, 525.3, 319.6, 239.7)
-MAX_DEPTH = 4.0
-ITERS = 15
-
-
-def run(blocks_log2: int, hints: bool) -> float:
-    cfg = TSDFConfig(
-        voxel_size=0.004, truncation=0.024,
-        num_buckets_log2=19, num_blocks_log2=blocks_log2,
-        max_candidates=32768, max_visible=32768,
-        max_new_per_round=8192, max_probe=16,
-        sampler_splits=2, alloc_stride=2, index_hints=hints,
-    )
-    intr = CameraIntrinsics.create(*K)
-    cam = CameraParams.create(intr, H, W)
-    frames = make_orbit_frames(30, W, H, K)
-    step = jax.jit(
-        lambda v, f, m: I.integrate(v, f, cam, SE3.from_matrix(m), MAX_DEPTH),
-        donate_argnums=0,
-    )
-    vol = TSDFVolume.create(cfg)
-    for pose_np, rgb, depth, ht, lt in frames:
-        fr = I.FrameInput(rgb=jnp.asarray(rgb), depth=jnp.asarray(depth),
-                          ht=jnp.asarray(ht), lt=jnp.asarray(lt))
-        vol = step(vol, fr, jnp.asarray(pose_np))
-    jax.block_until_ready(vol.tsdf)
-
-    pose_np, rgb, depth, ht, lt = frames[0]
-    fr = I.FrameInput(rgb=jax.device_put(jnp.asarray(rgb)),
-                      depth=jax.device_put(jnp.asarray(depth)),
-                      ht=jax.device_put(jnp.asarray(ht)),
-                      lt=jax.device_put(jnp.asarray(lt)))
-    pose = jax.device_put(jnp.asarray(pose_np))
-    t0 = time.perf_counter()
-    for _ in range(ITERS):
-        vol = step(vol, fr, pose)
-    jax.block_until_ready(vol.tsdf)
-    ms = (time.perf_counter() - t0) / ITERS * 1e3
-    active = int(vol.num_active_blocks)
-    print(f"  2^{blocks_log2} hints={'on ' if hints else 'off'}: "
-          f"{ms:7.2f} ms/frame  (active {active})", flush=True)
-    return ms
-
-
-def main():
-    print(f"platform={jax.devices()[0].platform}", flush=True)
-    res = {}
-    for log2 in (17, 18):
-        for hints in (False, True):
-            res[(log2, hints)] = run(log2, hints)
-    gap_off = res[(18, False)] - res[(17, False)]
-    gap_on = res[(18, True)] - res[(17, True)]
-    print(f"capacity gap: hints-off {gap_off:+.2f} ms, hints-on {gap_on:+.2f} ms",
-          flush=True)
-    print(f"hints effect at 2^18: {res[(18, True)] - res[(18, False)]:+.2f} ms",
-          flush=True)
-
+from capacity_ab import run_capacity_ab  # noqa: E402
 
 if __name__ == "__main__":
-    main()
+    run_capacity_ab("index_hints", [False, True], labels=["hints=off", "hints=on "])

@@ -3,7 +3,7 @@
 # run the full round-3 measurement session (scripts/tpu_session_r3.sh)
 # followed by a clean (un-profiled) bench.py for the headline JSON.
 # Designed to run under nohup/setsid; writes progress to /tmp/watch_r3.log.
-cd /root/repo
+cd "$(dirname "$0")/.."
 for i in $(seq 1 96); do
   if timeout 300 python -c "
 import bench, sys

@@ -112,15 +112,17 @@ def test_corridor_loop_keeps_map_only_with_spill():
     assert far_blocks_spill > far_blocks_plain
 
 
-def test_restore_live_wins():
-    """A stored block whose coordinate is live on device again must NOT
-    clobber the (newer) device payload; the stale entry is discarded."""
+def test_restore_conflict_merges_not_clobbers():
+    """A stored block whose coordinate is live on device again MERGES
+    weight-proportionally; an unobserved stored copy (w=0) leaves the
+    live payload bit-for-bit untouched."""
     grid = TSDFGrid(VOXEL, TRUNC, cfg=_cfg(), host_spill=True)
     _fuse_wall(grid)
     before = _rows(grid)
     live = np.asarray(grid.volume.entry_block) >= 0
     assert live.any()
-    # block coord of some live entry
+    # block coord of some live entry; stored copy has weight 0 (the
+    # rgbw word's top byte), so the merge must keep live bits verbatim
     coord = tuple(int(c) for c in np.asarray(grid.volume.entry_pos)[live][0])
     v = grid.cfg.block_volume
     grid.spill_store._store[coord] = (
@@ -130,9 +132,42 @@ def test_restore_live_wins():
     )
     vol, restored = grid.spill_store.restore_into_window(grid.volume)
     grid.volume = vol
-    assert restored == 0
-    assert len(grid.spill_store) == 0  # stale copy discarded
+    assert restored == 1  # the conflict was consumed (merged)
+    assert len(grid.spill_store) == 0
     np.testing.assert_array_equal(before, _rows(grid))
+
+
+def test_merge_rows_formulas():
+    """_merge_rows mirrors the engine's weighted fusion: weights add
+    (clamped), tsdf/rgb are weight-proportional, one-sided voxels pass
+    through bit-exact."""
+    from disinfect_slam_tpu.systems.block_streaming import _merge_rows
+
+    def word(r, g, b, w):
+        return np.uint32(r | (g << 8) | (b << 16) | (w << 24))
+
+    t_l = np.array([[0.5, -0.25, 1.0, 0.125]], np.float32)
+    c_l = np.array([[word(100, 50, 200, 4), word(10, 20, 30, 2),
+                     word(0, 0, 0, 0), word(255, 255, 255, 38)]], np.uint32)
+    p_l = np.array([[0.5, 0.25, 0.5, 0.75]], np.float32)
+    t_s = np.array([[-0.5, 0.75, 0.5, 0.375]], np.float32)
+    c_s = np.array([[word(50, 150, 100, 4), word(0, 0, 0, 0),
+                     word(40, 60, 80, 8), word(1, 2, 3, 6)]], np.uint32)
+    p_s = np.array([[0.5, 0.125, 0.25, 0.25]], np.float32)
+
+    t, c, p = _merge_rows(t_l, c_l, p_l, t_s, c_s, p_s, max_weight=40.0)
+    # voxel 0: equal weights -> midpoints; weight 4+4=8
+    assert t[0, 0] == 0.0
+    assert (c[0, 0] >> 24) == 8
+    assert (c[0, 0] & 0xFF) == 75  # (100*4 + 50*4)/8
+    # voxel 1: stored unobserved -> live bits verbatim
+    assert t[0, 1] == t_l[0, 1] and c[0, 1] == c_l[0, 1] and p[0, 1] == p_l[0, 1]
+    # voxel 2: live unobserved -> stored bits verbatim
+    assert t[0, 2] == t_s[0, 2] and c[0, 2] == c_s[0, 2] and p[0, 2] == p_s[0, 2]
+    # voxel 3: weight clamps at max_weight (38+6 -> 40)
+    assert (c[0, 3] >> 24) == 40
+    # prob fuses in log-odds space: equal-weight voxel 0 keeps 0.5
+    assert abs(p[0, 0] - 0.5) < 1e-6
 
 
 def test_store_npz_roundtrip(tmp_path):
