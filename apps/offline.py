@@ -256,7 +256,19 @@ def main():
             cnt = dump_spatial_tsdf(st, args.save)
         print(f"[offline] saved {cnt} voxels to {args.save} "
               f"({timer.mean_ms('gather'):.1f} ms)")
+        if grid.spill_store is not None and len(grid.spill_store):
+            # spilled blocks live in host RAM, not the device volume:
+            # append their records so the dump covers the WHOLE map
+            rec = grid.spill_store.spatial_records(grid.cfg)
+            with open(args.save, "ab") as f:
+                rec.astype("<f4").tofile(f)
+            print(f"[offline] appended {rec.shape[0]} spilled voxels "
+                  f"({len(grid.spill_store)} blocks from the host store)")
 
+    if args.mesh and grid.spill_store is not None and len(grid.spill_store):
+        print(f"[offline] WARNING: --mesh covers the on-device window only; "
+              f"{len(grid.spill_store)} spilled blocks are in the host "
+              "store (page them back in or mesh per-region)")
     if args.mesh:
         from disinfect_slam_tpu.ops.mesh import (
             extract_mesh_chunked,

@@ -373,6 +373,32 @@ class HostBlockStore:
         return vol, restored
 
     # ------------------------------------------------------------------
+    def spatial_records(self, cfg) -> np.ndarray:
+        """[N, 4] (x, y, z, tsdf) world-metre records for every stored
+        voxel, in the VoxelSpatialTSDF dump layout (voxel_types.cuh:33-41,
+        ops/gather.py) — so a --save export can include spilled blocks
+        instead of silently dumping only the on-device window."""
+        if not self._store:
+            return np.zeros((0, 4), np.float32)
+        bl = cfg.block_len
+        idx = np.arange(cfg.block_volume)
+        mask = bl - 1
+        offs = np.stack(
+            [idx & mask, (idx >> cfg.block_len_log2) & mask,
+             (idx >> (2 * cfg.block_len_log2)) & mask], axis=-1
+        )  # same in-block order as core/voxel.py index_to_offset
+        keys = np.array(list(self._store.keys()), np.int64)  # [M, 3]
+        t = np.stack([v[0] for v in self._store.values()])  # [M, V]
+        # f32 cast BEFORE the metre scale, exactly like ops/gather.py
+        # _download (integer grid coords -> f32 -> * voxel_size)
+        pos = (keys[:, None, :] * bl + offs[None, :, :]).astype(
+            np.float32
+        ) * np.float32(cfg.voxel_size)
+        rec = np.concatenate(
+            [pos.reshape(-1, 3), t.reshape(-1, 1)], axis=1
+        )
+        return rec.astype(np.float32)
+
     def save_npz(self, path: str) -> None:
         """Persist the store next to a volume checkpoint."""
         if self._store:

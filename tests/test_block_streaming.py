@@ -286,3 +286,35 @@ def test_pool_pressure_paging_unbounded_drive():
     np.testing.assert_array_equal(
         stored_tsdf, np.asarray(paged.volume.tsdf[row])
     )
+
+
+def test_store_spatial_records_match_device_dump():
+    """spatial_records emits the same (x, y, z, tsdf) rows for spilled
+    blocks as the device dump produced while they were live — so
+    offline --save can append the host store and cover the whole map."""
+    from disinfect_slam_tpu.ops.gather import gather_valid, to_numpy_records
+
+    grid = TSDFGrid(VOXEL, TRUNC, cfg=_cfg(), host_spill=True)
+    _fuse_wall(grid)
+    before = to_numpy_records(gather_valid(grid.volume))
+    n_blocks = grid.num_active_blocks()
+
+    grid.recenter((0.0, 0.0, 8.0))  # spills the low-z part of the band
+    assert 0 < len(grid.spill_store) < n_blocks
+    rec = grid.spill_store.spatial_records(grid.cfg)
+    assert rec.shape[0] == len(grid.spill_store) * grid.cfg.block_volume
+
+    # restrict the pre-spill dump to the rows of spilled blocks
+    blk = np.floor(
+        np.round(before[:, :3] / VOXEL) / grid.cfg.block_len
+    ).astype(int)
+    spilled = np.array(
+        [tuple(b) in grid.spill_store for b in blk]
+    )
+    expect = before[spilled]
+    assert expect.shape == rec.shape
+
+    def sort(a):
+        return a[np.lexsort(a[:, :3].T[::-1])]
+
+    np.testing.assert_array_equal(sort(expect), sort(rec))
