@@ -91,12 +91,20 @@ class ReconstructionService:
             grid = self.system.tsdf.tsdf
             count = grid.num_active_blocks()
             vsz = grid.cfg.voxel_size
-        return {
+        out = {
             "frames": self.frames,
             "active_blocks": count,
             "voxel_size": vsz,
             "mode": self.mode,
         }
+        store = getattr(
+            self.system if self.mode == "slam" else self.system.tsdf.tsdf,
+            "spill_store", None,
+        )
+        if store is not None:
+            out["spilled_blocks"] = len(store)
+            out["spilled_bytes"] = store.nbytes()
+        return out
 
     def query(self, bbox: BoundingCube):
         from ..ops.gather import gather_voxels, to_numpy_records
