@@ -233,3 +233,29 @@ def test_elastic_checkpoint_resharding(tmp_path):
     r8.integrate(more, K, pose_np, MAX_DEPTH)
     src.integrate(more, K, pose_np, MAX_DEPTH)
     np.testing.assert_array_equal(records(r8), records(src))
+
+
+def test_sharded_dense_with_scatter_window_matches_single_chip():
+    """The windowed fuse scatter (scatter_window_log2) composes with
+    shard_map: per-shard visible sets keep the ascending-prefix
+    invariant, so the windowed write-backs must reproduce the plain
+    single-chip volume."""
+    import dataclasses
+
+    from .test_integrate import CFG_DENSE
+
+    cfg = dataclasses.replace(CFG_DENSE, scatter_window_log2=8)
+    mesh = make_mesh(4)
+    dist = DistributedTSDF(cfg, mesh)
+    pose_np = look_at((0.033, -0.041, 0.017), (0.11, 0.07, 2.0131))
+    depth = render_wall(W, H, K, pose_np, wall_z=2.0131)
+    frame = make_frame(depth)
+    dist.integrate(frame, K, pose_np, MAX_DEPTH)
+
+    vol = TSDFVolume.create(CFG_DENSE)  # plain scatter single chip
+    intr = CameraIntrinsics.create(*K)
+    cam = CameraParams.create(intr, H, W)
+    vol = jax.jit(lambda v, f, p: integrate(v, f, cam, p, MAX_DEPTH))(
+        vol, frame, SE3.from_matrix(pose_np)
+    )
+    assert dist.num_active_blocks() == int(vol.num_active_blocks)
