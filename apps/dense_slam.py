@@ -31,6 +31,12 @@ def main():
     ap.add_argument("--max-depth", type=float, default=4.0)
     ap.add_argument("--max-frames", type=int, default=0)
     ap.add_argument("--out-traj", help="write estimated trajectory here")
+    ap.add_argument(
+        "--evaluate",
+        metavar="GT",
+        help="score the estimated trajectory (ATE+RPE) against this "
+        "ground-truth file; 'auto' uses <logdir>/trajectory.txt",
+    )
     ap.add_argument("--mesh")
     ap.add_argument("--save", help="volume checkpoint (.npz)")
     ap.add_argument("--preset", choices=["full", "small"], default="full")
@@ -196,6 +202,33 @@ def main():
     if args.out_traj:
         n = save_matched_trajectory(args.out_traj, poses, sorted(poses))
         print(f"[slam] wrote {n} poses to {args.out_traj}")
+
+    if args.evaluate:
+        import json
+
+        from disinfect_slam_tpu.utils import trajectory_eval as te
+
+        gt_path = (
+            args.evaluate
+            if args.evaluate != "auto"
+            else os.path.join(args.logdir, "trajectory.txt")
+        )
+        ts_gt, gt = te.load_trajectory(gt_path)
+        ok_ids = sorted(fid for fid, p in poses.items() if p is not None)
+        est = np.stack([np.linalg.inv(poses[fid]) for fid in ok_ids])
+        pairs = te.associate(ts_gt, np.array(ok_ids, np.float64), max_dt=0.5)
+        ig = [i for i, _ in pairs]
+        ie = [j for _, j in pairs]
+        rep = {
+            "pairs": len(pairs),
+            "ate": {
+                k: v
+                for k, v in te.ate(gt[ig], est[ie]).items()
+                if k in ("rmse", "mean", "median", "max", "n")
+            },
+            "rpe": te.rpe(gt[ig], est[ie], delta=1),
+        }
+        print(f"[slam] evaluation vs {gt_path}: {json.dumps(rep)}")
 
     if args.mesh:
         from disinfect_slam_tpu.ops.mesh import (

@@ -59,6 +59,15 @@ def test_dense_slam_tracks_orbit():
     res = slam.render()
     assert float(np.asarray(res.hit).mean()) > 0.4
 
+    # absolute trajectory error through the evaluation tool: drift over
+    # the ~22 cm sweep stays within a voxel after rigid alignment
+    from disinfect_slam_tpu.utils.trajectory_eval import ate
+
+    gt_wc = np.stack([np.linalg.inv(p) for p in true_poses])
+    est_wc = np.stack([np.linalg.inv(np.asarray(p)) for p in est_poses])
+    a = ate(gt_wc, est_wc, align=True)
+    assert a["rmse"] < 0.02, a
+
 
 def test_dense_slam_trans_prior_recovers_fast_translation():
     """A lateral jump too large for projective ICP alone converges when
