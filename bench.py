@@ -202,10 +202,17 @@ def main():
         sampler_splits=2,
         alloc_stride=2 if on_accel else 1,
         alloc_every=3 if on_accel else 1,
-        # windowed fuse scatter (bounded scatter operand): off until the
-        # TPU A/B (scripts/ab_scatter_window.py) decides; flip here or
-        # via DSTPU_SCATTER_WINDOW=<log2>
-        scatter_window_log2=int(os.environ.get("DSTPU_SCATTER_WINDOW", "0")),
+        # windowed fuse scatter (bounded scatter operand): the TPU A/B
+        # (scripts/ab_scatter_window.py + the W sweep in PROGRESS.md)
+        # measured the full-pool payload scatters carrying an O(capacity)
+        # cost in the real program (+4.4-8 ms from 2^17 to 2^18) that a
+        # live-row window erases; W=2^15 covers the bench's 32.1k live
+        # rows with ~1/2 the W=2^16 window's fixed cost (-3.2 ms net at
+        # 2^18).  In-program fail-open to the plain scatter when the
+        # live span outgrows the window.  Override: DSTPU_SCATTER_WINDOW.
+        scatter_window_log2=int(
+            os.environ.get("DSTPU_SCATTER_WINDOW", "15" if on_accel else "0")
+        ),
     )
     max_depth = 4.0
 

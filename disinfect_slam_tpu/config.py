@@ -133,9 +133,11 @@ class TSDFConfig:
     # live pool rows — scatter operand becomes O(window), independent of
     # pool capacity, at the cost of one dynamic_slice +
     # dynamic_update_slice round trip per array (~2*W*2 KB of extra HBM
-    # traffic each).  Candidate fix for the measured 2^17->2^18
-    # capacity overhead (PROGRESS.md): if the TPU scatter emitter does
-    # an O(operand) pass, bounding the operand erases it.  Dense
+    # traffic each).  Measured fix for the 2^17->2^18 capacity overhead
+    # (PROGRESS.md): the window erases the capacity scaling completely
+    # (gap -0.01 ms); pick the smallest W covering the live rows so the
+    # window's own fixed cost stays small (W=2^15 nets -3.2 ms at 2^18
+    # where W=2^16's cost is a wash).  Dense
     # backend only (needs the sorted-live-prefix invariant); falls back
     # to the plain full-pool scatter in-program (lax.cond) when the
     # live row span exceeds the window.  0 = off.
