@@ -35,6 +35,7 @@ CFG = TSDFConfig(
     max_candidates=32768, max_visible=32768,
     max_new_per_round=8192, max_probe=16,
     sampler_splits=2, alloc_stride=2,
+    scatter_window_log2=int(os.environ.get("DSTPU_SCATTER_WINDOW", "0")),
 )
 MAX_DEPTH = 4.0
 
