@@ -146,15 +146,6 @@ def _verify_sampler(splits: int, w, h) -> bool:
 def main():
     import jax
 
-    # persistent compile cache: the full-scale integrate program takes
-    # minutes to build via the remote compiler; cache it across runs
-    try:
-        cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
-    except Exception:
-        pass
-
     fallback = False
     if os.environ.get("JAX_PLATFORMS", "") not in ("cpu",) and not _tpu_alive():
         print("[bench] TPU tunnel unreachable; falling back to CPU", file=sys.stderr)
@@ -163,6 +154,15 @@ def main():
             jax.config.update("jax_platforms", "cpu")
         except Exception:
             pass
+
+    # persistent compile cache: the full-scale integrate program takes
+    # minutes to build via the remote compiler; cache it across runs.
+    # Configured AFTER the platform decision: CPU runs get a
+    # machine-fingerprinted directory (stale cross-host CPU AOT entries
+    # produce ulp-divergent codegen — utils/cache.py docstring).
+    from disinfect_slam_tpu.utils import cache as _cache
+
+    _cache.enable(platform_name="cpu" if fallback else None)
 
     import jax.numpy as jnp
 
@@ -209,10 +209,10 @@ def main():
         # live-row window erases; W=2^15 covers the bench's 32.1k live
         # rows with ~1/2 the W=2^16 window's fixed cost (-3.2 ms net at
         # 2^18).  In-program fail-open to the plain scatter when the
-        # live span outgrows the window.  Override: DSTPU_SCATTER_WINDOW.
-        scatter_window_log2=int(
-            os.environ.get("DSTPU_SCATTER_WINDOW", "15" if on_accel else "0")
-        ),
+        # live span outgrows the window.  -1 = auto (resolves to
+        # num_blocks_log2 - 3 = 2^15 here on TPU, off on CPU).
+        # Override: DSTPU_SCATTER_WINDOW.
+        scatter_window_log2=int(os.environ.get("DSTPU_SCATTER_WINDOW", "-1")),
     )
     max_depth = 4.0
 
@@ -247,7 +247,9 @@ def main():
 
     # windowed-scatter path: cross-check on hardware before trusting it
     # for the headline (fail-open back to the plain full-pool scatter)
-    if on_accel and cfg.scatter_window_log2 > 0:
+    from disinfect_slam_tpu.ops.integrate import _auto_scatter_window
+
+    if on_accel and _auto_scatter_window(cfg, on_accel) > 0:
         try:
             from disinfect_slam_tpu.utils.kernel_verify import (
                 verify_scatter_window,

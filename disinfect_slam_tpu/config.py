@@ -140,8 +140,11 @@ class TSDFConfig:
     # where W=2^16's cost is a wash).  Dense
     # backend only (needs the sorted-live-prefix invariant); falls back
     # to the plain full-pool scatter in-program (lax.cond) when the
-    # live row span exceeds the window.  0 = off.
-    scatter_window_log2: int = 0
+    # live row span exceeds the window.  0 = off; -1 = auto (resolved at
+    # trace time like sampler="auto": num_blocks_log2 - 3 on the TPU
+    # dense backend at >= 2^18 blocks — the measured win region — else
+    # off; see ops/integrate.py _auto_scatter_window).
+    scatter_window_log2: int = -1
     # NOTE (r3): the former `visible_buckets` host-side bucketing is
     # gone — the sample/fuse kernels now take the live visible count as
     # a scalar and skip tiles past it (count early-exit), which scales

@@ -478,19 +478,43 @@ def fuse_visible(
     cfg = vol.cfg
     vcap, bv = cfg.max_visible, cfg.block_volume
 
-    # absolute voxel coords of every voxel in every visible block
-    offs = vx.index_to_offset(jnp.arange(bv, dtype=jnp.int32), cfg)  # [512, 3]
-    pos_grid = vx.block_to_point(vis.block_pos, cfg)[:, None, :] + offs[None, :, :]
-
-    pos_world = pos_grid.astype(jnp.float32) * cfg.voxel_size
-    pos_cam = cam_T_world.apply(pos_world)
-    pih = cam.intrinsics.project(pos_cam)  # [V, 512, 3]
-    z = pih[..., 2]
-    u = vx.round_half_away(pih[..., 0] / z).astype(jnp.int32)
-    v = vx.round_half_away(pih[..., 1] / z).astype(jnp.int32)
+    # absolute voxel coords of every voxel in every visible block — as
+    # SoA component planes [V, 512].  The packed [V, 512, 3] form made
+    # XLA materialize ~200 MB intermediates per step: jnp.cross inside
+    # the quaternion SE3.apply lowers to transposes on the 3-minor axis,
+    # which break elementwise fusion (measured ~3-4 ms/frame of
+    # transpose/bitcast fusions in the bench trace).  Component planes
+    # fuse straight into the consumers; the matrix-form rotation is the
+    # same arithmetic the numpy oracle uses (tests/oracle.py:138).
+    bl = cfg.block_len_log2
+    lmask = cfg.block_len - 1
+    vidx = jnp.arange(bv, dtype=jnp.int32)
+    ox = (vidx & lmask)[None, :]
+    oy = ((vidx >> bl) & lmask)[None, :]
+    oz = ((vidx >> (2 * bl)) & lmask)[None, :]
+    px = ((vis.block_pos[:, 0:1] << bl) + ox).astype(jnp.float32) * cfg.voxel_size
+    py = ((vis.block_pos[:, 1:2] << bl) + oy).astype(jnp.float32) * cfg.voxel_size
+    pz = ((vis.block_pos[:, 2:3] << bl) + oz).astype(jnp.float32) * cfg.voxel_size
+    xc, yc, z = cam_T_world.apply_xyz(px, py, pz)  # [V, 512] camera coords
+    intr = cam.intrinsics
+    u = vx.round_half_away((intr.fx * xc + intr.cx * z) / z).astype(jnp.int32)
+    v = vx.round_half_away((intr.fy * yc + intr.cy * z) / z).astype(jnp.int32)
     in_img = (u >= 0) & (u < cam.img_w) & (v >= 0) & (v < cam.img_h)
     us = jnp.clip(u, 0, cam.img_w - 1)
     vs = jnp.clip(v, 0, cam.img_h - 1)
+    # Pin the projection outputs: the fully-fusable SoA chain otherwise
+    # fuses into each consumer, and XLA's FMA contraction then depends
+    # on program shape — ulp differences in z between e.g. the windowed-
+    # and plain-scatter programs, or the gather- and pallas-sampler
+    # programs.  The barrier keeps the projection compiling identically
+    # across those program variants (it is how the pallas-vs-gather
+    # parity gate stays bit-exact); note it does NOT fully pin the
+    # downstream fuse math — XLA:CPU still lowers the shared division
+    # differently per program shape (see test_scatter_window_matches_
+    # plain), so cross-program contracts there are ulp-bounded.  These
+    # arrays materialize as sampler operands anyway: the barrier costs
+    # nothing.
+    us, vs, z, in_img = jax.lax.optimization_barrier((us, vs, z, in_img))
 
     # One stacked image carries all per-pixel channels (depth, d2r, rgb,
     # ht, lt, pad-to-8); sampled either by one XLA gather or by the
@@ -592,12 +616,21 @@ def fuse_visible(
     # ONE packed gather for color+weight (VoxelRGBW word); unpack with
     # shifts in-flight — no [V, 512, 3] arrays anywhere in this path
     rgbw_old = vol.rgbw.at[pool].get(indices_are_sorted=dense)  # [V, 512] u32
+    prob_old = vol.prob.at[pool].get(indices_are_sorted=dense)
+    # Second pin (see the projection barrier above): vis.pool_idx feeds
+    # both these gathers and the scatter-index computation, which DIFFERS
+    # between the windowed- and plain-scatter programs — without the
+    # barrier XLA can fuse the gathers + fusion math into a kernel whose
+    # shape (and hence FMA contraction) varies per program.  Pinning the
+    # inputs narrows the variance to the fuse-math region itself (which
+    # XLA:CPU still specializes per program at the ~ulp level).
+    tsdf_old, rgbw_old, prob_old = jax.lax.optimization_barrier(
+        (tsdf_old, rgbw_old, prob_old)
+    )
     w_old = (rgbw_old >> 24).astype(jnp.float32)
     r_old = (rgbw_old & 0xFF).astype(jnp.float32)
     g_old = ((rgbw_old >> 8) & 0xFF).astype(jnp.float32)
     b_old = ((rgbw_old >> 16) & 0xFF).astype(jnp.float32)
-    prob_old = vol.prob.at[pool].get(indices_are_sorted=dense)
-
     w_comb = w_old + w_new
     w_safe = jnp.where(w_comb == 0, 1.0, w_comb)
     tsdf_upd = (tsdf_old * w_old + tsdf_new * w_new) / w_safe
@@ -638,8 +671,35 @@ def fuse_visible(
     )
     rgbw_w = jnp.where(update, rgbw_upd, rgbw_old)
 
+    # Same rationale as the projection barrier above: pin the fused
+    # payloads so the scatter machinery (plain vs windowed-cond) cannot
+    # fuse INTO the fusion math — the update arrays are the scatter
+    # operands and materialize regardless.  This also makes the
+    # in-program windowed/fallback cond branches provably write the
+    # same values (both consume these pinned arrays).
+    tsdf_w, rgbw_w, prob_w = jax.lax.optimization_barrier(
+        (tsdf_w, rgbw_w, prob_w)
+    )
     vol = _scatter_payload_rows(vol, vis, tsdf_w, rgbw_w, prob_w)
     return vol, jnp.min(jnp.abs(tsdf_w), axis=-1), skipped
+
+
+def _auto_scatter_window(cfg: TSDFConfig, on_tpu: bool) -> int:
+    """Resolve cfg.scatter_window_log2 = -1 ("auto") at trace time.
+
+    Measured on v5e (PROGRESS.md capacity A/Bs): the full-pool payload
+    scatters carry an O(capacity) cost that a live-row window erases,
+    but the window's own fixed cost only pays off from 2^18 blocks up;
+    num_blocks_log2 - 3 is the smallest power covering the bench-scale
+    live span at 1/8 the pool.  Elsewhere (CPU, small pools, hash
+    backend) the plain scatter wins.
+    """
+    w = cfg.scatter_window_log2
+    if w >= 0:
+        return w
+    if on_tpu and cfg.backend == "dense" and cfg.num_blocks_log2 >= 18:
+        return cfg.num_blocks_log2 - 3
+    return 0
 
 
 def _scatter_payload_rows(
@@ -676,7 +736,7 @@ def _scatter_payload_rows(
             indices_are_sorted=dense,
         )
 
-    wlog2 = cfg.scatter_window_log2
+    wlog2 = _auto_scatter_window(cfg, jax.default_backend() == "tpu")
     win = 1 << wlog2
     if wlog2 <= 0 or cfg.backend != "dense" or win >= cfg.num_blocks:
         return vol.replace(

@@ -174,21 +174,80 @@ def verify_index_hints() -> Tuple[bool, float, str]:
 
 
 def verify_scatter_window() -> Tuple[bool, float, str]:
-    """integrate with the windowed fuse scatter vs the plain full-pool
-    scatter: provably bit-identical (same updates, same drop semantics),
-    so any divergence means the dynamic_slice/scatter/update_slice
-    lowering miscompiles on this backend and the flag must stay off."""
+    """Windowed vs plain fuse scatter, two checks.
+
+    (1) Placement: with the payload values as fixed INPUTS the windowed
+    routing must write a bit-identical pool — any diff means the
+    dynamic_slice / windowed scatter / dynamic_update_slice lowering
+    miscompiles on this backend and the flag must stay off.
+
+    (2) End-to-end integrate: the fuse math is a shared subgraph of two
+    DIFFERENT programs, which XLA may compile with different FMA /
+    division contractions (observed ~14 ulp on XLA:CPU even behind
+    optimization_barrier fences) — so float drift is bounded, not
+    pinned to zero; integral payload bytes (rgbw) may round one step
+    differently on exact .5 boundaries."""
+    import dataclasses as _dc
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..config import TSDFConfig
+    from ..core.state import TSDFVolume
+    from ..ops.integrate import VisibleSet, _scatter_payload_rows
+
+    # --- (1) placement, bit-exact ---
+    rng = np.random.default_rng(11)
+    base_cfg = TSDFConfig(
+        voxel_size=0.008, truncation=0.048, num_blocks_log2=12,
+        max_candidates=2048, max_visible=512, max_new_per_round=512,
+        backend="dense", grid_log2=6,
+    )
+    vcap, bv = base_cfg.max_visible, base_cfg.block_volume
+    n_live = vcap - 5
+    pool = np.sort(rng.choice(900, n_live, replace=False)).astype(np.int32)
+    pool_full = np.concatenate(
+        [pool, np.full(vcap - n_live, base_cfg.num_blocks, np.int32)]
+    )
+    mask = np.arange(vcap) < n_live
+    tsdf_w = rng.standard_normal((vcap, bv)).astype(np.float32)
+    rgbw_w = rng.integers(0, 2 ** 32, (vcap, bv), dtype=np.uint32)
+    prob_w = rng.random((vcap, bv)).astype(np.float32)
+
+    def place(wlog2):
+        cfg = _dc.replace(base_cfg, scatter_window_log2=wlog2)
+        vol = TSDFVolume.create(cfg)
+        vis = VisibleSet(
+            entry_idx=jnp.full((vcap,), cfg.num_entries, jnp.int32),
+            block_pos=jnp.zeros((vcap, 3), jnp.int32),
+            pool_idx=jnp.asarray(pool_full),
+            mask=jnp.asarray(mask),
+            count=jnp.int32(n_live),
+        )
+        out = jax.jit(_scatter_payload_rows)(
+            vol, vis, jnp.asarray(tsdf_w), jnp.asarray(rgbw_w),
+            jnp.asarray(prob_w),
+        )
+        return np.asarray(out.tsdf), np.asarray(out.rgbw), np.asarray(out.prob)
+
+    ref = place(0)
+    for wlog2 in (10, 4):  # windowed branch; in-program fallback branch
+        got = place(wlog2)
+        for x, y in zip(ref, got):
+            if not np.array_equal(x, y):
+                return False, float("inf"), f"placement diverged (w={wlog2})"
+
+    # --- (2) end-to-end values, ulp-bounded ---
     a = _small_scene_step("gather", scatter_window_log2=0)
     b = _small_scene_step("gather", scatter_window_log2=10)
     terr = float(np.abs(np.asarray(a.tsdf) - np.asarray(b.tsdf)).max())
-    rerr = int(
-        np.abs(
-            np.asarray(a.rgbw, np.int64) - np.asarray(b.rgbw, np.int64)
-        ).max()
-    )
+    ra, rb = np.asarray(a.rgbw, np.int64), np.asarray(b.rgbw, np.int64)
+    rerr = 0
+    for shift in (0, 8, 16, 24):  # per-byte channel diff
+        rerr = max(rerr, int(np.abs((ra >> shift) % 256 - (rb >> shift) % 256).max()))
     perr = float(np.abs(np.asarray(a.prob) - np.asarray(b.prob)).max())
-    ok = terr == 0.0 and rerr == 0 and perr == 0.0
-    return ok, max(terr, float(rerr), perr), "windowed scatter bit-exact"
+    ok = terr < 2e-6 and rerr <= 1 and perr < 2e-6
+    return ok, max(terr, perr), "placement bit-exact; values ulp-bounded"
 
 
 def verify_fused_kernel() -> Tuple[bool, float, str]:
@@ -237,7 +296,8 @@ CHECKS: List[Tuple[str, Callable[[], Tuple[bool, float, str]]]] = [
     ("sample_kernel splits=3 (bit-exact)", lambda: verify_sample_kernel(splits=3)),
     ("sample_kernel splits=2 (tolerance)", lambda: verify_sample_kernel(splits=2)),
     ("index_hints on/off (bit-exact)", verify_index_hints),
-    ("scatter_window on/off (bit-exact)", verify_scatter_window),
+    ("scatter_window on/off (placement exact, values ulp-bounded)",
+     verify_scatter_window),
     # 1920x1080 exceeds the whole-image-in-VMEM threshold, forcing the
     # double-buffered patch-DMA path (the reference's max frame size,
     # voxel_tsdf.cu:10-12) — without this the DMA path has zero

@@ -20,5 +20,9 @@ jax.config.update("jax_platforms", "cpu")
 assert jax.devices()[0].platform == "cpu"
 assert len(jax.devices()) == 8
 
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+# Machine-fingerprinted CPU cache dir: XLA:CPU AOT entries are not
+# portable across hosts (stale entries load with a feature-mismatch
+# warning and ulp-different codegen — see utils/cache.py docstring).
+from disinfect_slam_tpu.utils import cache  # noqa: E402
+
+cache.enable(platform_name="cpu")

@@ -307,12 +307,74 @@ def test_visible_pool_indices_sorted_unique_invariant(cfg):
     check(vis_surf, "_surf_visible")
 
 
+def test_scatter_window_placement_exact():
+    """The windowed scatter must be a pure re-routing of the plain
+    full-pool scatter: with the payload values as fixed INPUTS (no
+    shared math for XLA to re-fuse per program), the windowed program,
+    its in-program fallback branch, and the plain program must write
+    bit-identical pools.  This is the miscompile detector for the
+    dynamic_slice / windowed scatter / dynamic_update_slice lowering;
+    cross-program equality of the fused VALUES is bounded (not pinned
+    to zero) by test_scatter_window_matches_plain below."""
+    import jax
+
+    from disinfect_slam_tpu.core.state import TSDFVolume
+    from disinfect_slam_tpu.ops.integrate import (
+        VisibleSet,
+        _scatter_payload_rows,
+    )
+
+    rng = np.random.default_rng(3)
+    vcap, bv = CFG_DENSE.max_visible, CFG_DENSE.block_volume
+    # live rows inside a 500-row span so the 2^9 window fits (pool 2^10)
+    n_live = 493
+    pool = np.sort(rng.choice(500, n_live, replace=False)).astype(np.int32)
+    pool_full = np.concatenate(
+        [pool, np.full(vcap - n_live, CFG_DENSE.num_blocks, np.int32)]
+    )
+    mask = np.arange(vcap) < n_live
+    tsdf_w = rng.standard_normal((vcap, bv)).astype(np.float32)
+    rgbw_w = rng.integers(0, 2 ** 32, (vcap, bv), dtype=np.uint32)
+    prob_w = rng.random((vcap, bv)).astype(np.float32)
+
+    def run(wlog2):
+        cfg = dataclasses.replace(CFG_DENSE, scatter_window_log2=wlog2)
+        vol = TSDFVolume.create(cfg)
+        vis = VisibleSet(
+            entry_idx=jnp.full((vcap,), cfg.num_entries, jnp.int32),
+            block_pos=jnp.zeros((vcap, 3), jnp.int32),
+            pool_idx=jnp.asarray(pool_full),
+            mask=jnp.asarray(mask),
+            count=jnp.int32(n_live),
+        )
+        out = jax.jit(_scatter_payload_rows)(
+            vol, vis, jnp.asarray(tsdf_w), jnp.asarray(rgbw_w),
+            jnp.asarray(prob_w),
+        )
+        return np.asarray(out.tsdf), np.asarray(out.rgbw), np.asarray(out.prob)
+
+    plain = run(0)
+    for wlog2 in (9, 4):  # windowed branch; fallback branch (span > 16)
+        got = run(wlog2)
+        for a, b in zip(plain, got):
+            np.testing.assert_array_equal(a, b)
+
+
 def test_scatter_window_matches_plain():
     """cfg.scatter_window_log2 routes the fuse payload write-backs
     through a dynamic window (O(window) scatter operand); the volume
-    must come out voxel-for-voxel identical to the plain full-pool
-    scatter, on BOTH the windowed branch (window covers the live span)
-    and the in-program fallback (window too small -> full scatter)."""
+    must come out equal to the plain full-pool scatter on BOTH the
+    windowed branch (window covers the live span) and the in-program
+    fallback (window too small -> full scatter).
+
+    Discrete columns (position, integral weight) compare bit-exactly;
+    tsdf/prob compare within a few-ulp bound: the fuse math is a SHARED
+    subgraph of two DIFFERENT programs, and XLA compiles it per program
+    shape — observed on XLA:CPU as a ~14-ulp division-lowering
+    difference in 1 of 89k voxels, even with every operand fenced by
+    optimization_barrier.  Placement exactness (the part the window
+    machinery is responsible for) is pinned bit-exactly by
+    test_scatter_window_placement_exact."""
     from disinfect_slam_tpu.ops.gather import gather_valid
 
     pose_a = look_at((0.013, -0.027, -1.5), (0.013, -0.021, 1.007))
@@ -338,8 +400,33 @@ def test_scatter_window_matches_plain():
 
     plain = volume_rows(0)
     assert plain.shape[0] > 64, "degenerate scene"
-    # windowed branch taken: 2^9 = 512 rows covers every live row of the
-    # 2^10 pool (allocation starts at row 0)
-    np.testing.assert_array_equal(plain, volume_rows(9))
-    # fallback branch taken: a 16-row window cannot cover the live span
-    np.testing.assert_array_equal(plain, volume_rows(4))
+    # 9: windowed branch taken (2^9 = 512 rows covers every live row of
+    # the 2^10 pool); 4: in-program fallback (16-row window cannot
+    # cover the live span); -1: auto, resolves to off on CPU
+    for wlog2 in (9, 4, -1):
+        rows = volume_rows(wlog2)
+        assert rows.shape == plain.shape
+        np.testing.assert_array_equal(plain[:, :3], rows[:, :3])  # position
+        np.testing.assert_array_equal(plain[:, 4], rows[:, 4])  # weight
+        np.testing.assert_allclose(plain[:, 3], rows[:, 3], rtol=0, atol=2e-6)
+        np.testing.assert_allclose(plain[:, 5], rows[:, 5], rtol=0, atol=2e-6)
+
+
+def test_auto_scatter_window_resolution():
+    """scatter_window_log2 = -1 resolves like sampler='auto': the
+    measured win region only (TPU dense backend at >= 2^18 blocks ->
+    num_blocks_log2 - 3), explicit values pass through everywhere."""
+    from disinfect_slam_tpu.ops.integrate import _auto_scatter_window
+
+    big = dataclasses.replace(CFG_DENSE, num_blocks_log2=18,
+                              scatter_window_log2=-1)
+    assert _auto_scatter_window(big, on_tpu=True) == 15
+    assert _auto_scatter_window(big, on_tpu=False) == 0
+    small = dataclasses.replace(big, num_blocks_log2=17)
+    assert _auto_scatter_window(small, on_tpu=True) == 0
+    hashed = dataclasses.replace(big, backend="hash", grid_log2=0)
+    assert _auto_scatter_window(hashed, on_tpu=True) == 0
+    explicit = dataclasses.replace(big, scatter_window_log2=12)
+    assert _auto_scatter_window(explicit, on_tpu=False) == 12
+    off = dataclasses.replace(big, scatter_window_log2=0)
+    assert _auto_scatter_window(off, on_tpu=True) == 0
