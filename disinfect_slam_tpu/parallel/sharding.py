@@ -85,6 +85,18 @@ class DistributedTSDF:
         self.mesh = mesh
         self.axis = mesh.axis_names[0]
         self.n_devices = mesh.devices.size
+        # Resolve "auto" knobs against the MESH devices' platform, not
+        # jax.default_backend(): a process whose default backend is the
+        # TPU can still build a CPU mesh (the dryrun contract does), and
+        # the trace-time auto resolution in ops/integrate.py would then
+        # pick the Pallas sampler, which cannot lower for CPU devices.
+        mesh_on_tpu = mesh.devices.flat[0].platform == "tpu"
+        if cfg.sampler == "auto":
+            cfg = dataclasses.replace(
+                cfg, sampler="pallas" if mesh_on_tpu else "gather"
+            )
+        if cfg.scatter_window_log2 < 0 and not mesh_on_tpu:
+            cfg = dataclasses.replace(cfg, scatter_window_log2=0)
         self.cfg = cfg
         self.sub_cfg = shard_config(cfg, self.n_devices)
 

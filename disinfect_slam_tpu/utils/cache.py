@@ -27,18 +27,46 @@ def _repo_root() -> str:
 
 
 def _cpu_fingerprint() -> str:
-    """Stable per-machine id from the CPU model + feature flags."""
+    """Stable per-(machine, jaxlib) id.
+
+    cpuinfo alone is NOT enough: /root/repo persists across driver
+    machines, two VMs of the same family have identical cpuinfo, and a
+    different jaxlib/XLA build bakes different target features
+    (+prefer-no-scatter etc.) into its AOT entries — observed loading
+    with "machine type doesn't match" SIGILL warnings.  Keying on the
+    jax+jaxlib versions too keeps foreign-build entries out, and the
+    kernel boot id scopes the cache to this machine boot outright —
+    /proc/cpuinfo can collide across same-family VMs while their XLA
+    target-feature detection still differs, and a poisoned entry can
+    crash the driver's dryrun contract.  One cold compile per machine
+    (~4 min for the dryrun programs) is the accepted price.
+    """
+    parts = []
+    try:
+        with open("/proc/sys/kernel/random/boot_id") as f:
+            parts.append(f.read().strip())
+    except Exception:
+        pass
     try:
         with open("/proc/cpuinfo") as f:
-            lines = sorted({
+            parts.extend(sorted({
                 ln.strip() for ln in f
                 if ln.startswith(("flags", "model name"))
-            })
-        return hashlib.sha1("\n".join(lines).encode()).hexdigest()[:12]
+            }))
     except Exception:
         import platform
 
-        return platform.machine() or "unknown"
+        parts.append(platform.machine() or "unknown")
+    try:
+        import jax
+
+        parts.append(f"jax={jax.__version__}")
+        import jaxlib
+
+        parts.append(f"jaxlib={getattr(jaxlib, '__version__', '?')}")
+    except Exception:
+        pass
+    return hashlib.sha1("\n".join(parts).encode()).hexdigest()[:12]
 
 
 def resolve_dir(platform_name: str | None = None) -> str:
@@ -60,11 +88,33 @@ def resolve_dir(platform_name: str | None = None) -> str:
     return os.path.join(_repo_root(), ".jax_cache")
 
 
+def _scrub_stale_siblings(cache_dir: str) -> None:
+    """Remove other fingerprints' CPU cache dirs.
+
+    The repo directory outlives the machine, so orphaned per-boot dirs
+    would otherwise pile up (~30 MB each).  Every live process on this
+    boot resolves to the same fingerprint, so siblings are dead.
+    """
+    parent = os.path.dirname(cache_dir)
+    if os.path.basename(parent) != ".jax_cache_cpu":
+        return
+    try:
+        import shutil
+
+        for name in os.listdir(parent):
+            p = os.path.join(parent, name)
+            if p != cache_dir and os.path.isdir(p):
+                shutil.rmtree(p, ignore_errors=True)
+    except Exception:
+        pass
+
+
 def enable(cache_dir: str | None = None, platform_name: str | None = None) -> None:
     import jax
 
     if cache_dir is None:
         cache_dir = resolve_dir(platform_name)
+        _scrub_stale_siblings(cache_dir)
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         # NOTE: tempting to set this to 0 so sub-second eager ops cache

@@ -26,9 +26,10 @@ def main():
 
     from disinfect_slam_tpu.utils.cache import enable as _cache
 
-    _cache()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    # after the platform pin, so --cpu entries land in the CPU cache dir
+    _cache()
 
     from disinfect_slam_tpu.utils.kernel_verify import verify_all
 
