@@ -1,0 +1,68 @@
+"""Persistent-compile-cache keying and scrubbing (utils/cache.py).
+
+The CPU cache must be scoped to (machine boot, jaxlib build): the repo
+directory outlives the driver machine, /proc/cpuinfo collides across
+same-family VMs, and a foreign XLA:CPU AOT entry loads with SIGILL
+warnings and ulp-different codegen.  Pure-unit: no jit dispatch.
+"""
+
+import os
+
+from disinfect_slam_tpu.utils import cache
+
+
+def test_cpu_dir_is_fingerprinted_under_repo():
+    d = cache.resolve_dir("cpu")
+    parent = os.path.dirname(d)
+    assert os.path.basename(parent) == ".jax_cache_cpu"
+    assert len(os.path.basename(d)) == 12
+
+
+def test_fingerprint_includes_boot_id(monkeypatch):
+    fp1 = cache._cpu_fingerprint()
+    real_open = open
+
+    def fake_open(path, *a, **k):
+        if path == "/proc/sys/kernel/random/boot_id":
+
+            class F:
+                def __enter__(self):
+                    return self
+
+                def __exit__(self, *exc):
+                    return False
+
+                def read(self):
+                    return "00000000-feed-face-0000-000000000000\n"
+
+            return F()
+        return real_open(path, *a, **k)
+
+    monkeypatch.setattr("builtins.open", fake_open)
+    fp2 = cache._cpu_fingerprint()
+    assert fp1 != fp2, "boot id must key the fingerprint"
+
+
+def test_tpu_dir_is_shared_and_never_scrubbed(tmp_path, monkeypatch):
+    assert cache.resolve_dir("axon").endswith(".jax_cache")
+    # scrub only operates inside a .jax_cache_cpu parent
+    other = tmp_path / "keepme"
+    other.mkdir()
+    cache._scrub_stale_siblings(str(tmp_path / "current"))
+    assert other.exists()
+
+
+def test_scrub_removes_only_stale_siblings(tmp_path):
+    parent = tmp_path / ".jax_cache_cpu"
+    cur = parent / "aaaaaaaaaaaa"
+    stale = parent / "bbbbbbbbbbbb"
+    cur.mkdir(parents=True)
+    stale.mkdir()
+    (stale / "entry").write_text("x")
+    cache._scrub_stale_siblings(str(cur))
+    assert cur.exists() and not stale.exists()
+
+
+def test_env_override_wins(monkeypatch, tmp_path):
+    monkeypatch.setenv("DSTPU_JAX_CACHE", str(tmp_path))
+    assert cache.resolve_dir("cpu") == str(tmp_path)
