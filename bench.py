@@ -186,16 +186,19 @@ def main():
     # (voxel_mem.cuh:11-20) — affordable since the u8 payload layout
     # (voxel_types.cuh parity) holds 12 B/voxel.  sampler_splits=2 is
     # the documented-tolerance mode (sampling rel err <= 2^-16, ~61 um
-    # on a 4 m depth); alloc_stride=3 can miss blocks whose footprint
-    # falls under 3 px for an allocation round, but measured at this
-    # config (scripts/ab_alloc_stride.py: every=3, 2^18 blocks) its
-    # divergence — active -0.24%, |tsdf|sum 9.8e-6, wsum 1.4e-3 — is
-    # SMALLER on every metric than the shipped alloc_every=3 decision
-    # accepted (-0.36% / 1.1e-4 / 1.9%), for +0.69 ms/frame (58.7 vs
-    # 56.4 FPS).  stride=2 is the lossless-at-this-geometry setting
-    # (min block footprint 4.2 px).  Bit-exact everything:
-    # sampler_splits=3, alloc_stride=1 (A/B: 55.2 vs 61.0 ms/frame,
-    # divergence |tsdf|sum 7e-6 rel).
+    # on a 4 m depth); alloc_stride=4 can miss blocks whose footprint
+    # falls under 4 px for an allocation round (they defer to a later
+    # pass — the same fail-open latency class as the reference's
+    # lock-miss retries, voxel_hash.cu:83-89).  Measured at this config
+    # (scripts/ab_alloc_stride.py: every=3, 2^18 blocks), cumulative
+    # divergence vs the lossless stride-2 setting: active -0.55%,
+    # |tsdf|sum rel dev 3.1e-5, wsum 1.4e-3 — under the -0.94% line
+    # where alloc_every=4 was rejected, and under the shipped
+    # alloc_every=3 decision's own accepted deviations (wsum 1.9%).
+    # Sweep: stride 2/3/4 = 17.73/17.04/16.56 ms/frame.  stride=2 is
+    # the lossless-at-this-geometry setting (min block footprint
+    # 4.2 px).  Bit-exact everything: sampler_splits=3, alloc_stride=1
+    # (A/B: 55.2 vs 61.0 ms/frame, divergence |tsdf|sum 7e-6 rel).
     cfg = TSDFConfig(
         voxel_size=0.004,
         truncation=0.024,
@@ -206,7 +209,7 @@ def main():
         max_new_per_round=8192 if on_accel else 2048,
         max_probe=16,
         sampler_splits=2,
-        alloc_stride=3 if on_accel else 1,
+        alloc_stride=4 if on_accel else 1,
         alloc_every=3 if on_accel else 1,
         # windowed fuse scatter (bounded scatter operand): the TPU A/B
         # (scripts/ab_scatter_window.py + the W sweep in PROGRESS.md)
