@@ -464,6 +464,7 @@ def fuse_visible(
     cam: CameraParams,
     cam_T_world: SE3,
     max_depth: float,
+    platform: str | None = None,
 ):
     """Weighted running-average fusion over [max_visible, 512] voxels.
 
@@ -535,7 +536,14 @@ def fuse_visible(
     )
 
     kernel_ok = cfg.block_volume == 512 and cfg.max_visible % cfg.sample_tile == 0
-    on_tpu = jax.default_backend() == "tpu"
+    # One platform decision for the whole trace (ADVICE r3): the sampler
+    # choice, the kernel interpret flag, and the scatter-window
+    # resolution must all agree on the TARGET devices, which a caller
+    # placing this program off the default backend (DistributedTSDF on a
+    # CPU mesh, a device-pinned jit) communicates via `platform`.
+    if platform is None:
+        platform = jax.default_backend()
+    on_tpu = platform == "tpu"
     # "auto" resolves to the transposed Pallas patch sampler on TPU:
     # measured on v5e at full scale (640x480, 4 mm, 32k visible) it
     # integrates at 83.5 ms/frame vs 174.7 for the XLA gather (the
@@ -549,7 +557,8 @@ def fuse_visible(
 
     if use_fused:
         return _fuse_visible_kernel(
-            vol, vis, stacked, us, vs, z, in_img, cam, max_depth
+            vol, vis, stacked, us, vs, z, in_img, cam, max_depth,
+            platform=platform,
         )
 
     if use_pallas:
@@ -567,7 +576,7 @@ def fuse_visible(
         chans, patch_ok = sample_patches(
             stacked, u0, v0, us, vs,
             ph=cfg.patch_h, pw=cfg.patch_w, tb=cfg.sample_tile,
-            interpret=jax.default_backend() != "tpu",
+            interpret=not on_tpu,
             as_channels=True,
             splits=cfg.sampler_splits,
             # live-count early exit: tiles past vis.count skip DMA+MXU
@@ -680,7 +689,8 @@ def fuse_visible(
     tsdf_w, rgbw_w, prob_w = jax.lax.optimization_barrier(
         (tsdf_w, rgbw_w, prob_w)
     )
-    vol = _scatter_payload_rows(vol, vis, tsdf_w, rgbw_w, prob_w)
+    vol = _scatter_payload_rows(vol, vis, tsdf_w, rgbw_w, prob_w,
+                                platform=platform)
     return vol, jnp.min(jnp.abs(tsdf_w), axis=-1), skipped
 
 
@@ -708,6 +718,7 @@ def _scatter_payload_rows(
     tsdf_w: jnp.ndarray,
     rgbw_w: jnp.ndarray,
     prob_w: jnp.ndarray,
+    platform: str | None = None,
 ) -> TSDFVolume:
     """Write fused payload rows back to the pool.
 
@@ -736,7 +747,12 @@ def _scatter_payload_rows(
             indices_are_sorted=dense,
         )
 
-    wlog2 = _auto_scatter_window(cfg, jax.default_backend() == "tpu")
+    # Resolve the "auto" window against the platform the caller traced
+    # for (threaded down from integrate(); ADVICE r3 — default_backend()
+    # here would silently give a CPU-placed jit the TPU-tuned window).
+    if platform is None:
+        platform = jax.default_backend()
+    wlog2 = _auto_scatter_window(cfg, platform == "tpu")
     win = 1 << wlog2
     if wlog2 <= 0 or cfg.backend != "dense" or win >= cfg.num_blocks:
         return vol.replace(
@@ -787,6 +803,7 @@ def _fuse_visible_kernel(
     in_img: jnp.ndarray,
     cam: CameraParams,
     max_depth: float,
+    platform: str | None = None,
 ) -> TSDFVolume:
     """Fused Pallas path: sampling + fusion math in one kernel pass
     (ops/pallas/fuse_kernel.py); XLA keeps the row gather/scatter."""
@@ -802,7 +819,9 @@ def _fuse_visible_kernel(
     # same index hints as fuse_visible (see there)
     dense = cfg.backend == "dense" and cfg.index_hints
     pool = jnp.clip(vis.pool_idx, 0, cfg.num_blocks - 1)
-    interpret = jax.default_backend() != "tpu"
+    if platform is None:
+        platform = jax.default_backend()
+    interpret = platform != "tpu"
     rgbw_old = vol.rgbw.at[pool].get(indices_are_sorted=dense)
     if stacked.size * 4 <= VMEM_IMG_BYTES:
         # VMEM-resident image + packed RGBW word I/O: one third the
@@ -844,7 +863,8 @@ def _fuse_visible_kernel(
             | (b_w.astype(jnp.uint32) << 16)
             | (w_w.astype(jnp.uint32) << 24)
         )
-    vol = _scatter_payload_rows(vol, vis, tsdf_w, rgbw_w, prob_w)
+    vol = _scatter_payload_rows(vol, vis, tsdf_w, rgbw_w, prob_w,
+                                platform=platform)
     return vol, minabs_w[:, 0], jnp.zeros((), jnp.int32)
 
 

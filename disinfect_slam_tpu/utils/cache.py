@@ -26,27 +26,29 @@ def _repo_root() -> str:
         os.path.abspath(__file__))))
 
 
-def _cpu_fingerprint() -> str:
-    """Stable per-(machine, jaxlib) id.
+def _boot_id() -> str:
+    """This machine boot's id, hashed to a 12-hex dir name."""
+    try:
+        with open("/proc/sys/kernel/random/boot_id") as f:
+            raw = f.read().strip()
+    except Exception:
+        raw = "noboot"
+    return hashlib.sha1(raw.encode()).hexdigest()[:12]
+
+
+def _build_fingerprint() -> str:
+    """Stable per-(cpu family, jaxlib build) id.
 
     cpuinfo alone is NOT enough: /root/repo persists across driver
     machines, two VMs of the same family have identical cpuinfo, and a
     different jaxlib/XLA build bakes different target features
     (+prefer-no-scatter etc.) into its AOT entries — observed loading
     with "machine type doesn't match" SIGILL warnings.  Keying on the
-    jax+jaxlib versions too keeps foreign-build entries out, and the
-    kernel boot id scopes the cache to this machine boot outright —
-    /proc/cpuinfo can collide across same-family VMs while their XLA
-    target-feature detection still differs, and a poisoned entry can
-    crash the driver's dryrun contract.  One cold compile per machine
-    (~4 min for the dryrun programs) is the accepted price.
+    jax+jaxlib versions too keeps foreign-build entries out.  One cold
+    compile per (boot, build) (~4 min for the dryrun programs) is the
+    accepted price.
     """
     parts = []
-    try:
-        with open("/proc/sys/kernel/random/boot_id") as f:
-            parts.append(f.read().strip())
-    except Exception:
-        pass
     try:
         with open("/proc/cpuinfo") as f:
             parts.extend(sorted({
@@ -69,6 +71,19 @@ def _cpu_fingerprint() -> str:
     return hashlib.sha1("\n".join(parts).encode()).hexdigest()[:12]
 
 
+def _cpu_fingerprint() -> str:
+    """(boot, build) composite id, as a two-level relative path.
+
+    The boot id scopes the cache to this machine boot outright —
+    /proc/cpuinfo can collide across same-family VMs while their XLA
+    target-feature detection still differs, and a poisoned entry can
+    crash the driver's dryrun contract.  The build id is a SEPARATE
+    path level so the scrub (below) can reclaim dead boots without
+    touching a live sibling venv's cache on THIS boot (ADVICE r3: two
+    jaxlib builds on one boot must coexist, not rmtree each other)."""
+    return os.path.join(_boot_id(), _build_fingerprint())
+
+
 def resolve_dir(platform_name: str | None = None) -> str:
     """Cache directory for the given (or configured) platform."""
     env = os.environ.get("DSTPU_JAX_CACHE")
@@ -89,13 +104,18 @@ def resolve_dir(platform_name: str | None = None) -> str:
 
 
 def _scrub_stale_siblings(cache_dir: str) -> None:
-    """Remove other fingerprints' CPU cache dirs.
+    """Remove DEAD BOOTS' CPU cache trees (cache_dir is
+    .jax_cache_cpu/<boot>/<build>).
 
     The repo directory outlives the machine, so orphaned per-boot dirs
-    would otherwise pile up (~30 MB each).  Every live process on this
-    boot resolves to the same fingerprint, so siblings are dead.
+    would otherwise pile up (~30 MB each).  Only boot-level siblings are
+    scrubbed: every process on this boot shares one boot id, so a
+    different boot dir is provably dead, while a different BUILD dir
+    under the CURRENT boot may belong to a live process in another venv
+    (ADVICE r3) and is left alone.
     """
-    parent = os.path.dirname(cache_dir)
+    boot_dir = os.path.dirname(cache_dir)
+    parent = os.path.dirname(boot_dir)
     if os.path.basename(parent) != ".jax_cache_cpu":
         return
     try:
@@ -103,7 +123,7 @@ def _scrub_stale_siblings(cache_dir: str) -> None:
 
         for name in os.listdir(parent):
             p = os.path.join(parent, name)
-            if p != cache_dir and os.path.isdir(p):
+            if p != boot_dir and os.path.isdir(p):
                 shutil.rmtree(p, ignore_errors=True)
     except Exception:
         pass

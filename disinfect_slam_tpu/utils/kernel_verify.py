@@ -243,10 +243,14 @@ def verify_scatter_window() -> Tuple[bool, float, str]:
     terr = float(np.abs(np.asarray(a.tsdf) - np.asarray(b.tsdf)).max())
     ra, rb = np.asarray(a.rgbw, np.int64), np.asarray(b.rgbw, np.int64)
     rerr = 0
-    for shift in (0, 8, 16, 24):  # per-byte channel diff
+    for shift in (0, 8, 16):  # r/g/b bytes: .5-boundary rounding slack
         rerr = max(rerr, int(np.abs((ra >> shift) % 256 - (rb >> shift) % 256).max()))
+    # the WEIGHT byte is integral accumulation — bit-exact, no rounding
+    # excuse (ADVICE r3: a +-1 tolerance here would wave through a real
+    # weight-accumulation miscompile; the CPU contract test pins it too)
+    werr = int(np.abs((ra >> 24) % 256 - (rb >> 24) % 256).max())
     perr = float(np.abs(np.asarray(a.prob) - np.asarray(b.prob)).max())
-    ok = terr < 2e-6 and rerr <= 1 and perr < 2e-6
+    ok = terr < 2e-6 and rerr <= 1 and werr == 0 and perr < 2e-6
     return ok, max(terr, perr), "placement bit-exact; values ulp-bounded"
 
 

@@ -33,10 +33,12 @@ def test_bench_json_contract(monkeypatch, capsys):
     assert payload["unit"] == "frames/s"
     assert payload["value"] > 0
     # value is rounded to 2 decimals and vs_baseline to 3, so the two
-    # roundings can disagree by up to half an ULP of each (matters at
-    # the low FPS of this 4-frame CPU run)
+    # roundings can disagree by up to half an ULP of EACH: 0.005/60
+    # from the value rounding + 0.0005 from the ratio rounding
+    # (ADVICE r3: the halved value term could flake on a worst-case
+    # pair of opposite-direction roundings)
     assert payload["vs_baseline"] == pytest.approx(
-        payload["value"] / 60.0, abs=0.005 / 2 / 60 + 0.0005
+        payload["value"] / 60.0, abs=0.005 / 60 + 0.0005
     )
     # self-description fields (a CPU run must say so)
     assert payload["platform"] == "cpu"
