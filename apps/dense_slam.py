@@ -45,6 +45,25 @@ def main():
                     help="model-depth renderer: auto = Pallas patch kernel "
                          "on TPU (bit-identical, ~10x faster), XLA scatter "
                          "elsewhere")
+    ap.add_argument("--loop-closure", action="store_true",
+                    help="keyframe place recognition + ICP-verified loop "
+                         "constraints + pose-graph relaxation "
+                         "(systems/loop_closure.py) — the drift "
+                         "correction the reference gets from ORB_SLAM3's "
+                         "loop closing (disinfect_slam.cc:89); also "
+                         "enables relocalization after tracking loss")
+    ap.add_argument("--kf-every", type=int, default=10,
+                    help="keyframe cadence (frames) for --loop-closure")
+    ap.add_argument("--lc-min-gap", type=int, default=60,
+                    help="minimum frame-id gap before a keyframe can "
+                         "close a loop (recency guard)")
+    ap.add_argument("--save-map", metavar="NPZ",
+                    help="with --loop-closure: save the keyframe/map "
+                         "database (save_map_database analogue, "
+                         "run_zed_native.cc:88)")
+    ap.add_argument("--load-map", metavar="NPZ",
+                    help="with --loop-closure: preload a keyframe/map "
+                         "database (localize against a prior session)")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--imu", metavar="CSV",
                     help="IMU samples 't_ms,gx,gy,gz,ax,ay,az' (rad/s, "
@@ -108,7 +127,12 @@ def main():
     slam = DenseSLAM(
         intrinsics, h, w, voxel_size=args.voxel, truncation=args.trunc,
         max_depth=args.max_depth, cfg=cfg, splat_impl=args.splat,
+        loop_closure=args.loop_closure, kf_every=args.kf_every,
+        lc_kwargs=dict(min_gap_frames=args.lc_min_gap),
     )
+    if args.load_map:
+        slam.load_map(args.load_map)
+        print(f"[slam] map database loaded: {slam.lc.count} keyframes")
 
     preint = None
     frame_time = {}
@@ -198,6 +222,23 @@ def main():
     }
     print(f"[slam] done: {len(frames)} frames in {dt:.1f}s "
           f"({len(frames)/dt:.2f} FPS), lost {slam.lost_count}")
+
+    if args.loop_closure:
+        print(f"[slam] loop closure: {slam.lc.count} keyframes, "
+              f"{slam.lc.closures} loops closed")
+        ok_ids = sorted(fid for fid, p in poses.items() if p is not None)
+        if ok_ids and slam.lc.closures:
+            # retro-correct the recorded trajectory with the optimized
+            # keyframe poses (already-written fusion stays, like the
+            # reference's never-re-warped TSDF under ORB_SLAM3 closures)
+            corr = slam.correct_trajectory(
+                np.asarray(ok_ids), np.stack([poses[f] for f in ok_ids])
+            )
+            for fid, c in zip(ok_ids, corr):
+                poses[fid] = c
+        if args.save_map:
+            slam.save_map(args.save_map)
+            print(f"[slam] map database -> {args.save_map}")
 
     if args.out_traj:
         n = save_matched_trajectory(args.out_traj, poses, sorted(poses))

@@ -43,6 +43,9 @@ class DenseSLAM:
         max_rmse: float = 0.08,
         splat_impl: str = "auto",
         host_spill: bool = False,
+        loop_closure: bool = False,
+        kf_every: int = 10,
+        lc_kwargs: Optional[dict] = None,
     ):
         # splat_impl: "xla" scatter z-buffer or "pallas" patch kernel
         # (ops/pallas/splat_kernel.py) for the model depth render --
@@ -75,6 +78,19 @@ class DenseSLAM:
             from .block_streaming import HostBlockStore
 
             self.spill_store = HostBlockStore()
+        # loop closure / relocalization (systems/loop_closure.py) — the
+        # drift correction the reference inherits from ORB_SLAM3's loop
+        # closing (disinfect_slam.cc:89).  Keyframe work syncs the
+        # tracked pose to host, so it runs at kf_every cadence only.
+        self.lc = None
+        self._kf_every = int(kf_every)
+        if loop_closure:
+            from .loop_closure import LoopClosureManager
+
+            self.lc = LoopClosureManager(
+                intrinsics, img_h, img_w, kf_every=kf_every,
+                **(lc_kwargs or {}),
+            )
 
         cam = self.cam
         md = self.max_depth
@@ -225,6 +241,33 @@ class DenseSLAM:
             # flags are long computed, so the drain sync is free
             if len(self._ok_flags) >= 1024:
                 self._drain_ok_flags()
+        if self.lc is not None and self.frame_count % self._kf_every == 0:
+            # keyframe cadence: ONE host sync per kf_every frames (the
+            # steady-state frames in between stay sync-free)
+            if bool(np.asarray(ok)):
+                corr = self.lc.add_keyframe(
+                    np.asarray(depth, np.float32),
+                    np.asarray(self.world_T_cam, np.float32),
+                    self.frame_count,
+                )
+                if corr is not None:
+                    # continue tracking/fusing in the loop-consistent
+                    # frame (the reference never re-warps its TSDF on an
+                    # ORB_SLAM3 closure either — already-fused drift
+                    # stays; the trajectory is corrected retroactively)
+                    self.world_T_cam = (
+                        corr @ np.asarray(self.world_T_cam, np.float32)
+                    )
+                    cam_T_world = jnp.asarray(
+                        np.linalg.inv(self.world_T_cam), jnp.float32
+                    )
+            else:
+                reloc = self.lc.relocalize(np.asarray(depth, np.float32))
+                if reloc is not None:
+                    self.world_T_cam = reloc
+                    cam_T_world = jnp.asarray(
+                        np.linalg.inv(reloc), jnp.float32
+                    )
         self.frame_count += 1
         return cam_T_world, ok
 
@@ -276,6 +319,25 @@ class DenseSLAM:
         pending flags; cheap, call it for reporting, not per frame)."""
         self._drain_ok_flags()
         return self._lost_resolved
+
+    def correct_trajectory(
+        self, frame_ids: np.ndarray, poses_cam_T_world: np.ndarray
+    ) -> np.ndarray:
+        """Retro-apply loop-closure corrections to a recorded trajectory
+        (no-op without loop_closure=True)."""
+        if self.lc is None:
+            return poses_cam_T_world
+        return self.lc.correct_trajectory(frame_ids, poses_cam_T_world)
+
+    def save_map(self, path: str) -> None:
+        """Keyframe/map database save — the save_map_database analogue
+        (run_zed_native.cc:88).  Requires loop_closure=True."""
+        assert self.lc is not None, "loop_closure=True required"
+        self.lc.save(path)
+
+    def load_map(self, path: str) -> None:
+        assert self.lc is not None, "loop_closure=True required"
+        self.lc.load(path)
 
     def render(self, cam_T_world: Optional[np.ndarray] = None):
         if cam_T_world is None:
