@@ -82,6 +82,55 @@ def load_replay_frames(n_frames, w, h):
         return None
 
 
+def load_tum_frames(n_frames, w, h):
+    """TUM-RGBD auto-detect (VERDICT r3 #9): if the north-star benchmark
+    sequence (configs/tum_rgbd_1.yaml) is ever placed on this machine —
+    DSTPU_TUM_DIR, or any TUM-layout directory (rgb.txt + depth.txt +
+    groundtruth.txt) under datasets/ — the bench replays IT instead of
+    the recorded orbit, and the JSON `dataset` field records which ran.
+    Returns (frames, name) or None.  ht/lt are neutral (0/1): TUM has no
+    disinfection masks; the geometry+color workload is what the parity
+    target needs."""
+    import glob
+
+    cands = []
+    env = os.environ.get("DSTPU_TUM_DIR")
+    if env:
+        cands.append(env)
+    root = os.path.join(os.path.dirname(os.path.abspath(__file__)), "datasets")
+    cands += sorted(
+        os.path.dirname(p) for p in glob.glob(os.path.join(root, "*", "rgb.txt"))
+    )
+    for seqdir in cands:
+        if not all(
+            os.path.exists(os.path.join(seqdir, f))
+            for f in ("rgb.txt", "depth.txt", "groundtruth.txt")
+        ):
+            continue
+        try:
+            from disinfect_slam_tpu.io.dataset import TUMReplay
+
+            replay = TUMReplay(seqdir, depth_factor=5000.0)
+            frames = []
+            for frame in replay:
+                if frame.depth.shape != (h, w):
+                    break
+                frames.append((
+                    np.asarray(frame.cam_T_world, np.float32),
+                    np.asarray(frame.rgb, np.float32),
+                    np.asarray(frame.depth, np.float32),
+                    np.asarray(frame.ht, np.float32),
+                    np.asarray(frame.lt, np.float32),
+                ))
+                if len(frames) == n_frames:
+                    return frames, os.path.basename(seqdir.rstrip("/"))
+            if len(frames) >= max(10, n_frames // 2):
+                return frames, os.path.basename(seqdir.rstrip("/"))
+        except Exception as e:  # fail open to the recorded orbit
+            print(f"[bench] TUM dir {seqdir} unreadable ({e})", file=sys.stderr)
+    return None
+
+
 def _tpu_alive(timeout: float = 240.0, retries: int = 3, wait_s: float = 120.0) -> bool:
     """Probe the TPU tunnel in a subprocess (a dead relay hangs forever
     rather than erroring; don't let the benchmark hang with it).
@@ -300,11 +349,19 @@ def main():
     ) if alloc_every > 1 else step
     rc = jax.jit(lambda v, m: raycast(v, cam, SE3.from_matrix(m), max_depth))
 
-    frames = load_replay_frames(n_frames, w, h)
-    dataset = "orbit_vga (checked-in logged replay; TUM rgbd_1 unavailable: no egress)"
-    if frames is None:
-        frames = make_orbit_frames(n_frames, w, h, K)
-        dataset = "synthetic-orbit (TUM rgbd_1 unavailable: no egress)"
+    # dataset preference (VERDICT r3 #9): real TUM sequence if present >
+    # checked-in recorded replay > in-memory generator
+    tum = load_tum_frames(n_frames, w, h) if on_accel else None
+    if tum is not None:
+        frames, tum_name = tum
+        n_frames = len(frames)
+        dataset = f"TUM {tum_name} (auto-detected local sequence)"
+    else:
+        frames = load_replay_frames(n_frames, w, h)
+        dataset = "orbit_vga (checked-in logged replay; TUM rgbd_1 unavailable: no egress)"
+        if frames is None:
+            frames = make_orbit_frames(n_frames, w, h, K)
+            dataset = "synthetic-orbit (TUM rgbd_1 unavailable: no egress)"
 
     def stage(f):
         pose, rgb, depth, ht, lt = f

@@ -40,7 +40,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 BIG = 2**30  # python int: jnp constants would be captured consts in the kernel
-# compact patch extent: footprints (bbox + the 2x2 splat's +1) must fit
+# compact patch extent: footprints (bbox + the 2x2 splat's +1) must fit.
+# DEFAULTS cover the bench workload's worst case (max 12x12 px) with
+# slack; the narrow (16, 16) mode halves the per-block column loop — the
+# dominant kernel cost — and still covers the p90 9x9 footprint, pushing
+# the tail through the overflow scatter instead.  cw must divide 128
+# (the acc lane tile) and ch <= _WIN_H - 8 (roll slack).
 CW = 32  # patch columns (x): bbox width <= CW - 2
 CH = 16  # patch rows (y): bbox height <= CH - 2
 _WIN_H, _WIN_W = 24, 256  # aligned VMEM window (CH + sublane slack, 2 lane tiles)
@@ -63,6 +68,8 @@ def _splat_kernel(
     tb: int,
     hpad: int,
     wpad: int,
+    cw: int,
+    ch: int,
 ):
     i = pl.program_id(0)
 
@@ -71,8 +78,8 @@ def _splat_kernel(
         zbuf_ref[...] = jnp.full(zbuf_ref.shape, BIG, jnp.int32)
         patch_ref[...] = jnp.full(patch_ref.shape, BIG, jnp.int32)
 
-    qv_iota = jax.lax.broadcasted_iota(jnp.int32, (CH, 512), 0)
-    lane_row = jax.lax.broadcasted_iota(jnp.int32, (CH, 128), 1)
+    qv_iota = jax.lax.broadcasted_iota(jnp.int32, (ch, 512), 0)
+    lane_row = jax.lax.broadcasted_iota(jnp.int32, (ch, 128), 1)
     for b in range(tb):
         idx = i * tb + b
 
@@ -82,16 +89,16 @@ def _splat_kernel(
             lv = lv_ref[b]
             dq = dq_ref[b]
             # voxel contributes to patch row qv iff lv in {qv-1, qv}
-            # (the 2x2 footprint); one [CH, 512] mask for all rows
+            # (the 2x2 footprint); one [ch, 512] mask for all rows
             rmask = (qv_iota == lv[None, :]) | (qv_iota == lv[None, :] + 1)
-            vals0 = jnp.where(rmask, dq[None, :], BIG)  # [CH, 512]
-            acc = jnp.full((CH, 128), BIG, jnp.int32)
-            for qu in range(CW):
+            vals0 = jnp.where(rmask, dq[None, :], BIG)  # [ch, 512]
+            acc = jnp.full((ch, 128), BIG, jnp.int32)
+            for qu in range(cw):
                 cmask = (lu == qu) | (lu == qu - 1)  # [512]
                 col = jnp.min(jnp.where(cmask[None, :], vals0, BIG),
-                              axis=1, keepdims=True)  # [CH, 1]
+                              axis=1, keepdims=True)  # [ch, 1]
                 acc = jnp.minimum(acc, jnp.where(lane_row == qu, col, BIG))
-            patch_ref[b, 0:CH, 0:128] = acc
+            patch_ref[b, 0:ch, 0:128] = acc
 
             bu = bu_ref[idx]
             bv = bv_ref[idx]
@@ -107,7 +114,9 @@ def _splat_kernel(
                 win, p)
 
 
-@functools.partial(jax.jit, static_argnames=("hpad", "wpad", "tb", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("hpad", "wpad", "tb", "interpret", "cw", "ch")
+)
 def splat_zbuf_rows(
     lu: jnp.ndarray,  # [S, 512] i32 bbox-relative
     lv: jnp.ndarray,  # [S, 512] i32
@@ -119,10 +128,13 @@ def splat_zbuf_rows(
     wpad: int,
     tb: int = 8,
     interpret: bool = False,
+    cw: int = CW,
+    ch: int = CH,
 ) -> jnp.ndarray:
     """Min-merge per-block compact patches into a [hpad, wpad] z-buffer."""
     s = lu.shape[0]
     assert s % tb == 0 and hpad % 8 == 0 and wpad % 128 == 0
+    assert 128 % cw == 0 and ch <= _WIN_H - 8, (cw, ch)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(s // tb,),
@@ -135,7 +147,9 @@ def splat_zbuf_rows(
         scratch_shapes=[pltpu.VMEM((tb, _WIN_H, _WIN_W), jnp.int32)],
     )
     return pl.pallas_call(
-        functools.partial(_splat_kernel, tb=tb, hpad=hpad, wpad=wpad),
+        functools.partial(
+            _splat_kernel, tb=tb, hpad=hpad, wpad=wpad, cw=cw, ch=ch
+        ),
         out_shape=jax.ShapeDtypeStruct((hpad, wpad), jnp.int32),
         grid_spec=grid_spec,
         interpret=interpret,
@@ -163,6 +177,7 @@ class _SplatPrep(NamedTuple):
     buo: jnp.ndarray  # [S] raw bbox origins (kept order)
     bvo: jnp.ndarray  # [S]
     n_real: jnp.ndarray  # [] live kept-block count
+    n_left: jnp.ndarray  # [] leftover (overflow) block count
     order: jnp.ndarray  # [S] block permutation (kept first)
     lorder: jnp.ndarray  # [cap] leftover block indices (into original rows)
     lpix: jnp.ndarray  # [4*cap*512] leftover footprint pixels (n_pix = dead)
@@ -173,7 +188,7 @@ class _SplatPrep(NamedTuple):
 
 def _prep_splat_blocks(
     vol, cam, cam_T_world, max_depth, band, overflow_cap,
-    surf_cap=None,
+    surf_cap=None, cw: int = CW, ch: int = CH,
 ) -> Tuple[_SplatPrep, jnp.ndarray]:
     """Shared host-side prep: project, bbox per block, split into
     patch-kernel blocks (footprint fits the compact patch) and overflow
@@ -203,8 +218,8 @@ def _prep_splat_blocks(
 
     hpad, wpad = _pads(hgt, wid)
     fits = (
-        (bu_max - bu_min < CW - 1)
-        & (bv_max - bv_min < CH - 1)
+        (bu_max - bu_min < cw - 1)
+        & (bv_max - bv_min < ch - 1)
         & (bu_min >= 0)
         & (bv_min >= 0)
     )
@@ -237,7 +252,9 @@ def _prep_splat_blocks(
     prep = _SplatPrep(
         lu=lu, lv=lv, dq_k=dq_k,
         buo=bu_k, bvo=bv_k,
-        n_real=n_real, order=order, lorder=lorder,
+        n_real=n_real,
+        n_left=jnp.sum(leftover).astype(jnp.int32),
+        order=order, lorder=lorder,
         lpix=jnp.concatenate(pix4), ldqs=jnp.concatenate(dq4),
         hpad=hpad, wpad=wpad,
     )
@@ -245,14 +262,23 @@ def _prep_splat_blocks(
     return prep, pool, sv_overflow
 
 
-def _zbuf_pallas(prep: _SplatPrep, hgt, wid, tb, interpret):
+def _zbuf_pallas(prep: _SplatPrep, hgt, wid, tb, interpret, cw=CW, ch=CH):
     """Kernel pass + overflow scatter -> merged flat z-buffer [n_pix]."""
     zpad = splat_zbuf_rows(
         prep.lu, prep.lv, prep.dq_k, prep.buo, prep.bvo, prep.n_real,
-        prep.hpad, prep.wpad, tb=tb, interpret=interpret,
+        prep.hpad, prep.wpad, tb=tb, interpret=interpret, cw=cw, ch=ch,
     )
     zbuf = zpad[:hgt, :wid].reshape(-1)
-    return zbuf.at[prep.lpix].min(prep.ldqs, mode="drop")
+    # the overflow scatter's 4*cap*512 descriptors are only worth paying
+    # when some block actually overflowed the compact patch (the common
+    # steady-state frame has none; a scatter of all-dropped indices
+    # still walks every descriptor)
+    return jax.lax.cond(
+        prep.n_left > 0,
+        lambda z: z.at[prep.lpix].min(prep.ldqs, mode="drop"),
+        lambda z: z,
+        zbuf,
+    )
 
 
 def splat_depth_pallas(
@@ -265,6 +291,8 @@ def splat_depth_pallas(
     tb: int = 8,
     interpret: bool = False,
     surf_cap=None,
+    cw: int = CW,
+    ch: int = CH,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Depth + hit images via the Pallas splat z-buffer.
 
@@ -281,9 +309,10 @@ def splat_depth_pallas(
 
         surf_cap = DEFAULT_SURF_CAP
     prep, _pool, _overflow = _prep_splat_blocks(
-        vol, cam, cam_T_world, max_depth, band, overflow_cap, surf_cap
+        vol, cam, cam_T_world, max_depth, band, overflow_cap, surf_cap,
+        cw=cw, ch=ch,
     )
-    zbuf = _zbuf_pallas(prep, hgt, wid, tb, interpret)
+    zbuf = _zbuf_pallas(prep, hgt, wid, tb, interpret, cw=cw, ch=ch)
     hit = (zbuf < BIG).reshape(hgt, wid)
     depth = jnp.where(hit, zbuf.reshape(hgt, wid).astype(jnp.float32) / 4096.0, 0.0)
     return depth, hit
@@ -314,6 +343,8 @@ def _payload_kernel(
     tb: int,
     hpad: int,
     wpad: int,
+    cw: int,
+    ch: int,
 ):
     """Winner-takes-max payload splat: a voxel paints a patch pixel only
     when its quantized depth equals the final z-buffer there (same rule
@@ -328,8 +359,8 @@ def _payload_kernel(
         pbuf_ref[...] = jnp.full(pbuf_ref.shape, _PMIN, jnp.int32)
         patch_ref[...] = jnp.full(patch_ref.shape, _PMIN, jnp.int32)
 
-    qv_iota = jax.lax.broadcasted_iota(jnp.int32, (CH, 512), 0)
-    lane_row = jax.lax.broadcasted_iota(jnp.int32, (CH, 128), 1)
+    qv_iota = jax.lax.broadcasted_iota(jnp.int32, (ch, 512), 0)
+    lane_row = jax.lax.broadcasted_iota(jnp.int32, (ch, 128), 1)
     for b in range(tb):
         idx = i * tb + b
 
@@ -347,28 +378,28 @@ def _payload_kernel(
             # back-roll the window so compact patch coords line up
             zc = pltpu.roll(zwin, _WIN_H - ry, axis=0)
             zc = pltpu.roll(zc, _WIN_W - rx, axis=1)  # [24, 256]
-            zc16 = zc[0:CH, 0:128]
+            zc16 = zc[0:ch, 0:128]
 
             lu = lu_ref[b]
             lv = lv_ref[b]
             dq = dq_ref[b]
             pk = pk_ref[b]
             rmask = (qv_iota == lv[None, :]) | (qv_iota == lv[None, :] + 1)
-            vals0 = jnp.where(rmask, dq[None, :], BIG)  # [CH, 512]
+            vals0 = jnp.where(rmask, dq[None, :], BIG)  # [ch, 512]
             pk0 = pk[None, :]  # [1, 512] broadcast over rows
-            acc = jnp.full((CH, 128), _PMIN, jnp.int32)
-            for qu in range(CW):
+            acc = jnp.full((ch, 128), _PMIN, jnp.int32)
+            for qu in range(cw):
                 cmask = (lu == qu) | (lu == qu - 1)  # [512]
                 # z value of this patch column, one per row
                 zcol = jnp.min(
                     jnp.where(lane_row == qu, zc16, BIG),
-                    axis=1, keepdims=True)  # [CH, 1]
+                    axis=1, keepdims=True)  # [ch, 1]
                 win = cmask[None, :] & (vals0 == zcol) & (vals0 < BIG)
                 pcol = jnp.max(jnp.where(win, pk0, _PMIN),
-                               axis=1, keepdims=True)  # [CH, 1]
+                               axis=1, keepdims=True)  # [ch, 1]
                 acc = jnp.maximum(
                     acc, jnp.where(lane_row == qu, pcol, _PMIN))
-            patch_ref[b, 0:CH, 0:128] = acc
+            patch_ref[b, 0:ch, 0:128] = acc
 
             p = patch_ref[b]
             p = pltpu.roll(p, ry, axis=0)
@@ -378,15 +409,19 @@ def _payload_kernel(
                 cur, p)
 
 
-@functools.partial(jax.jit, static_argnames=("hpad", "wpad", "tb", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("hpad", "wpad", "tb", "interpret", "cw", "ch")
+)
 def splat_payload_rows(
     lu, lv, dq, pk, bu, bv, n_real, zpad,
     hpad: int, wpad: int, tb: int = 8,
     interpret: bool = False,
+    cw: int = CW, ch: int = CH,
 ) -> jnp.ndarray:
     """Max-merge winner payload patches against the final padded z-buffer."""
     s = lu.shape[0]
     assert s % tb == 0
+    assert 128 % cw == 0 and ch <= _WIN_H - 8, (cw, ch)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(s // tb,),
@@ -401,7 +436,9 @@ def splat_payload_rows(
         scratch_shapes=[pltpu.VMEM((tb, _WIN_H, _WIN_W), jnp.int32)],
     )
     return pl.pallas_call(
-        functools.partial(_payload_kernel, tb=tb, hpad=hpad, wpad=wpad),
+        functools.partial(
+            _payload_kernel, tb=tb, hpad=hpad, wpad=wpad, cw=cw, ch=ch
+        ),
         out_shape=jax.ShapeDtypeStruct((hpad, wpad), jnp.int32),
         grid_spec=grid_spec,
         interpret=interpret,
@@ -418,6 +455,8 @@ def splat_render_pallas(
     tb: int = 8,
     interpret: bool = False,
     surf_cap=None,
+    cw: int = CW,
+    ch: int = CH,
 ):
     """Full splat render (rgba + normal + depth + hit) without scatters:
     the z-buffer and payload passes both run as compact patch kernels,
@@ -433,9 +472,10 @@ def splat_render_pallas(
 
         surf_cap = DEFAULT_SURF_CAP
     prep, pool, sv_overflow = _prep_splat_blocks(
-        vol, cam, cam_T_world, max_depth, band, overflow_cap, surf_cap
+        vol, cam, cam_T_world, max_depth, band, overflow_cap, surf_cap,
+        cw=cw, ch=ch,
     )
-    zbuf = _zbuf_pallas(prep, hgt, wid, tb, interpret)
+    zbuf = _zbuf_pallas(prep, hgt, wid, tb, interpret, cw=cw, ch=ch)
 
     # re-pad the merged z-buffer so the payload kernel sees the leftover
     # depths too (pad area stays BIG => never matched)
@@ -452,18 +492,25 @@ def splat_render_pallas(
         prep.lu, prep.lv, prep.dq_k,
         jnp.take(pk_flip, prep.order, axis=0),
         prep.buo, prep.bvo, prep.n_real, zpad,
-        prep.hpad, prep.wpad, tb=tb, interpret=interpret,
+        prep.hpad, prep.wpad, tb=tb, interpret=interpret, cw=cw, ch=ch,
     )
     pbuf = jax.lax.bitcast_convert_type(
         ppad[:hgt, :wid].reshape(-1), jnp.uint32
     ) ^ jnp.uint32(0x80000000)
 
-    # leftover payload: winner check against the final z-buffer
-    won = (prep.lpix < n_pix) & (
-        prep.ldqs == zbuf[jnp.clip(prep.lpix, 0, n_pix - 1)]
-    )
-    lpk = jnp.tile(jnp.take(packed.reshape(-1, 512), prep.lorder, axis=0).reshape(-1), 4)
-    wpix = jnp.where(won, prep.lpix, n_pix)
-    pbuf = pbuf.at[wpix].max(lpk, mode="drop")
+    # leftover payload: winner check against the final z-buffer (gated
+    # like the z-pass overflow scatter — descriptors cost even when all
+    # indices drop)
+    def _with_leftover(pb):
+        won = (prep.lpix < n_pix) & (
+            prep.ldqs == zbuf[jnp.clip(prep.lpix, 0, n_pix - 1)]
+        )
+        lpk = jnp.tile(
+            jnp.take(packed.reshape(-1, 512), prep.lorder, axis=0).reshape(-1), 4
+        )
+        wpix = jnp.where(won, prep.lpix, n_pix)
+        return pb.at[wpix].max(lpk, mode="drop")
+
+    pbuf = jax.lax.cond(prep.n_left > 0, _with_leftover, lambda pb: pb, pbuf)
 
     return images_from_buffers(zbuf, pbuf, cam, surf_overflow=sv_overflow)

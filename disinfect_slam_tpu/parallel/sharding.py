@@ -167,6 +167,75 @@ class DistributedTSDF:
         )
 
     # ------------------------------------------------------------------
+    def enable_host_spill(self) -> None:
+        """Attach one HostBlockStore per shard (systems/block_streaming.py).
+        Spilled blocks re-place onto their owner shard on restore — the
+        ownership hash is stable, so each shard's store only ever holds
+        blocks that shard owns, and no cross-shard traffic is needed."""
+        from ..systems.block_streaming import HostBlockStore
+
+        self.spill_stores = [HostBlockStore() for _ in range(self.n_devices)]
+
+    def spill_store_len(self) -> int:
+        stores = getattr(self, "spill_stores", None)
+        return sum(len(s) for s in stores) if stores else 0
+
+    def _get_shard(self, d: int) -> TSDFVolume:
+        sub = jax.tree.map(lambda x: jnp.asarray(np.asarray(x[d])), self.volume)
+        return dataclasses.replace(sub, cfg=self.sub_cfg)
+
+    def _put_shards(self, shards) -> None:
+        host = [jax.tree.map(lambda x: np.asarray(x), s) for s in shards]
+        stacked = jax.tree.map(lambda *xs: np.stack(xs), *host)
+        sharding = NamedSharding(self.mesh, P(self.axis))
+        self.volume = jax.tree.map(
+            lambda x: jax.device_put(jnp.asarray(x), sharding), stacked
+        )
+
+    def maybe_page(
+        self,
+        cam_pos_world_m,
+        radius_m: float,
+        min_free_frac: float = 0.05,
+        target_free_frac: float = 0.15,
+    ) -> Tuple[int, int]:
+        """Pool-pressure paging per shard — the sharded twin of
+        TSDFGrid.maybe_page (systems/tsdf_grid.py), same policy: under
+        low free-list pressure evict the farthest-from-camera owned
+        blocks to that shard's host store, then restore stored blocks
+        within radius_m while pool room allows.  Host-coordinated (pulls
+        each shard, pages, re-places the stacked volume) — call at
+        waypoint cadence, never per frame.  Returns (restored, evicted)
+        summed over shards."""
+        stores = getattr(self, "spill_stores", None)
+        if not stores:
+            return (0, 0)
+        restored = evicted = 0
+        shards = []
+        b = self.sub_cfg.num_blocks
+        for d in range(self.n_devices):
+            sub = self._get_shard(d)
+            free = int(np.asarray(sub.num_free))
+            if free < min_free_frac * b:
+                n_evict = int(target_free_frac * b) - free
+                sub, ev = stores[d].spill_cold(
+                    sub, cam_pos_world_m, n_evict, keep_radius_m=radius_m
+                )
+                evicted += ev
+                free = int(np.asarray(sub.num_free))
+            room = free - int(min_free_frac * b)
+            if room > 0 and len(stores[d]):
+                sub, rs = stores[d].restore_into_window(
+                    sub, center_m=cam_pos_world_m, radius_m=radius_m,
+                    max_restore=room,
+                )
+                restored += rs
+            shards.append(sub)
+        if restored or evicted:
+            self._put_shards(shards)
+        return (restored, evicted)
+
+    # ------------------------------------------------------------------
     def num_active_blocks(self) -> int:
         sub_blocks = self.sub_cfg.num_blocks
         return int(jnp.sum(sub_blocks - self.volume.num_free))

@@ -259,3 +259,59 @@ def test_sharded_dense_with_scatter_window_matches_single_chip():
         vol, frame, SE3.from_matrix(pose_np)
     )
     assert dist.num_active_blocks() == int(vol.num_active_blocks)
+
+
+def test_spill_under_sharding():
+    """host_spill x DistributedTSDF (VERDICT r3 weak #8): per-shard
+    HostBlockStores evict under pool pressure and restore blocks onto
+    their owner shard voxel-for-voxel — the sharded twin of
+    TSDFGrid.maybe_page."""
+    mesh = make_mesh(4)
+    dist = DistributedTSDF(CFG, mesh)
+    pose_np = look_at((0.033, -0.041, 0.017), (0.11, 0.07, 2.0131))
+    frame = make_frame(render_wall(W, H, K, pose_np, wall_z=2.0131))
+    dist.integrate(frame, K, pose_np, MAX_DEPTH)
+    n_active = dist.num_active_blocks()
+    assert n_active > 0
+
+    def sort(r):
+        idx = np.lexsort((r[:, 2], r[:, 1], r[:, 0]))
+        return r[idx]
+
+    rec0 = sort(dist.gather_all_tsdf())
+
+    # no-op before enable_host_spill
+    assert dist.maybe_page((0.0, 0.0, 0.0), radius_m=0.5) == (0, 0)
+
+    dist.enable_host_spill()
+    # force full pool pressure: every block (wall at z~2 m) is beyond the
+    # 0.5 m keep radius of a camera at the origin -> all evict, none
+    # restore (nothing within radius)
+    restored, evicted = dist.maybe_page(
+        (0.0, 0.0, 0.0), radius_m=0.5,
+        min_free_frac=1.1, target_free_frac=1.0,
+    )
+    assert restored == 0
+    assert evicted == n_active
+    assert dist.num_active_blocks() == 0
+    assert dist.spill_store_len() == n_active
+
+    # camera returns: restore everything within 50 m
+    restored, evicted = dist.maybe_page(
+        (0.0, 0.0, 2.0), radius_m=50.0, min_free_frac=0.0,
+    )
+    assert evicted == 0
+    assert restored == n_active
+    assert dist.spill_store_len() == 0
+    np.testing.assert_array_equal(sort(dist.gather_all_tsdf()), rec0)
+
+    # the paged-back volume keeps WORKING under shard_map: one more
+    # integrate matches the same step on a never-spilled copy
+    ref = DistributedTSDF(CFG, mesh)
+    ref.integrate(frame, K, pose_np, MAX_DEPTH)
+    more = make_frame(render_wall(W, H, K, pose_np, wall_z=2.6139))
+    dist.integrate(more, K, pose_np, MAX_DEPTH)
+    ref.integrate(more, K, pose_np, MAX_DEPTH)
+    np.testing.assert_array_equal(
+        sort(dist.gather_all_tsdf()), sort(ref.gather_all_tsdf())
+    )

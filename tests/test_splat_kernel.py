@@ -85,3 +85,29 @@ def test_surf_cap_filter_is_lossless_when_cap_holds():
     b = splat_render(vol, cam, pose, MAX_DEPTH)  # default cap
     np.testing.assert_array_equal(np.asarray(a.rgba), np.asarray(b.rgba))
     np.testing.assert_array_equal(np.asarray(a.depth), np.asarray(b.depth))
+
+
+@pytest.mark.parametrize("eye", [(0.21, -0.33, -0.27), (0.05, 0.1, 0.55)],
+                         ids=["normal", "close"])
+def test_pallas_splat_narrow_patch_matches_xla(eye):
+    """The narrow (cw=16, ch=16) compact mode — half the per-block
+    column loop — must still match the XLA path bit-for-bit: blocks
+    whose footprint exceeds the smaller patch route through the overflow
+    scatter instead."""
+    from disinfect_slam_tpu.ops.pallas.splat_kernel import splat_render_pallas
+
+    vol, cam, pose_np = _fused_scene(eye)
+    pose = SE3.from_matrix(pose_np)
+
+    ref = splat_render(vol, cam, pose, MAX_DEPTH)
+    depth, hit = splat_depth_pallas(
+        vol, cam, pose, MAX_DEPTH, interpret=True, cw=16, ch=16
+    )
+    np.testing.assert_array_equal(np.asarray(hit), np.asarray(ref.hit))
+    np.testing.assert_array_equal(np.asarray(depth), np.asarray(ref.depth))
+
+    res = splat_render_pallas(
+        vol, cam, pose, MAX_DEPTH, interpret=True, cw=16, ch=16
+    )
+    np.testing.assert_array_equal(np.asarray(res.rgba), np.asarray(ref.rgba))
+    np.testing.assert_array_equal(np.asarray(res.depth), np.asarray(ref.depth))
