@@ -34,6 +34,11 @@ def main():
     ap.add_argument("--max-frames", type=int, default=0)
     ap.add_argument("--save", help="dump VoxelSpatialTSDF binary here")
     ap.add_argument("--mesh", help="extract + save OBJ mesh here")
+    ap.add_argument(
+        "--mesh-q16", action="store_true",
+        help="uint16 fixed-point mesh D2H (2x fewer bytes, max error "
+             "1/32 voxel; ops/mesh.py extract_mesh_chunked)",
+    )
     ap.add_argument("--render-dir", help="write raycast PNGs here")
     ap.add_argument("--renderer",
                     choices=["auto", "raycast", "splat", "splat_pallas"],
@@ -277,7 +282,10 @@ def main():
         )
 
         with timer.span("mesh"):
-            tris = extract_mesh_chunked(grid.volume)
+            tris = extract_mesh_chunked(
+                grid.volume,
+                transfer="q16" if args.mesh_q16 else "f32",
+            )
             verts, faces = merge_vertices(tris)
         save_obj(args.mesh, verts, faces)
         print(f"[offline] mesh: {len(verts)} verts, {len(faces)} faces "

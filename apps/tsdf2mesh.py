@@ -37,6 +37,12 @@ def main(argv=None) -> int:
         help="triangle capacity per extraction chunk",
     )
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    ap.add_argument(
+        "--q16", action="store_true",
+        help="uint16 fixed-point D2H (2x fewer bytes, max error 1/32 "
+             "voxel) — for remote-attached chips where the tunnel "
+             "dominates export time",
+    )
     args = ap.parse_args(argv)
 
     import jax
@@ -63,7 +69,10 @@ def main(argv=None) -> int:
         f"[tsdf2mesh] volume: {int(vol.num_active_blocks)} blocks, "
         f"voxel {vol.cfg.voxel_size*1000:.2f} mm"
     )
-    tris = extract_mesh_chunked(vol, max_tris_per_chunk=args.max_tris)
+    tris = extract_mesh_chunked(
+        vol, max_tris_per_chunk=args.max_tris,
+        transfer="q16" if args.q16 else "f32",
+    )
     verts, faces = merge_vertices(tris)
     if args.out.lower().endswith(".ply"):
         rgb, prob = vertex_attributes(vol, verts)

@@ -126,6 +126,8 @@ def extract_mesh_chunked(
     vol: TSDFVolume,
     max_tris_per_chunk: int = 1 << 18,
     chunk: int = 512,
+    transfer: str = "f32",
+    bucket: int = 4096,
 ):
     """Memory-bounded extraction: iterates the candidate blocks in
     fixed-size chunks (one compiled program reused across chunks) and
@@ -133,7 +135,23 @@ def extract_mesh_chunked(
 
     Blocks that provably produce no triangles (single-signed corner
     field, bounded conservatively through neighbors) are skipped before
-    chunking."""
+    chunking.
+
+    The D2H side is pipelined for remote-attached chips (the tunnel is
+    the full-volume bottleneck, COVERAGE.md): chunk counts come back in
+    ONE batched read, transfer slices are padded up to `bucket` rows so
+    the slice programs specialize to a bounded shape set, and every
+    chunk's copy is started async before the first is consumed.
+
+    transfer="q16" additionally quantizes vertices on device to uint16
+    voxel-grid fixed point (1/16 voxel step => max error 1/32 voxel,
+    ~0.13 mm at 4 mm voxels) — 2x fewer D2H bytes; dequantized on host.
+    Side effect: downstream merge_vertices collapses sliver triangles
+    thinner than the step (vertices snap together), shrinking the face
+    count at identical geometry (verified: NN deviation < step on the
+    offline CLI A/B).
+    Falls back to f32 when the volume extent exceeds the u16 range
+    (65535 steps ~ 16 m at 4 mm)."""
     import jax
     import jax.numpy as jnp
 
@@ -176,6 +194,26 @@ def extract_mesh_chunked(
     # dispatch every chunk before reading any back: device work and the
     # (relay-latency-bound) D2H transfers pipeline instead of
     # ping-ponging per chunk
+    # q16 transfer frame: global origin from the candidate blocks (host
+    # data already present), fixed-point step = voxel/16
+    q_origin = q_step = None
+    if transfer == "q16":
+        bl = cfg.block_len
+        lo = block_pos.min(axis=0).astype(np.float64) * bl * cfg.voxel_size
+        hi = (block_pos.max(axis=0).astype(np.float64) + 1) * bl * cfg.voxel_size
+        step = cfg.voxel_size / 16.0
+        if float((hi - lo).max()) / step < 65534.0:
+            q_origin, q_step = lo.astype(np.float32), np.float32(step)
+        # else: extent exceeds u16 range -> silent f32 fallback
+
+        if q_origin is not None:
+            org_j = jnp.asarray(q_origin)
+
+            @jax.jit
+            def _quant(verts):
+                q = jnp.round((verts - org_j) / q_step)
+                return jnp.clip(q, 0, 65535).astype(jnp.uint16)
+
     meshes = []
     for s0 in range(0, n, chunk):
         bp = np.zeros((chunk, 3), np.int32)
@@ -186,14 +224,32 @@ def extract_mesh_chunked(
         bp[:k] = block_pos[sel]
         pi[:k] = pool_idx[sel]
         m[:k] = True
-        meshes.append(fn(vol, jnp.asarray(bp), jnp.asarray(pi), jnp.asarray(m)))
+        mesh = fn(vol, jnp.asarray(bp), jnp.asarray(pi), jnp.asarray(m))
+        if q_origin is not None:
+            mesh = mesh._replace(vertices=_quant(mesh.vertices))
+        meshes.append(mesh)
+
+    # ONE batched count read instead of a sync per chunk
+    counts = np.asarray(jnp.stack([m.count for m in meshes]))
+    clipped = int(np.sum(counts >= max_tris_per_chunk))
+    slices = []
+    for mesh, cnt in zip(meshes, counts):
+        cnt = int(min(cnt, max_tris_per_chunk))
+        # bucketed slice: bounded shape set -> bounded compile set, and
+        # a paddable extent the async copy can start on immediately
+        cb = min((cnt + bucket - 1) // bucket * bucket, max_tris_per_chunk)
+        slices.append((mesh.vertices[:cb], cnt))
+    for arr, _ in slices:
+        try:
+            arr.copy_to_host_async()
+        except AttributeError:  # pragma: no cover - backend-dependent
+            pass
     outs = []
-    clipped = 0
-    for mesh in meshes:
-        cnt = int(mesh.count)
-        if cnt >= max_tris_per_chunk:
-            clipped += 1
-        outs.append(np.asarray(mesh.vertices[:cnt]))
+    for arr, cnt in slices:
+        a = np.asarray(arr)[:cnt]
+        if q_origin is not None:
+            a = q_origin + a.astype(np.float32) * q_step
+        outs.append(a)
     if clipped:
         import logging
 

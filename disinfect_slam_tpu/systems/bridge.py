@@ -103,6 +103,10 @@ class ReconstructionBridge:
         return merge_vertices(tris)
 
     def _mesh_loop(self) -> None:
+        import logging
+
+        log = logging.getLogger(__name__)
+        over_budget = 0
         while not self._stop.is_set():
             t0 = time.perf_counter()
             if self.mesh_callback is not None:
@@ -110,10 +114,24 @@ class ReconstructionBridge:
                     verts, faces = self.query_mesh()
                     self.mesh_callback(verts, faces)
                 except Exception:  # pragma: no cover
-                    import logging
-
-                    logging.getLogger(__name__).exception("mesh query failed")
-            dt = self.mesh_period - (time.perf_counter() - t0)
+                    log.exception("mesh query failed")
+            took = time.perf_counter() - t0
+            # budget check (the ros_offline.cc:293-294 timing-log
+            # analogue): a query slower than the period means the 5 Hz
+            # publish contract is silently degrading — warn, with
+            # exponential backoff so a persistently slow bbox doesn't
+            # flood the log
+            if took > self.mesh_period and self.mesh_callback is not None:
+                over_budget += 1
+                if over_budget & (over_budget - 1) == 0:  # 1, 2, 4, 8...
+                    log.warning(
+                        "[bridge] mesh query took %.0f ms > %.0f ms budget "
+                        "(%d over-budget cycles): publishing at %.1f Hz, "
+                        "not %.1f Hz — shrink the bbox or lower the rate",
+                        took * 1e3, self.mesh_period * 1e3, over_budget,
+                        1.0 / took, 1.0 / self.mesh_period,
+                    )
+            dt = self.mesh_period - took
             if dt > 0:
                 self._stop.wait(dt)
 

@@ -46,12 +46,21 @@ class DenseSLAM:
         loop_closure: bool = False,
         kf_every: int = 10,
         lc_kwargs: Optional[dict] = None,
+        track_res_scale: int = 1,
     ):
         # splat_impl: "xla" scatter z-buffer or "pallas" patch kernel
         # (ops/pallas/splat_kernel.py) for the model depth render --
         # bit-identical outputs; "auto" picks pallas on TPU (97 ms vs
         # 1.6 s at bench scale: the kernel avoids the descriptor-bound
         # scatter) and xla elsewhere
+        #
+        # track_res_scale: run the WHOLE tracking path (model render +
+        # ICP pyramid) at 1/scale resolution while fusion stays full
+        # res.  scale=2 quarters the two dominant tracking costs (splat
+        # patch work, per-iteration correspondence gathers); at 4 mm-1 cm
+        # voxels the model depth is voxel-quantized anyway, so half-res
+        # tracking loses little geometry (A/B: scripts/bench_dense_slam
+        # --track-scale, trajectory deltas in test_dense_slam).
         import dataclasses
 
         if cfg is None:
@@ -63,7 +72,18 @@ class DenseSLAM:
         self.intrinsics = intrinsics
         self.cam = CameraParams.create(CameraIntrinsics.create(*intrinsics), img_h, img_w)
         self.volume = TSDFVolume.create(cfg)
-        self.tracker = ICPOdometry(intrinsics, img_h, img_w, max_rmse=max_rmse)
+        ts = int(track_res_scale)
+        assert ts >= 1 and img_h % ts == 0 and img_w % ts == 0, (
+            "track_res_scale must divide the image dims", ts, img_h, img_w)
+        self.track_scale = ts
+        fx, fy, cx, cy = intrinsics
+        track_intr = (fx / ts, fy / ts, cx / ts, cy / ts)
+        self.track_cam = CameraParams.create(
+            CameraIntrinsics.create(*track_intr), img_h // ts, img_w // ts
+        )
+        self.tracker = ICPOdometry(
+            track_intr, img_h // ts, img_w // ts, max_rmse=max_rmse
+        )
         self.world_T_cam = np.eye(4, dtype=np.float32)
         self.frame_count = 0
         # per-frame device ok flags; lost_count resolves them lazily so
@@ -103,17 +123,21 @@ class DenseSLAM:
             splat_impl == "auto" and jax.default_backend() == "tpu"
         )
 
+        track_cam = self.track_cam
+
         @jax.jit
         def _model_depth(vol, pose_mat):
             if use_pallas:
                 from ..ops.pallas.splat_kernel import splat_depth_pallas
 
                 d, _hit = splat_depth_pallas(
-                    vol, cam, SE3.from_matrix(pose_mat), md,
+                    vol, track_cam, SE3.from_matrix(pose_mat), md,
                     interpret=jax.default_backend() != "tpu",
                 )
             else:
-                d = splat_render(vol, cam, SE3.from_matrix(pose_mat), md).depth
+                d = splat_render(
+                    vol, track_cam, SE3.from_matrix(pose_mat), md
+                ).depth
             # validity-aware 3x3 smoothing: the splat depth is quantized
             # to voxel centers; the box filter removes the stair-step
             # bias that would otherwise pull ICP along the view axis
@@ -130,6 +154,8 @@ class DenseSLAM:
         tracker = self.tracker
         max_rmse = float(max_rmse)
 
+        ts_static = self.track_scale
+
         @jax.jit
         def _track_frame(vol, prev_cam_T_world, depth, seed):
             # one program for render-model -> pyramids -> multilevel ICP:
@@ -138,6 +164,8 @@ class DenseSLAM:
             # stage, which dominates frame time on a remote-attached TPU
             md_img = _model_depth(vol, prev_cam_T_world)
             pyr_ref = tracker._prep(md_img)
+            if ts_static > 1:
+                depth = depth[::ts_static, ::ts_static]
             pyr_cur = tracker._prep(depth)
             return tracker._track(seed, pyr_cur, pyr_ref, prev_cam_T_world)
 

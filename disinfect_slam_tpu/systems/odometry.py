@@ -93,9 +93,20 @@ def _icp_level(
     h, w = src_verts.shape[:2]
     src = src_verts.reshape(-1, 3)
     src_valid = src[:, 2] > 0
-    rv = ref_verts_w.reshape(-1, 3)
-    rn = ref_normals_w.reshape(-1, 3)
-    rvalid = ref_valid.reshape(-1)
+    # pack vertex + normal + validity into ONE [N, 8] row array: the
+    # per-iteration correspondence lookup becomes a single row gather
+    # instead of three (gathers are descriptor-bound on TPU — ~N
+    # descriptors per gather regardless of row width, so packing cuts
+    # the dominant per-iteration cost 3x)
+    ref_pack = jnp.concatenate(
+        [
+            ref_verts_w.reshape(-1, 3),
+            ref_normals_w.reshape(-1, 3),
+            ref_valid.reshape(-1, 1).astype(jnp.float32),
+            jnp.zeros((h * w, 1), jnp.float32),
+        ],
+        axis=1,
+    )
 
     fx, fy = cam.intrinsics.fx, cam.intrinsics.fy
     cx, cy = cam.intrinsics.cx, cam.intrinsics.cy
@@ -118,11 +129,12 @@ def _icp_level(
         idx = vi * w + ui
         in_img = (u >= 0) & (u <= w - 1) & (v >= 0) & (v <= h - 1) & (z > 0)
 
-        q = rv[idx]
-        n = rn[idx]
+        g = ref_pack[idx]  # one row gather: vertex | normal | valid
+        q = g[:, 0:3]
+        n = g[:, 3:6]
         diff = p_w - q
         dist_ok = jnp.sum(diff * diff, axis=-1) < dist_thresh * dist_thresh
-        valid = src_valid & in_img & rvalid[idx] & dist_ok
+        valid = src_valid & in_img & (g[:, 6] > 0) & dist_ok
         r_res = jnp.sum(n * diff, axis=-1)
 
         # Huber IRLS weights: quadratic near zero, linear in the tails —

@@ -50,3 +50,42 @@ def test_bridge_callbacks():
     assert len(verts) > 50 and len(faces) > 50
     # mesh vertices near the wall plane
     assert abs(np.median(verts[:, 2]) - 2.0131) < 0.1
+
+
+def test_bridge_budget_warning(caplog):
+    """A mesh query slower than mesh_period must WARN that the 5 Hz
+    publish contract is degrading (the ros_offline.cc:293-294 timing-log
+    analogue), with exponential backoff."""
+    import logging
+
+    pose = look_at((0.01, 0.02, -0.01), (0.04, -0.03, 2.0))
+    depth = render_wall(W, H, K, pose, wall_z=2.0131)
+    rgb = np.full((H, W, 3), 120, np.float32)
+    with DISINFSystem(
+        K, depth_factor=1.0, voxel_size=0.05, truncation=0.15,
+        cfg=CFG_DENSE, half_scale=False,
+    ) as system:
+        system.feed_pose(0, pose)
+        system.feed_rgbd_frame(rgb, depth, 0)
+        system.tsdf.flush()
+
+        def slow_cb(v, f):
+            time.sleep(0.05)
+
+        bridge = ReconstructionBridge(
+            system,
+            BoundingCube(-3, 3, -3, 3, 0, 4),
+            mesh_callback=slow_cb,
+            mesh_period=0.01,  # impossible budget: every cycle overruns
+            pose_period=0.5,
+        )
+        with caplog.at_level(
+            logging.WARNING, logger="disinfect_slam_tpu.systems.bridge"
+        ):
+            with bridge:
+                deadline = time.time() + 60
+                while time.time() < deadline and not any(
+                    "budget" in r.message for r in caplog.records
+                ):
+                    time.sleep(0.05)
+    assert any("budget" in r.message for r in caplog.records)

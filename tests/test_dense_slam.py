@@ -208,3 +208,29 @@ def test_initial_pose_anchor():
 
     with pytest.raises(AssertionError):
         slam.set_initial_pose(np.eye(4))
+
+
+def test_dense_slam_half_res_tracking():
+    """track_res_scale=2 (model render + ICP at half res, fusion at full
+    res): the tracking-cost knob for sensor-rate operation.  Accuracy on
+    the orbit stays within ~1.5 voxels where full res holds ~1."""
+    slam = DenseSLAM(
+        K, H, W, voxel_size=0.02, truncation=0.06, cfg=SLAM_CFG,
+        track_res_scale=2,
+    )
+    rgb = checker_rgb(W, H)
+    angs = np.linspace(0, 0.12, 6)
+    true_poses, est_poses = [], []
+    n_ok = 0
+    for ang in angs:
+        eye = (np.sin(ang) * 1.8, 0.01 * ang, -1.8 * np.cos(ang) + 0.3)
+        pose = look_at(eye, CENTER)
+        true_poses.append(pose)
+        est, ok = slam.process_frame(rgb, scene_depth(pose))
+        est_poses.append(est)
+        n_ok += ok
+    assert n_ok == len(angs)
+    rel_true = true_poses[-1] @ np.linalg.inv(true_poses[0])
+    rel_est = np.asarray(est_poses[-1]) @ np.linalg.inv(np.asarray(est_poses[0]))
+    t_err = np.linalg.norm(rel_true[:3, 3] - rel_est[:3, 3])
+    assert t_err < 0.03, (t_err, rel_true[:3, 3], rel_est[:3, 3])

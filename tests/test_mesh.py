@@ -104,3 +104,19 @@ def test_chunked_clip_warning_fires(sphere_vol, caplog):
     assert any("clipped" in r.message for r in caplog.records)
     tris_full = extract_mesh_chunked(sphere_vol)
     assert len(tris_full) > len(tris_small)
+
+
+def test_chunked_q16_transfer_matches_f32(sphere_vol):
+    """The uint16 fixed-point D2H mode must reproduce the f32 mesh to
+    within its documented half-step (voxel/32) and keep every triangle."""
+    from disinfect_slam_tpu.ops.mesh import extract_mesh_chunked
+
+    tris_f32 = extract_mesh_chunked(sphere_vol, chunk=16)
+    tris_q16 = extract_mesh_chunked(sphere_vol, chunk=16, transfer="q16")
+    assert tris_q16.shape == tris_f32.shape
+
+    # both modes emit triangles in the same deterministic chunk order,
+    # so rows correspond 1:1 — compare directly (sorting would pair
+    # different triangles once coordinates move by the quantization)
+    step = sphere_vol.cfg.voxel_size / 16.0
+    np.testing.assert_allclose(tris_q16, tris_f32, atol=step / 2 + 1e-6)
