@@ -6,9 +6,17 @@ JAX state threaded through jitted steps:
     free-list heap with an atomic counter -> `tsdf/weight/rgb/prob` arrays
     plus a `heap` stack and scalar `num_free`.
   - VoxelHashTable (utils/tsdf/voxel_hash.cuh:47-183): bucketed entries
-    with spin locks and chained overflow -> flat `entry_pos`/`entry_block`
+    with spin locks and chained overflow -> flat `entry_key`/`entry_block`
     arrays probed linearly; conflicts are resolved by deterministic
-    scatter claims instead of locks (see ops/hash.py).
+    scatter claims instead of locks (see ops/hash.py).  Block coordinates
+    are stored PACKED (one i32 key per entry, core/voxel.py
+    pack_block_coord): a [E, 3] coordinate array would be minor-dim-3,
+    which XLA:TPU lays out as T(4,128)/T(8,128) tiles and then pays two
+    whole-array layout copies plus a serialized row scatter per insert
+    (~2.4 ms/frame measured at 2^18 entries — the trace showed
+    copy(s32[262144,3]) pairs bracketing the entry scatter).  The packed
+    key scatters as a plain [E] i32 row and unpacks into consumers for
+    free; the `entry_pos` property provides the unpacked [E, 3] view.
   - VoxelBlock metadata (voxel_mem.cuh:73-93).
 
 Entry states in `entry_block`: >= 0 pool index, EMPTY (-1) never used,
@@ -58,7 +66,7 @@ class TSDFVolume:
     # dense backend: E = num_blocks, entry i <-> pool slot i, plus a dense
     # block_table mapping grid cell -> pool idx for O(1) lookup (TPU
     # gathers are descriptor-bound; one load beats a 16-slot probe).
-    entry_pos: jnp.ndarray  # int32 [E, 3] block coordinate
+    entry_key: jnp.ndarray  # int32 [E] packed block coordinate (pack_block_coord)
     entry_block: jnp.ndarray  # int32 [E]  pool idx / EMPTY / TOMBSTONE
     block_table: jnp.ndarray  # int32 [G^3] (dense) or [1] placeholder (hash)
 
@@ -103,6 +111,14 @@ class TSDFVolume:
 
 
     @property
+    def entry_pos(self) -> jnp.ndarray:
+        """Unpacked [E, 3] block-coordinate view of entry_key (the
+        storage is packed — see the class docstring)."""
+        from . import voxel as vx
+
+        return vx.unpack_block_coord(self.entry_key, self.cfg)
+
+    @property
     def num_active_blocks(self) -> jnp.ndarray:
         """NumActiveBlock equivalent (voxel_hash.cu:207)."""
         return jnp.asarray(self.cfg.num_blocks, jnp.int32) - self.num_free
@@ -129,7 +145,7 @@ class TSDFVolume:
     def nbytes(self) -> int:
         total = 0
         for f in (
-            self.entry_pos,
+            self.entry_key,
             self.entry_block,
             self.block_table,
             self.heap,
@@ -145,8 +161,12 @@ class TSDFVolume:
 def _create_volume(cfg: TSDFConfig) -> "TSDFVolume":
     e, b, v = cfg.num_entries, cfg.num_blocks, cfg.block_volume
     table_size = cfg.grid_cells if cfg.backend == "dense" else 1
+    # key of coordinate (0, 0, 0): keeps the unpacked entry_pos view of
+    # never-written entries identical to the old zero-initialized array
+    off = 1 << (cfg.coord_bits - 1)
+    key0 = off | (off << cfg.coord_bits) | (off << (2 * cfg.coord_bits))
     return TSDFVolume(
-        entry_pos=jnp.zeros((e, 3), jnp.int32),
+        entry_key=jnp.full((e,), key0, jnp.int32),
         entry_block=jnp.full((e,), EMPTY, jnp.int32),
         block_table=jnp.full((table_size,), EMPTY, jnp.int32),
         # Stack pops from the top: heap[num_free - 1] first, matching

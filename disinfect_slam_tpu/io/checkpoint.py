@@ -19,7 +19,7 @@ from ..config import TSDFConfig
 from ..core.state import TSDFVolume
 
 _FIELDS = (
-    "entry_pos",
+    "entry_key",
     "entry_block",
     "block_table",
     "heap",
@@ -54,6 +54,14 @@ def load_volume(path: str) -> TSDFVolume:
     kwargs = {
         f: jnp.asarray(data[f]) for f in _FIELDS if f in data.files
     }
+    # pre-round-4 checkpoints stored the unpacked [E, 3] coordinate
+    # array; pack it into the entry_key storage (core/state.py)
+    if "entry_key" not in kwargs and "entry_pos" in data.files:
+        from ..core import voxel as _vx
+
+        kwargs["entry_key"] = _vx.pack_block_coord(
+            jnp.asarray(data["entry_pos"]), cfg
+        )
     # pre-round-3 checkpoints lack the oob accumulator
     kwargs.setdefault("oob_count", jnp.zeros((), jnp.int32))
     if "rgbw" not in kwargs:

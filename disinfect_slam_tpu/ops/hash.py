@@ -31,6 +31,7 @@ from typing import Tuple
 import jax.numpy as jnp
 
 from ..config import TSDFConfig
+from ..core import voxel as vx
 from ..core.state import EMPTY, RESET_PROB, RESET_TSDF, TOMBSTONE, TSDFVolume
 
 _P1 = jnp.int32(73856093)
@@ -155,7 +156,13 @@ def _insert_dense(
     )
     wslot = jnp.where(ok, pool_idx, cfg.num_blocks)
     entry_block = vol.entry_block.at[wslot].set(pool_idx, mode="drop")
-    entry_pos = vol.entry_pos.at[wslot].set(block, mode="drop")
+    # packed-key entry write: ONE [E] i32 scatter (see core/state.py on
+    # why the [E, 3] form cost ~2.4 ms/frame of layout copies + a
+    # serialized row scatter); in-range is already enforced above, so
+    # the pack is exact for every non-dropped slot
+    entry_key = vol.entry_key.at[wslot].set(
+        vx.pack_block_coord(block, cfg), mode="drop"
+    )
     num_free = vol.num_free - jnp.sum(ok.astype(jnp.int32))
 
     # payload reset (voxel_mem.cu:43-51) via compacted winner rows; ok
@@ -187,7 +194,7 @@ def _insert_dense(
 
     vol = vol.replace(
         block_table=block_table,
-        entry_pos=entry_pos,
+        entry_key=entry_key,
         entry_block=entry_block,
         num_free=num_free,
         tsdf=tsdf,
@@ -207,7 +214,7 @@ def _delete_entries_dense(
     valid = valid & (entry_idx >= 0) & (blk >= 0)
 
     # clear the dense cell for the stored coordinate
-    pos = vol.entry_pos[safe_idx]
+    pos = vx.unpack_block_coord(vol.entry_key[safe_idx], cfg)
     cell, _ = table_index(pos, cfg)
     block_table = vol.block_table.at[jnp.where(valid, cell, cfg.grid_cells)].set(
         EMPTY, mode="drop"
@@ -328,9 +335,9 @@ def lookup(vol: TSDFVolume, block: jnp.ndarray) -> jnp.ndarray:
     if cfg.backend == "dense":
         return _lookup_dense(vol, block)
     slots = probe_slots(block, cfg)  # [N, K]
-    epos = vol.entry_pos[slots]  # [N, K, 3]
+    ekey = vol.entry_key[slots]  # [N, K] packed coords
     eblk = vol.entry_block[slots]  # [N, K]
-    match = (eblk >= 0) & jnp.all(epos == block[..., None, :], axis=-1)
+    match = (eblk >= 0) & (ekey == vx.pack_block_coord(block, cfg)[..., None])
     found = jnp.any(match, axis=-1)
     first = jnp.argmax(match, axis=-1)
     blk = jnp.take_along_axis(eblk, first[..., None], axis=-1)[..., 0]
@@ -343,9 +350,9 @@ def lookup_entry(vol: TSDFVolume, block: jnp.ndarray) -> jnp.ndarray:
     if cfg.backend == "dense":
         return _lookup_dense(vol, block)  # entry idx == pool idx
     slots = probe_slots(block, cfg)
-    epos = vol.entry_pos[slots]
+    ekey = vol.entry_key[slots]
     eblk = vol.entry_block[slots]
-    match = (eblk >= 0) & jnp.all(epos == block[..., None, :], axis=-1)
+    match = (eblk >= 0) & (ekey == vx.pack_block_coord(block, cfg)[..., None])
     found = jnp.any(match, axis=-1)
     first = jnp.argmax(match, axis=-1)
     slot = jnp.take_along_axis(slots, first[..., None], axis=-1)[..., 0]
@@ -361,11 +368,12 @@ def _claim_round(
     num_entries = cfg.num_entries
 
     slots = probe_slots(block, cfg)  # [M, K]
-    epos = vol.entry_pos[slots]
+    key = vx.pack_block_coord(block, cfg)  # [M]
+    ekey = vol.entry_key[slots]
     eblk = vol.entry_block[slots]
 
     # Existence: a live entry with our coord anywhere in the window.
-    exists = jnp.any((eblk >= 0) & jnp.all(epos == block[:, None, :], axis=-1), axis=-1)
+    exists = jnp.any((eblk >= 0) & (ekey == key[:, None]), axis=-1)
     pending = pending & ~exists
 
     # First free (empty or tombstone) slot in the window.
@@ -399,7 +407,7 @@ def _claim_round(
     # Write entries (scatter, unique slots by construction).
     wslot = jnp.where(can_alloc, target, num_entries)
     entry_block = vol.entry_block.at[wslot].set(pool_idx, mode="drop")
-    entry_pos = vol.entry_pos.at[wslot].set(block, mode="drop")
+    entry_key = vol.entry_key.at[wslot].set(key, mode="drop")
     n_alloc = jnp.sum(can_alloc.astype(jnp.int32))
     num_free = vol.num_free - n_alloc
 
@@ -420,7 +428,7 @@ def _claim_round(
     )
 
     vol = vol.replace(
-        entry_pos=entry_pos,
+        entry_key=entry_key,
         entry_block=entry_block,
         num_free=num_free,
         tsdf=tsdf,
@@ -442,7 +450,10 @@ def insert(
     """
     if vol.cfg.backend == "dense":
         return _insert_dense(vol, block, valid)
-    pending = valid
+    # packed-key storage bounds coords to [coord_min, coord_max] (the
+    # documented coord_bits range, config.py); out-of-range candidates
+    # drop rather than aliasing another key
+    pending = valid & vx.in_coord_range(block, vol.cfg)
     for _ in range(vol.cfg.insert_rounds):
         vol, pending = _claim_round(vol, block, pending)
     return vol, pending

@@ -229,9 +229,11 @@ def main():
         )
         wslot = jnp.where(ok, pool_idx, cfg.num_blocks)
         entry_block = v.entry_block.at[wslot].set(pool_idx, mode="drop")
-        entry_pos = v.entry_pos.at[wslot].set(coords, mode="drop")
+        entry_key = v.entry_key.at[wslot].set(
+            vx.pack_block_coord(coords, cfg), mode="drop"
+        )
         v = v.replace(
-            block_table=block_table, entry_block=entry_block, entry_pos=entry_pos
+            block_table=block_table, entry_block=entry_block, entry_key=entry_key
         )
         return chain(v, jnp.sum(ok.astype(jnp.int32)))
 
