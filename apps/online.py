@@ -52,6 +52,11 @@ def main():
     )
     ap.add_argument("--baseline", type=float, default=0.12,
                     help="stereo baseline in metres (ZED: 0.12)")
+    ap.add_argument("--stereo-method", choices=("flat", "pyramid"),
+                    default="flat",
+                    help="block matcher: flat full cost volume (TPU "
+                    "default) or coarse-to-fine pyramid (less work; "
+                    "wins on gather-cheap backends)")
     ap.add_argument("--max-disp", type=int, default=64)
     ap.add_argument("--auto-recenter", action="store_true",
                     help="dense backend: follow the camera past the "
@@ -135,6 +140,7 @@ def main():
         est = StereoDepthEstimator(
             fx=intrinsics[0], baseline_m=args.baseline,
             max_disp=args.max_disp, max_depth=args.max_depth,
+            method=args.stereo_method,
         )
 
         class _StereoAsRGBD:

@@ -561,6 +561,37 @@ def main():
     except Exception as e:  # pragma: no cover
         print(f"[bench] seg bench skipped: {e}", file=sys.stderr)
 
+    # stereo block-matching micro-bench (VERDICT r3 #6: <= 33 ms at 64
+    # disparities VGA — the rate a ZED-native 30-60 FPS stereo stream
+    # needs, cameras/zed_native.cc:24-33).  Chained with a data
+    # dependence per iteration: unchained same-input loops report
+    # nonsense through the axon relay.
+    stereo_ms = float("nan")
+    try:
+        from disinfect_slam_tpu.ops.stereo import block_match
+
+        sl = np.ascontiguousarray(frames[0][1]).astype(np.float32).mean(axis=-1)
+        sr = np.roll(sl, -13, axis=1)
+        sl_d, sr_d = jax.device_put(sl), jax.device_put(sr)
+
+        @jax.jit
+        def _stereo_step(l, r):
+            disp, valid = block_match(l, r, max_disp=64)
+            return l + (jnp.sum(disp) + jnp.sum(valid)) * 0.0, disp
+
+        sl_d, disp = _stereo_step(sl_d, sr_d)
+        jax.block_until_ready(disp)
+        stereo_iters = int(os.environ.get("DSTPU_BENCH_STEREO_ITERS", "10"))
+        t0 = time.perf_counter()
+        for _ in range(stereo_iters):
+            sl_d, disp = _stereo_step(sl_d, sr_d)
+        jax.block_until_ready(disp)
+        stereo_ms = (time.perf_counter() - t0) / stereo_iters * 1e3
+        print(f"[bench] stereo block match (64 disp, {w}x{h}): "
+              f"{stereo_ms:.2f} ms", file=sys.stderr)
+    except Exception as e:  # pragma: no cover
+        print(f"[bench] stereo bench skipped: {e}", file=sys.stderr)
+
     print(
         f"[bench] platform={platform} img={w}x{h} voxel={cfg.voxel_size} "
         f"frames={n_frames} active_blocks={int(vol.num_active_blocks)} "
@@ -585,6 +616,7 @@ def main():
                     None if online_fps_fast != online_fps_fast
                     else round(online_fps_fast, 2)
                 ),
+                "stereo_ms": None if stereo_ms != stereo_ms else round(stereo_ms, 2),
                 "fallback": fallback,
                 # north-star dataset status (BASELINE.md): the TUM rgbd_1
                 # sequence cannot be fetched in this image (zero egress),

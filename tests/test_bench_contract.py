@@ -23,6 +23,7 @@ def test_bench_json_contract(monkeypatch, capsys):
     monkeypatch.setenv("DSTPU_BENCH_FRAMES", "4")
     monkeypatch.setenv("DSTPU_BENCH_RAYCAST", "0")
     monkeypatch.setenv("DSTPU_BENCH_SEG_ITERS", "2")
+    monkeypatch.setenv("DSTPU_BENCH_STEREO_ITERS", "1")
     bench.main()
     out = capsys.readouterr().out.strip().splitlines()
     assert out, "bench printed nothing to stdout"
@@ -49,6 +50,10 @@ def test_bench_json_contract(monkeypatch, capsys):
     assert "online_fps_fast" in payload
     if payload["online_fps"] is not None:
         assert payload["online_fps"] > 0
+    # stereo latency line (VERDICT r3 #6): number or null, never absent
+    assert "stereo_ms" in payload
+    if payload["stereo_ms"] is not None:
+        assert payload["stereo_ms"] > 0
 
 
 def test_tum_autodetect(tmp_path, monkeypatch):

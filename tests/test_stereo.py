@@ -113,3 +113,50 @@ def test_estimator_wrapper_uint8():
     true_depth = FX * BASELINE / true_disp
     rel = np.abs(depth[m] - true_depth[m]) / true_depth[m]
     assert np.quantile(rel, 0.9) < 0.25
+
+
+def test_pyramid_recovers_disparity_in_smooth_regions():
+    """Coarse-to-fine matcher: sub-0.1px accuracy on valid pixels away
+    from depth discontinuities, and the discontinuity guard keeps the
+    valid set clean near them (confidently-wrong pixels are the failure
+    mode coarse-to-fine must not have)."""
+    from disinfect_slam_tpu.ops.stereo import block_match_pyramid
+
+    left, right, true_disp = make_pair()
+    disp, valid = block_match_pyramid(left, right, max_disp=40, levels=2, band=2)
+    disp, valid = np.asarray(disp), np.asarray(valid)
+    m = interior_mask(true_disp) & valid
+    assert m.mean() > 0.3, f"too few valid interior pixels ({m.mean():.2f})"
+    err = np.abs(disp[m] - true_disp[m])
+    # measured 0.061/0.128 on this fixture; generous headroom
+    assert np.quantile(err, 0.95) <= 0.5, f"p95 {np.quantile(err, 0.95):.2f}"
+    assert err.mean() < 0.3
+    # away from discontinuities the accuracy is sub-pixel-fit limited
+    m12 = interior_mask(true_disp, margin=12) & valid
+    err12 = np.abs(disp[m12] - true_disp[m12])
+    assert np.quantile(err12, 0.95) <= 0.15
+
+
+def test_pyramid_single_level_matches_flat_closely():
+    from disinfect_slam_tpu.ops.stereo import block_match_pyramid
+
+    left, right, true_disp = make_pair()
+    d_flat, v_flat = block_match(left, right, max_disp=40)
+    d_pyr, v_pyr = block_match_pyramid(left, right, max_disp=40, levels=1, band=2)
+    m = interior_mask(true_disp) & np.asarray(v_flat) & np.asarray(v_pyr)
+    dd = np.abs(np.asarray(d_flat)[m] - np.asarray(d_pyr)[m])
+    assert np.quantile(dd, 0.95) <= 1.0
+
+
+def test_stereo_depth_pyramid_method():
+    left, right, true_disp = make_pair()
+    res = stereo_depth(
+        left, right, fx=FX, baseline_m=BASELINE, max_disp=40, method="pyramid"
+    )
+    depth = np.asarray(res.depth)
+    valid = np.asarray(res.valid)
+    m = interior_mask(true_disp) & valid
+    true_depth = FX * BASELINE / true_disp
+    rel = np.abs(depth[m] - true_depth[m]) / true_depth[m]
+    assert np.quantile(rel, 0.95) < 0.2
+    assert (depth[~valid] == 0).all()
