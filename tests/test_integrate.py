@@ -430,3 +430,52 @@ def test_auto_scatter_window_resolution():
     assert _auto_scatter_window(explicit, on_tpu=False) == 12
     off = dataclasses.replace(big, scatter_window_log2=0)
     assert _auto_scatter_window(off, on_tpu=True) == 0
+
+
+def test_fuse_ladder_matches_monolithic():
+    """cfg.fuse_ladder compiles the post-sampler fuse tail at L static
+    sizes and cond-selects the smallest covering the live count; the
+    volume must come out equal to the monolithic tail.  Same contract
+    class as test_scatter_window_matches_plain: discrete columns
+    bit-exact, tsdf/prob within the few-ulp cross-program-shape bound
+    (the fuse math compiles per branch shape on XLA:CPU)."""
+    from disinfect_slam_tpu.ops.gather import gather_valid
+
+    pose_a = look_at((0.013, -0.027, -1.5), (0.013, -0.021, 1.007))
+    pose_b = look_at((0.35, 0.11, -1.4), (0.013, -0.021, 1.007))
+    depth_a = render_sphere(
+        W, H, K, pose_a, center=(0.013, -0.021, 1.007), radius=0.613
+    ).astype(np.float32)
+    depth_b = render_sphere(
+        W, H, K, pose_b, center=(0.013, -0.021, 1.007), radius=0.613
+    ).astype(np.float32)
+    frames = [(make_frame(depth_a), pose_a), (make_frame(depth_b), pose_b)]
+
+    def volume_rows(ladder, base_cfg=CFG_DENSE):
+        cfg = dataclasses.replace(base_cfg, fuse_ladder=ladder)
+        g = gather_valid(run_ours(frames, cfg))
+        m = np.asarray(g.mask)
+        rows = np.concatenate(
+            [np.asarray(g.position)[m],
+             np.asarray(g.tsdf)[m][:, None],
+             np.asarray(g.weight)[m][:, None],
+             np.asarray(g.prob)[m][:, None]], axis=1)
+        return rows[np.lexsort(rows[:, :3].T[::-1])]
+
+    plain = volume_rows(1)
+    assert plain.shape[0] > 64, "degenerate scene"
+    # 4: the TPU auto value; 8: finer ladder exercises a non-boundary
+    # branch; also the hash backend (no sorted-prefix hints needed —
+    # the ladder only relies on mask == arange < count)
+    for ladder in (4, 8):
+        rows = volume_rows(ladder)
+        assert rows.shape == plain.shape
+        np.testing.assert_array_equal(plain[:, :3], rows[:, :3])
+        np.testing.assert_array_equal(plain[:, 4], rows[:, 4])
+        np.testing.assert_allclose(plain[:, 3], rows[:, 3], rtol=0, atol=2e-6)
+        np.testing.assert_allclose(plain[:, 5], rows[:, 5], rtol=0, atol=2e-6)
+    hash_plain = volume_rows(1, CFG)
+    hash_rows = volume_rows(4, CFG)
+    assert hash_rows.shape == hash_plain.shape
+    np.testing.assert_array_equal(hash_plain[:, :3], hash_rows[:, :3])
+    np.testing.assert_allclose(hash_plain[:, 3], hash_rows[:, 3], rtol=0, atol=2e-6)
