@@ -177,6 +177,20 @@ class TSDFConfig:
     # a later frame (fail-open, like the reference's lock-miss drop,
     # voxel_hash.cu:83-89).
     alloc_stride: int = 1
+    # Fuse-tail ladder: compile the post-sampler fuse tail (payload row
+    # gathers + fusion math + scatters + carve reduce) at L static row
+    # sizes — max_visible * k / L for k = 1..L — and lax.cond-select the
+    # smallest size covering the live visible count each frame.  The
+    # sampler kernel already scales with the live count (count
+    # early-exit); the tail otherwise runs at the padded max_visible cap
+    # (~45% dead rows at bench steady state).  Branch outputs are
+    # identical by construction (rows past the count are masked
+    # everywhere), but each branch compiles separately, so cross-branch
+    # float results agree only to the usual per-program-shape ulp bound
+    # (same contract class as scatter_window_log2).  1 = monolithic
+    # (exact reference shape); -1 = auto (4 on the TPU dense backend at
+    # >= 2^18 blocks, else 1).  Compile time scales with L.
+    fuse_ladder: int = 1
     # Allocate on every N-th frame only (fusion still runs every frame).
     # The allocation pass is ~40% of a steady-state frame yet a no-op
     # whenever no new surface entered the view; skipping it defers
@@ -266,6 +280,12 @@ class TSDFConfig:
             "alloc_every is a cadence (1 = allocate every frame); "
             f"got {self.alloc_every}"
         )
+        assert self.fuse_ladder == -1 or self.fuse_ladder >= 1, self.fuse_ladder
+        if self.fuse_ladder > 1:
+            assert self.max_visible % self.fuse_ladder == 0, (
+                "fuse_ladder must divide max_visible evenly; got "
+                f"{self.fuse_ladder} vs {self.max_visible}"
+            )
         if self.backend == "hash":
             assert self.max_probe >= self.entries_per_bucket
             assert self.num_blocks <= self.num_entries

@@ -606,92 +606,161 @@ def fuse_visible(
         (row_live[:, None] & in_img & ~sample_ok).any(axis=1).astype(jnp.int32)
     )
 
-    depth_ok = (depth > 0) & (depth <= max_depth)
-    sdf = d2r_s * (depth - z)
-    sdf_ok = sdf > -cfg.truncation
-    update = vis.mask[:, None] & sample_ok & depth_ok & sdf_ok
+    def _tail(s: int):
+        """Post-sampler fuse tail over the first `s` visible rows.
 
-    tsdf_new = jnp.minimum(1.0, sdf / cfg.truncation)
-    w_new = (1.0 - depth / max_depth) * 4.0
+        Rows past the live count are masked everywhere (vis.mask), so any
+        s >= vis.count produces the same volume; smaller s does ~s/vcap
+        of the tail's gather/VPU/scatter work.  Used monolithically
+        (s == vcap) or as a cfg.fuse_ladder cond branch."""
+        sl = (lambda a: a) if s == vcap else (lambda a: a[:s])
+        mask_s = sl(vis.mask)
+        depth_s, d2r_ss, z_s = sl(depth), sl(d2r_s), sl(z)
+        ht_s, lt_s = sl(ht), sl(lt)
+        depth_ok = (depth_s > 0) & (depth_s <= max_depth)
+        sdf = d2r_ss * (depth_s - z_s)
+        sdf_ok = sdf > -cfg.truncation
+        update = mask_s[:, None] & sl(sample_ok) & depth_ok & sdf_ok
 
-    # Index hints: dense-backend pool indices are ascending (entry i <->
-    # pool slot i and compaction preserves entry order), so the row
-    # gathers/scatters can promise sorted/unique to XLA's emitters.
-    # Padding rows clip to num_blocks-1 (duplicated), so the gather only
-    # claims sorted, not unique.
-    dense = cfg.backend == "dense" and cfg.index_hints
-    pool = jnp.clip(vis.pool_idx, 0, cfg.num_blocks - 1)  # [V]
-    tsdf_old = vol.tsdf.at[pool].get(indices_are_sorted=dense)  # [V, 512]
-    # ONE packed gather for color+weight (VoxelRGBW word); unpack with
-    # shifts in-flight — no [V, 512, 3] arrays anywhere in this path
-    rgbw_old = vol.rgbw.at[pool].get(indices_are_sorted=dense)  # [V, 512] u32
-    prob_old = vol.prob.at[pool].get(indices_are_sorted=dense)
-    # Second pin (see the projection barrier above): vis.pool_idx feeds
-    # both these gathers and the scatter-index computation, which DIFFERS
-    # between the windowed- and plain-scatter programs — without the
-    # barrier XLA can fuse the gathers + fusion math into a kernel whose
-    # shape (and hence FMA contraction) varies per program.  Pinning the
-    # inputs narrows the variance to the fuse-math region itself (which
-    # XLA:CPU still specializes per program at the ~ulp level).
-    tsdf_old, rgbw_old, prob_old = jax.lax.optimization_barrier(
-        (tsdf_old, rgbw_old, prob_old)
-    )
-    w_old = (rgbw_old >> 24).astype(jnp.float32)
-    r_old = (rgbw_old & 0xFF).astype(jnp.float32)
-    g_old = ((rgbw_old >> 8) & 0xFF).astype(jnp.float32)
-    b_old = ((rgbw_old >> 16) & 0xFF).astype(jnp.float32)
-    w_comb = w_old + w_new
-    w_safe = jnp.where(w_comb == 0, 1.0, w_comb)
-    tsdf_upd = (tsdf_old * w_old + tsdf_new * w_new) / w_safe
-    r_upd = vx.round_half_away((r_old * w_old + r_new * w_new) / w_safe)
-    g_upd = vx.round_half_away((g_old * w_old + g_new * w_new) / w_safe)
-    b_upd = vx.round_half_away((b_old * w_old + b_new * w_new) / w_safe)
-    w_upd = jnp.minimum(vx.round_half_away(w_comb), cfg.max_weight)
-    # log-space geometric fusion of ht/lt (voxel_tsdf.cu:196-202).
-    # DELIBERATE divergence from the reference in one corner: the
-    # reference computes expf(w * logf(p)), which is NaN when w == 0 and
-    # p == 0 (0 * -inf) — hit by voxels first touched near max_depth,
-    # whose w_new < 0.5 rounds the stored weight to 0.  Here the
-    # zero-exponent term contributes nothing (powf(0,0)==1 semantics),
-    # and a zero denominator keeps p_old, so those voxels stay finite
-    # where the reference would poison them.  The oracle encodes the
-    # same guard, so tests pin THIS behavior, not the reference's NaN.
-    positive = jnp.exp(
-        _pow_log(prob_old, w_old / w_safe) + _pow_log(ht, w_new / w_safe)
-    )
-    negative = jnp.exp(
-        _pow_log(1.0 - prob_old, w_old / w_safe) + _pow_log(lt, w_new / w_safe)
-    )
-    denom = positive + negative
-    prob_upd = jnp.where(denom > 0, positive / jnp.where(denom > 0, denom, 1.0),
-                         prob_old)
-    if cfg.prob_eps > 0.0:
-        prob_upd = jnp.clip(prob_upd, cfg.prob_eps, 1.0 - cfg.prob_eps)
+        tsdf_new = jnp.minimum(1.0, sdf / cfg.truncation)
+        w_new = (1.0 - depth_s / max_depth) * 4.0
 
-    tsdf_w = jnp.where(update, tsdf_upd, tsdf_old)
-    prob_w = jnp.where(update, prob_upd, prob_old)
-    # repack the RGBW word: updated lanes pack their (integral, rounded)
-    # channels; others keep the old word bit-for-bit
-    rgbw_upd = (
-        r_upd.astype(jnp.uint32)
-        | (g_upd.astype(jnp.uint32) << 8)
-        | (b_upd.astype(jnp.uint32) << 16)
-        | (w_upd.astype(jnp.uint32) << 24)
-    )
-    rgbw_w = jnp.where(update, rgbw_upd, rgbw_old)
+        # Index hints: dense-backend pool indices are ascending (entry i
+        # <-> pool slot i and compaction preserves entry order), so the
+        # row gathers/scatters can promise sorted/unique to XLA's
+        # emitters.  Padding rows clip to num_blocks-1 (duplicated), so
+        # the gather only claims sorted, not unique.
+        dense = cfg.backend == "dense" and cfg.index_hints
+        pool = jnp.clip(sl(vis.pool_idx), 0, cfg.num_blocks - 1)  # [s]
+        tsdf_old = vol.tsdf.at[pool].get(indices_are_sorted=dense)  # [s, 512]
+        # ONE packed gather for color+weight (VoxelRGBW word); unpack
+        # with shifts in-flight — no [s, 512, 3] arrays in this path
+        rgbw_old = vol.rgbw.at[pool].get(indices_are_sorted=dense)  # u32
+        prob_old = vol.prob.at[pool].get(indices_are_sorted=dense)
+        # Second pin (see the projection barrier above): vis.pool_idx
+        # feeds both these gathers and the scatter-index computation,
+        # which DIFFERS between the windowed- and plain-scatter programs
+        # — without the barrier XLA can fuse the gathers + fusion math
+        # into a kernel whose shape (and hence FMA contraction) varies
+        # per program.  Pinning the inputs narrows the variance to the
+        # fuse-math region itself (which XLA:CPU still specializes per
+        # program at the ~ulp level).
+        tsdf_old, rgbw_old, prob_old = jax.lax.optimization_barrier(
+            (tsdf_old, rgbw_old, prob_old)
+        )
+        w_old = (rgbw_old >> 24).astype(jnp.float32)
+        r_old = (rgbw_old & 0xFF).astype(jnp.float32)
+        g_old = ((rgbw_old >> 8) & 0xFF).astype(jnp.float32)
+        b_old = ((rgbw_old >> 16) & 0xFF).astype(jnp.float32)
+        w_comb = w_old + w_new
+        w_safe = jnp.where(w_comb == 0, 1.0, w_comb)
+        tsdf_upd = (tsdf_old * w_old + tsdf_new * w_new) / w_safe
+        r_upd = vx.round_half_away((r_old * w_old + sl(r_new) * w_new) / w_safe)
+        g_upd = vx.round_half_away((g_old * w_old + sl(g_new) * w_new) / w_safe)
+        b_upd = vx.round_half_away((b_old * w_old + sl(b_new) * w_new) / w_safe)
+        w_upd = jnp.minimum(vx.round_half_away(w_comb), cfg.max_weight)
+        # log-space geometric fusion of ht/lt (voxel_tsdf.cu:196-202).
+        # DELIBERATE divergence from the reference in one corner: the
+        # reference computes expf(w * logf(p)), which is NaN when w == 0
+        # and p == 0 (0 * -inf) — hit by voxels first touched near
+        # max_depth, whose w_new < 0.5 rounds the stored weight to 0.
+        # Here the zero-exponent term contributes nothing (powf(0,0)==1
+        # semantics), and a zero denominator keeps p_old, so those
+        # voxels stay finite where the reference would poison them.  The
+        # oracle encodes the same guard, so tests pin THIS behavior, not
+        # the reference's NaN.
+        positive = jnp.exp(
+            _pow_log(prob_old, w_old / w_safe) + _pow_log(ht_s, w_new / w_safe)
+        )
+        negative = jnp.exp(
+            _pow_log(1.0 - prob_old, w_old / w_safe)
+            + _pow_log(lt_s, w_new / w_safe)
+        )
+        denom = positive + negative
+        prob_upd = jnp.where(
+            denom > 0, positive / jnp.where(denom > 0, denom, 1.0), prob_old
+        )
+        if cfg.prob_eps > 0.0:
+            prob_upd = jnp.clip(prob_upd, cfg.prob_eps, 1.0 - cfg.prob_eps)
 
-    # Same rationale as the projection barrier above: pin the fused
-    # payloads so the scatter machinery (plain vs windowed-cond) cannot
-    # fuse INTO the fusion math — the update arrays are the scatter
-    # operands and materialize regardless.  This also makes the
-    # in-program windowed/fallback cond branches provably write the
-    # same values (both consume these pinned arrays).
-    tsdf_w, rgbw_w, prob_w = jax.lax.optimization_barrier(
-        (tsdf_w, rgbw_w, prob_w)
-    )
-    vol = _scatter_payload_rows(vol, vis, tsdf_w, rgbw_w, prob_w,
-                                platform=platform)
-    return vol, jnp.min(jnp.abs(tsdf_w), axis=-1), skipped
+        tsdf_w = jnp.where(update, tsdf_upd, tsdf_old)
+        prob_w = jnp.where(update, prob_upd, prob_old)
+        # repack the RGBW word: updated lanes pack their (integral,
+        # rounded) channels; others keep the old word bit-for-bit
+        rgbw_upd = (
+            r_upd.astype(jnp.uint32)
+            | (g_upd.astype(jnp.uint32) << 8)
+            | (b_upd.astype(jnp.uint32) << 16)
+            | (w_upd.astype(jnp.uint32) << 24)
+        )
+        rgbw_w = jnp.where(update, rgbw_upd, rgbw_old)
+
+        # Same rationale as the projection barrier above: pin the fused
+        # payloads so the scatter machinery (plain vs windowed-cond)
+        # cannot fuse INTO the fusion math — the update arrays are the
+        # scatter operands and materialize regardless.  This also makes
+        # the in-program windowed/fallback cond branches provably write
+        # the same values (both consume these pinned arrays).
+        tsdf_w, rgbw_w, prob_w = jax.lax.optimization_barrier(
+            (tsdf_w, rgbw_w, prob_w)
+        )
+        vis_s = VisibleSet(
+            entry_idx=sl(vis.entry_idx),
+            block_pos=sl(vis.block_pos),
+            pool_idx=sl(vis.pool_idx),
+            mask=mask_s,
+            count=vis.count,
+        )
+        vol_s = _scatter_payload_rows(vol, vis_s, tsdf_w, rgbw_w, prob_w,
+                                      platform=platform)
+        min_abs = jnp.min(jnp.abs(tsdf_w), axis=-1)
+        if s < vcap:
+            # pad to the full visible cap for carving; padded rows have
+            # vis.mask False (count <= s in this branch) so the value is
+            # never consumed
+            min_abs = jnp.concatenate(
+                [min_abs, jnp.zeros((vcap - s,), min_abs.dtype)]
+            )
+        return vol_s.tsdf, vol_s.rgbw, vol_s.prob, min_abs
+
+    ladder = _auto_fuse_ladder(cfg, on_tpu)
+    if ladder <= 1:
+        tsdf_a, rgbw_a, prob_a, min_abs = _tail(vcap)
+    else:
+        # smallest static size covering the live count wins; the last
+        # rung (s == vcap) is the unconditional fallback
+        sizes = [vcap * k // ladder for k in range(1, ladder + 1)]
+
+        def _rung(k: int):
+            if k == len(sizes) - 1:
+                return lambda: _tail(sizes[k])
+            return lambda: lax.cond(
+                vis.count <= sizes[k], lambda: _tail(sizes[k]), _rung(k + 1)
+            )
+
+        tsdf_a, rgbw_a, prob_a, min_abs = _rung(0)()
+    vol = vol.replace(tsdf=tsdf_a, rgbw=rgbw_a, prob=prob_a)
+    return vol, min_abs, skipped
+
+
+def _auto_fuse_ladder(cfg: TSDFConfig, on_tpu: bool) -> int:
+    """Resolve cfg.fuse_ladder = -1 ("auto") at trace time.
+
+    MEASURED NEGATIVE RESULT (v5e, idle host, scripts/ab_fuse_ladder.py,
+    bench config, bit-identical volumes): ladder=4 runs 20.13 ms/frame
+    vs the monolithic 16.23 — the lax.cond rungs defeat the donated
+    pool-buffer aliasing the way the gated allocate insert did
+    (ops/integrate.py allocate_blocks NOTE), and the copies swamp the
+    ~25% dead-row saving.  Auto therefore resolves to 1 everywhere;
+    explicit values stay available for other topologies/backends.  An L
+    that doesn't divide max_visible disables the ladder (validate()
+    rejects explicit values, this guards the auto path)."""
+    ladder = cfg.fuse_ladder
+    if ladder == -1:
+        ladder = 1
+    if ladder > 1 and cfg.max_visible % ladder != 0:
+        return 1
+    return ladder
 
 
 def _auto_scatter_window(cfg: TSDFConfig, on_tpu: bool) -> int:

@@ -212,9 +212,17 @@ def block_match_pyramid(
     kernels.
 
     Validity: the coarse level runs the full left-right + uniqueness
-    battery of `block_match`; finer levels add band-local uniqueness and
-    border checks.  A pixel is valid iff its coarse seed was valid and
-    every refinement kept a discriminative minimum.
+    battery of `block_match`; intermediate refinement levels apply the
+    band-edge argmin check only, and the FINEST level adds band-local
+    uniqueness, border, and disparity-range checks.  A pixel is valid
+    iff its coarse seed was valid and every refinement kept a
+    discriminative minimum.  Note the left-right consistency check runs
+    only on the coarse seed: an occlusion visible only at full
+    resolution can survive into the final mask if it also passes the
+    band-edge and uniqueness guards — acceptable for TSDF fusion (a few
+    wrong samples are outvoted by the weighted running average), and a
+    fine-level band-local LR check is the known fix if invalid-pixel
+    leakage ever shows up on real sensors.
     """
     ph, pw = patch
     area = float(ph * pw)
@@ -304,6 +312,10 @@ def stereo_depth(
     method "flat" = full cost volume (the parity/oracle path);
     "pyramid" = coarse-to-fine (the frame-rate path, ~9x less work).
     """
+    if method not in ("flat", "pyramid"):
+        raise ValueError(
+            f"stereo method must be 'flat' or 'pyramid', got {method!r}"
+        )
     matcher = block_match_pyramid if method == "pyramid" else block_match
     disp, valid = matcher(left, right, max_disp=max_disp, patch=patch)
     depth = fx * baseline_m / jnp.maximum(disp, 1e-6)
@@ -332,6 +344,10 @@ class StereoDepthEstimator:
         max_depth: float = 10.0,
         method: str = "flat",
     ):
+        if method not in ("flat", "pyramid"):
+            raise ValueError(
+                f"stereo method must be 'flat' or 'pyramid', got {method!r}"
+            )
         self.fx = float(fx)
         self.baseline_m = float(baseline_m)
         self._fn = jax.jit(

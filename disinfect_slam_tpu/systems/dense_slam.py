@@ -271,12 +271,19 @@ class DenseSLAM:
                 self._drain_ok_flags()
         if self.lc is not None and self.frame_count % self._kf_every == 0:
             # keyframe cadence: ONE host sync per kf_every frames (the
-            # steady-state frames in between stay sync-free)
+            # steady-state frames in between stay sync-free).  The
+            # manager enforces kf_every again internally (defense in
+            # depth for direct API users); this outer gate exists to
+            # avoid the host sync on non-keyframe frames.
+            inten = np.asarray(rgb, np.float32)
+            if inten.ndim == 3:
+                inten = inten.mean(axis=-1)
             if bool(np.asarray(ok)):
                 corr = self.lc.add_keyframe(
                     np.asarray(depth, np.float32),
                     np.asarray(self.world_T_cam, np.float32),
                     self.frame_count,
+                    intensity=inten,
                 )
                 if corr is not None:
                     # continue tracking/fusing in the loop-consistent
@@ -290,7 +297,9 @@ class DenseSLAM:
                         np.linalg.inv(self.world_T_cam), jnp.float32
                     )
             else:
-                reloc = self.lc.relocalize(np.asarray(depth, np.float32))
+                reloc = self.lc.relocalize(
+                    np.asarray(depth, np.float32), intensity=inten
+                )
                 if reloc is not None:
                     self.world_T_cam = reloc
                     cam_T_world = jnp.asarray(

@@ -52,10 +52,19 @@ import numpy as np
 from ..core.geometry import CameraParams
 from .odometry import ICPOdometry, _exp_se3
 
-# descriptor grid: 12x16 cells of valid-aware mean depth + valid
-# fraction -> 384-dim, zero-mean unit-norm (cosine similarity)
+# descriptor grid: 12x16 cells of (valid-aware mean depth, valid
+# fraction, mean intensity) -> 576-dim, unit-norm (cosine similarity).
+# The intensity cells are the appearance channel the reference's BoW
+# place recognition has and a depth-only descriptor lacks: two
+# geometrically identical rooms (the perceptual-aliasing case of
+# repetitive corridors) differ only in texture, so without appearance
+# the matcher would close a false loop (test_loop_closure's aliasing
+# fixture).  RGB already arrives with every frame (online.cc:23-70).
 DESC_GH, DESC_GW = 12, 16
-DESC_DIM = DESC_GH * DESC_GW * 2
+DESC_DIM = DESC_GH * DESC_GW * 3
+# geometry-only descriptor width of databases saved before the
+# appearance channel existed (load() zero-pads them)
+_DESC_DIM_V1 = DESC_GH * DESC_GW * 2
 
 
 # ----------------------------------------------------------------------
@@ -163,15 +172,30 @@ def _inv_rigid(m: jnp.ndarray) -> jnp.ndarray:
 # ----------------------------------------------------------------------
 # Place-recognition descriptor + matcher
 # ----------------------------------------------------------------------
+def _unit(v: jnp.ndarray) -> jnp.ndarray:
+    n = jnp.linalg.norm(v)
+    return v / jnp.where(n > 0, n, 1.0)
+
+
 @functools.partial(jax.jit, static_argnames=("gh", "gw"))
 def depth_descriptor(
-    depth: jnp.ndarray, gh: int = DESC_GH, gw: int = DESC_GW
+    depth: jnp.ndarray,
+    intensity: jnp.ndarray | None = None,
+    gh: int = DESC_GH,
+    gw: int = DESC_GW,
 ) -> jnp.ndarray:
-    """[H, W] depth -> zero-mean unit-norm descriptor [gh*gw*2].
+    """[H, W] depth (+ optional [H, W] intensity) -> unit-norm
+    descriptor [gh*gw*3].
 
-    Valid-aware cell means + valid fractions: cheap, static-shaped, and
-    the whole-database comparison is one matmul.  The bag-of-words
-    analogue for a depth-only tracker."""
+    Valid-aware cell means + valid fractions (geometry) plus mean
+    intensity per cell (appearance); the whole-database comparison is
+    one matmul.  The bag-of-words analogue for the built-in tracker.
+    Geometry and appearance halves are zero-meaned and unit-normed
+    separately, then concatenated at weight 1/sqrt(2) each, so cosine
+    similarity needs BOTH to agree: identical geometry with different
+    texture tops out at ~0.5 + 0.5*sim_intensity — under any sane
+    threshold (the perceptual-aliasing guard).  intensity=None fills
+    the appearance half with zeros (geometry-only legacy databases)."""
     h, w = depth.shape
     ch, cw = h // gh, w // gw
     d = depth[: gh * ch, : gw * cw].reshape(gh, ch, gw, cw)
@@ -179,10 +203,18 @@ def depth_descriptor(
     cnt = valid.sum(axis=(1, 3))
     mean = d.sum(axis=(1, 3)) / jnp.maximum(cnt, 1.0)
     frac = cnt / float(ch * cw)
-    v = jnp.concatenate([mean.reshape(-1), frac.reshape(-1)])
-    v = v - jnp.mean(v)
-    n = jnp.linalg.norm(v)
-    return v / jnp.where(n > 0, n, 1.0)
+    geo = jnp.concatenate([mean.reshape(-1), frac.reshape(-1)])
+    geo = _unit(geo - jnp.mean(geo))
+    if intensity is None:
+        app = jnp.zeros((gh * gw,), jnp.float32)
+        # keep the geometry half at full weight so legacy geometry-only
+        # descriptors compare to each other with the old similarity
+        return jnp.concatenate([geo, app])
+    ii = intensity[: gh * ch, : gw * cw].reshape(gh, ch, gw, cw)
+    imean = ii.mean(axis=(1, 3)).reshape(-1)
+    app = _unit(imean - jnp.mean(imean))
+    inv_s2 = 0.7071067811865476
+    return jnp.concatenate([geo * inv_s2, app * inv_s2])
 
 
 @jax.jit
@@ -320,6 +352,11 @@ class LoopClosureManager:
         # immediately eligible loop candidates while the recency guard
         # still applies within the new session
         self.id_offset = 0
+        # kf_every gate state (enforced HERE, not by the caller): the
+        # effective frame id of the last stored keyframe
+        self._last_kf_id: Optional[int] = None
+        self.evictions = 0  # keyframes merged away at the cap
+        self._cap_warned = False
 
     # ------------------------------------------------------------------
     def _verify(
@@ -351,20 +388,53 @@ class LoopClosureManager:
 
     # ------------------------------------------------------------------
     def add_keyframe(
-        self, depth: np.ndarray, world_T_cam_est: np.ndarray, frame_id: int
+        self,
+        depth: np.ndarray,
+        world_T_cam_est: np.ndarray,
+        frame_id: int,
+        intensity: Optional[np.ndarray] = None,
     ) -> Optional[np.ndarray]:
         """Store a keyframe; detect + close loops.
 
         Returns a 4x4 world-frame CORRECTION (apply as
         world_T_cam <- C @ world_T_cam to the live tracker) when a loop
-        closed, else None.  depth: full-res [H, W] float metres."""
-        if self.count >= self.cap:
-            return None  # database full: keep tracking, stop closing
+        closed, else None.  depth: full-res [H, W] float metres;
+        intensity: optional full-res [H, W] grayscale (any scale) — the
+        appearance channel of the place-recognition descriptor.
+
+        The kf_every cadence is enforced HERE: frames closer than
+        kf_every to the last stored keyframe are skipped (callers may
+        submit every tracked frame).  At the max_keyframes cap the most
+        redundant keyframe is merged away (see _evict_one) so a
+        long-running robot keeps closing loops instead of silently
+        losing drift correction."""
         frame_id = int(frame_id) + self.id_offset
+        if (
+            self._last_kf_id is not None
+            and frame_id - self._last_kf_id < self.kf_every
+        ):
+            return None  # cadence gate (kf_every)
+        if self.count >= self.cap:
+            if not self._cap_warned:
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "loop-closure keyframe database hit its cap (%d); "
+                    "merging the most redundant keyframes from here on "
+                    "(raise max_keyframes to keep full history)",
+                    self.cap,
+                )
+                self._cap_warned = True
+            self._evict_one()
         depth = np.asarray(depth, np.float32)
         d_half = depth[::2, ::2]
         d_half_dev = jnp.asarray(d_half)
-        desc = depth_descriptor(d_half_dev)
+        inten_half = (
+            jnp.asarray(np.asarray(intensity, np.float32)[::2, ::2])
+            if intensity is not None
+            else None
+        )
+        desc = depth_descriptor(d_half_dev, inten_half)
 
         # --- detection BEFORE insertion (never match self) ---
         correction = None
@@ -384,6 +454,7 @@ class LoopClosureManager:
         self.db_desc = self.db_desc.at[j].set(desc)
         self.db_ids = self.db_ids.at[j].set(frame_id)
         self.count += 1
+        self._last_kf_id = frame_id
         # odometry edge from the previous keyframe (in the pose_opt
         # frame: both estimates live in the same tracker frame between
         # corrections, and corrections re-base est too — see _rebase)
@@ -404,6 +475,92 @@ class LoopClosureManager:
                 self.closures += 1
                 correction = self._optimize_and_correct(j)
         return correction
+
+    # ------------------------------------------------------------------
+    def _evict_one(self) -> None:
+        """Merge away the most redundant keyframe to make room at the cap.
+
+        Redundancy = smallest motion to the PREVIOUS keyframe (a node
+        whose neighbor sees nearly the same view adds no loop-closing
+        power).  Node 0 (gauge anchor) and the newest node are never
+        evicted; nodes holding loop edges are preferred KEPT (their
+        constraints are what bounds drift) — only if every interior node
+        carries a loop edge does the evictee drop its loop edges.  The
+        evictee's two odometry edges compose into one (z = z1 @ z2), so
+        the chain stays connected and the graph solution is unchanged up
+        to the removed node's own residual."""
+        n = self.count
+        if n < 3:
+            return
+        has_loop = np.zeros(n, bool)
+        for i, j, _z, _w in self.edges:
+            if abs(i - j) != 1:
+                has_loop[i] = has_loop[j] = True
+        best_k, best_d = -1, np.inf
+        for k in range(1, n - 1):
+            if has_loop[k]:
+                continue
+            a, b = self.kf_pose_opt[k - 1], self.kf_pose_opt[k]
+            dt = float(np.linalg.norm(a[:3, 3] - b[:3, 3]))
+            cos_t = np.clip((np.trace(a[:3, :3].T @ b[:3, :3]) - 1) / 2, -1, 1)
+            d = dt + 2.0 * float(np.arccos(cos_t))
+            if d < best_d:
+                best_k, best_d = k, d
+        dropped_loops = 0
+        if best_k < 0:
+            # every interior node anchors a loop: evict the one whose
+            # loop edges we can best afford to lose (fewest of them)
+            counts = np.zeros(n, np.int32)
+            for i, j, _z, _w in self.edges:
+                if abs(i - j) != 1:
+                    counts[i] += 1
+                    counts[j] += 1
+            best_k = 1 + int(np.argmin(counts[1 : n - 1]))
+        k = best_k
+        # stitch odometry chain through k, remap indices, drop k's loops
+        z1 = z2 = None
+        w1 = w2 = 1.0
+        new_edges = []
+        for i, j, z, w in self.edges:
+            if abs(i - j) == 1 and j == k:
+                z1, w1 = z, w
+                continue
+            if abs(i - j) == 1 and i == k:
+                z2, w2 = z, w
+                continue
+            if i == k or j == k:
+                dropped_loops += 1
+                continue
+            new_edges.append(
+                (i - (i > k), j - (j > k), z, w)
+            )
+        if z1 is not None and z2 is not None:
+            new_edges.append(
+                (k - 1, k, (z1 @ z2).astype(np.float32), min(w1, w2))
+            )
+        self.edges = new_edges
+        if dropped_loops:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "keyframe eviction dropped %d loop edge(s) of node %d "
+                "(every interior node anchored a loop)", dropped_loops, k,
+            )
+        for lst in (
+            self.kf_frame_ids, self.kf_depth_half,
+            self.kf_pose_est, self.kf_pose_opt,
+        ):
+            lst.pop(k)
+        desc = np.array(self.db_desc, np.float32, copy=True)
+        ids = np.array(self.db_ids, np.int32, copy=True)
+        desc[k : n - 1] = desc[k + 1 : n]
+        ids[k : n - 1] = ids[k + 1 : n]
+        desc[n - 1] = 0.0
+        ids[n - 1] = -(10**9)
+        self.db_desc = jnp.asarray(desc)
+        self.db_ids = jnp.asarray(ids)
+        self.count -= 1
+        self.evictions += 1
 
     # ------------------------------------------------------------------
     def _optimize_and_correct(self, newest: int) -> np.ndarray:
@@ -433,15 +590,24 @@ class LoopClosureManager:
         return (opt[newest] @ np.linalg.inv(before)).astype(np.float32)
 
     # ------------------------------------------------------------------
-    def relocalize(self, depth: np.ndarray) -> Optional[np.ndarray]:
+    def relocalize(
+        self, depth: np.ndarray, intensity: Optional[np.ndarray] = None
+    ) -> Optional[np.ndarray]:
         """Recover a pose from the keyframe database after tracking
         loss: best descriptor match (no recency gap) + ICP verify,
         seeded at the matched keyframe's pose.  Returns world_T_cam or
-        None."""
+        None.  Pass the same intensity channel used for add_keyframe —
+        mixed geometry-only/appearance descriptors never clear the
+        similarity threshold (by construction, see depth_descriptor)."""
         if self.count == 0:
             return None
         d_half_dev = jnp.asarray(np.asarray(depth, np.float32)[::2, ::2])
-        desc = depth_descriptor(d_half_dev)
+        inten_half = (
+            jnp.asarray(np.asarray(intensity, np.float32)[::2, ::2])
+            if intensity is not None
+            else None
+        )
+        desc = depth_descriptor(d_half_dev, inten_half)
         best, score = _match_scores(
             desc, self.db_desc, self.db_ids,
             jnp.int32(self.count), jnp.int32(0), jnp.int32(-(10**9)),
@@ -506,7 +672,13 @@ class LoopClosureManager:
         self.kf_pose_est = [x.astype(np.float32) for x in d["pose_est"]]
         self.kf_pose_opt = [x.astype(np.float32) for x in d["pose_opt"]]
         desc = np.zeros((self.cap, DESC_DIM), np.float32)
-        desc[:n] = d["desc"]
+        loaded = np.asarray(d["desc"], np.float32)
+        if loaded.shape[1] == _DESC_DIM_V1:
+            # geometry-only database from before the appearance channel:
+            # zero appearance cells match depth_descriptor(intensity=None)
+            desc[:n, :_DESC_DIM_V1] = loaded
+        else:
+            desc[:n] = loaded
         ids = np.full((self.cap,), -(10**9), np.int64)
         ids[:n] = d["frame_ids"]
         self.db_desc = jnp.asarray(desc)
@@ -520,3 +692,6 @@ class LoopClosureManager:
         self.id_offset = (
             max(self.kf_frame_ids) + self.min_gap_frames + 1 if n else 0
         )
+        # the id_offset already spaces new ids past the loaded timeline
+        # by more than kf_every, so the cadence gate restarts cleanly
+        self._last_kf_id = max(self.kf_frame_ids) if n else None

@@ -302,3 +302,82 @@ def test_dense_slam_loop_closure_wiring():
     assert out.shape == (7, 4, 4)
     # no closure on this short arc -> correction is identity-ish
     np.testing.assert_allclose(out, np.stack(poses), atol=1e-5)
+
+
+# ----------------------------------------------------------------------
+def _texture(phase: float) -> np.ndarray:
+    """Synthetic intensity image with cell-scale structure."""
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
+    return (
+        128.0
+        + 100.0 * np.sin(xx / 11.0 + phase) * np.cos(yy / 7.0 + 2 * phase)
+    ).astype(np.float32)
+
+
+def test_perceptual_aliasing_rejected():
+    """Two places with IDENTICAL geometry but different appearance (the
+    repetitive-corridor case) must not close a loop; the same place seen
+    again (same geometry AND texture) must.  This is what the intensity
+    cells of the descriptor buy vs the r4 depth-only form — the
+    reference's BoW matcher is appearance-based for the same reason."""
+    pose = look_at((0.0, 0.0, -1.5), CENTER)
+    depth = scene_depth(pose)
+    tex_a, tex_b = _texture(0.0), _texture(1.7)
+
+    # descriptor level: identical geometry, different texture -> well
+    # under any sane threshold; same texture -> perfect score
+    dh = jnp.asarray(depth[::2, ::2])
+    da = depth_descriptor(dh, jnp.asarray(tex_a[::2, ::2]))
+    db_ = depth_descriptor(dh, jnp.asarray(tex_b[::2, ::2]))
+    assert float(da @ da) == pytest.approx(1.0, abs=1e-4)
+    assert float(da @ db_) < 0.9, float(da @ db_)
+
+    # manager level: room B (same geometry, different texture) must not
+    # close against room A; revisiting room A itself must
+    lc = _make_manager()
+    wc = np.linalg.inv(pose).astype(np.float32)
+    lc.add_keyframe(depth, wc, frame_id=0, intensity=tex_a)
+    lc.add_keyframe(depth, wc, frame_id=100, intensity=tex_b)
+    assert lc.closures == 0, "aliased place must not close"
+    c = lc.add_keyframe(depth, wc, frame_id=200, intensity=tex_a)
+    assert lc.closures == 1 and c is not None
+
+
+def test_kf_every_enforced_inside_manager():
+    """The manager itself gates the keyframe cadence (r4 verdict: the
+    caller had to)."""
+    _, est_poses, depths = _out_and_back_keyframes()
+    lc = _make_manager(kf_every=10)
+    for fid in range(12):  # submit EVERY frame
+        lc.add_keyframe(depths[fid % len(depths)], est_poses[0], frame_id=fid)
+    assert lc.count == 2, lc.count  # frames 0 and 10 only
+    assert lc.kf_frame_ids == [0, 10]
+
+
+def test_keyframe_cap_evicts_and_keeps_closing(caplog):
+    """At max_keyframes the most redundant keyframe is merged away (r4:
+    add_keyframe silently returned None forever): the database keeps its
+    cap, the odometry chain stays connected, node 0 survives as the
+    gauge anchor, a warning fires once, and a loop can STILL close after
+    long operation past the cap."""
+    import logging
+
+    true_poses, est_poses, depths = _out_and_back_keyframes()
+    lc = _make_manager(max_keyframes=8)
+    with caplog.at_level(logging.WARNING):
+        for k in range(len(depths)):
+            lc.add_keyframe(depths[k], est_poses[k], frame_id=10 * k)
+    assert lc.count == 8
+    assert lc.evictions == len(depths) - 8
+    assert any("cap" in r.message for r in caplog.records)
+    # gauge anchor survives; the newest keyframe is the latest frame
+    assert lc.kf_frame_ids[0] == 0
+    assert lc.kf_frame_ids[-1] == 10 * (len(depths) - 1)
+    # odometry chain connected: consecutive edges cover 0..count-1
+    odo = sorted((i, j) for i, j, _z, _w in lc.edges if abs(i - j) == 1)
+    assert [i for i, _ in odo] == list(range(lc.count - 1))
+    # the out-and-back revisit still closed against the anchor region
+    assert lc.closures >= 1
+    # db arrays consistent with host lists after the shifts
+    ids_dev = np.asarray(lc.db_ids)[: lc.count]
+    np.testing.assert_array_equal(ids_dev, np.asarray(lc.kf_frame_ids))
