@@ -101,14 +101,26 @@ def _project_for_splat(vol, cam, cam_T_world, max_depth, band, surf_cap=None):
         overflow = jnp.zeros((), jnp.int32)
     bv = cfg.block_volume
 
-    offs = vx.index_to_offset(jnp.arange(bv, dtype=jnp.int32), cfg)
-    pos_grid = vx.block_to_point(vis.block_pos, cfg)[:, None, :] + offs[None, :, :]
-    pos_world = pos_grid.astype(jnp.float32) * cfg.voxel_size
-    pos_cam = cam_T_world.apply(pos_world)  # [V, 512, 3]
-    z = pos_cam[..., 2]
-    pih = cam.intrinsics.project(pos_cam)
-    u = vx.round_half_away(pih[..., 0] / z).astype(jnp.int32)
-    v = vx.round_half_away(pih[..., 1] / z).astype(jnp.int32)
+    # SoA component planes end-to-end (same rationale as fuse_visible,
+    # ops/integrate.py: stacked [V, 512, 3] intermediates get their
+    # minor dim tile-padded ~43x on TPU — this prep was paying several
+    # ms/frame of pure padding traffic in the AoS form)
+    bl = cfg.block_len_log2
+    lmask = cfg.block_len - 1
+    vidx = jnp.arange(bv, dtype=jnp.int32)
+    ox = (vidx & lmask)[None, :]
+    oy = ((vidx >> bl) & lmask)[None, :]
+    oz = ((vidx >> (2 * bl)) & lmask)[None, :]
+    vsz = cfg.voxel_size
+    px = ((vis.block_pos[:, 0:1] << bl) + ox).astype(jnp.float32) * vsz
+    py = ((vis.block_pos[:, 1:2] << bl) + oy).astype(jnp.float32) * vsz
+    pz = ((vis.block_pos[:, 2:3] << bl) + oz).astype(jnp.float32) * vsz
+    xc, yc, z = cam_T_world.apply_xyz(px, py, pz)  # [V, 512] camera coords
+    intr = cam.intrinsics
+    ph0 = intr.fx * xc + intr.cx * z
+    ph1 = intr.fy * yc + intr.cy * z
+    u = vx.round_half_away(ph0 / z).astype(jnp.int32)
+    v = vx.round_half_away(ph1 / z).astype(jnp.int32)
     in_img = (u >= 0) & (u < wid) & (v >= 0) & (v < hgt) & (z > 0) & (z <= max_depth)
 
     # the stable argsort in _surf_visible preserves ascending pool order,
@@ -126,13 +138,13 @@ def _project_for_splat(vol, cam, cam_T_world, max_depth, band, surf_cap=None):
     band_tsdf = band * cfg.voxel_size / cfg.truncation
     surf = vis.mask[:, None] & in_img & (jnp.abs(tsdf) < band_tsdf)
 
-    uf = pih[..., 0] / z
-    vf = pih[..., 1] / z
+    uf = ph0 / z
+    vf = ph1 / z
     # splat depth offset along the ray by tsdf — the sub-voxel correction
     # to the true zero crossing (the analogue of the raycaster's
     # bisection): sdf = tsdf * truncation in range units, so
     # delta_z = tsdf * trunc * z / range.
-    rng_cam = jnp.linalg.norm(pos_cam, axis=-1)
+    rng_cam = jnp.sqrt(xc * xc + yc * yc + z * z)
     z_corr = z + tsdf * cfg.truncation * z / jnp.where(rng_cam == 0, 1.0, rng_cam)
     depth_q = jnp.clip(z_corr * 4096.0, 0, float(2**29)).astype(jnp.int32)
     return uf, vf, depth_q, surf, vis, overflow
@@ -235,20 +247,34 @@ def images_from_buffers(
     hit = (zbuf < _BIG).reshape(hgt, wid)
     depth_img = jnp.where(hit, zbuf.reshape(hgt, wid).astype(jnp.float32) / 4096.0, 0.0)
 
-    # screen-space normals from depth gradients (camera space)
+    # screen-space normals from depth gradients (camera space), computed
+    # SoA: the former [H, W, 3]-stacked form (dirs/pts/cross/norm chains)
+    # carried ~10 tile-padded minor-dim-3 intermediates per frame
+    ki = cam.intrinsics_inv
     uu = jnp.arange(wid, dtype=jnp.float32)
     vv = jnp.arange(hgt, dtype=jnp.float32)
     ug, vg = jnp.meshgrid(uu, vv)
-    dirs = cam.intrinsics_inv.project(jnp.stack([ug, vg, jnp.ones_like(ug)], -1))
-    pts = dirs * depth_img[..., None]  # camera-space points
-    dx = jnp.roll(pts, -1, axis=1) - pts
-    dy = jnp.roll(pts, -1, axis=0) - pts
-    n_cam = jnp.cross(dx, dy)
-    nn = jnp.linalg.norm(n_cam, axis=-1, keepdims=True)
-    n_cam = n_cam / jnp.where(nn == 0, 1.0, nn)
-    ray_dir = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+    dirx = ki.fx * ug + ki.cx  # back-projected ray dir at depth 1
+    diry = ki.fy * vg + ki.cy  # (dirz == 1 everywhere)
+    ptsx = dirx * depth_img
+    ptsy = diry * depth_img
+    ptsz = depth_img
+    dxx = jnp.roll(ptsx, -1, axis=1) - ptsx
+    dxy = jnp.roll(ptsy, -1, axis=1) - ptsy
+    dxz = jnp.roll(ptsz, -1, axis=1) - ptsz
+    dyx = jnp.roll(ptsx, -1, axis=0) - ptsx
+    dyy = jnp.roll(ptsy, -1, axis=0) - ptsy
+    dyz = jnp.roll(ptsz, -1, axis=0) - ptsz
+    ncx = dxy * dyz - dxz * dyy  # cross(d/du, d/dv)
+    ncy = dxz * dyx - dxx * dyz
+    ncz = dxx * dyy - dxy * dyx
+    nn = jnp.sqrt(ncx * ncx + ncy * ncy + ncz * ncz)
+    nnw = jnp.where(nn == 0, 1.0, nn)
+    rn = jnp.sqrt(dirx * dirx + diry * diry + 1.0)
     # diffusivity = max(dot(normal, -ray), 0) (voxel_tsdf.cu:292)
-    diffusivity = jnp.abs(jnp.sum(n_cam * ray_dir, axis=-1))
+    diffusivity = jnp.abs(
+        (ncx / nnw) * (dirx / rn) + (ncy / nnw) * (diry / rn) + (ncz / nnw) / rn
+    )
 
     pb = pbuf.reshape(hgt, wid)
     prob_i = ((pb >> 24) & 0xFF).astype(jnp.float32) / 255.0

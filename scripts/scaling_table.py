@@ -179,7 +179,7 @@ def main():
         flush=True,
     )
     with open(
-        os.path.join(os.path.dirname(__file__), "..", "SCALING_r04.json"), "w"
+        os.path.join(os.path.dirname(__file__), "..", "SCALING_r05.json"), "w"
     ) as f:
         json.dump(
             {
