@@ -406,10 +406,18 @@ def main():
     ray_ms = splat_ms = float("nan")
     try:
         if on_accel:
-            # bit-identical to splat_render; 97 vs 910 ms at this scale
+            # bit-identical to splat_render; 97 vs 910 ms at this scale.
+            # narrow (16, 16) patches: the bench workload's footprints
+            # (p90 9x9, max 12x12 px) fit, and halving the per-block
+            # column loop measured 67.6 -> 53.7 ms (scripts/splat_one.py,
+            # r5); oversized footprints fall through to the bit-equal
+            # overflow scatter
             from disinfect_slam_tpu.ops.pallas.splat_kernel import (
-                splat_render_pallas as _splat,
+                splat_render_pallas,
             )
+
+            def _splat(v, c, m, d):
+                return splat_render_pallas(v, c, m, d, cw=16, ch=16)
         else:
             from disinfect_slam_tpu.ops.render_fast import splat_render as _splat
 

@@ -137,9 +137,18 @@ class ReconstructionService:
             # descriptor-bound scatters
             from ..ops.pallas.splat_kernel import splat_render_pallas
 
+            # narrow (16, 16) patches halve the dominant per-block
+            # column loop (measured r5: 67.6 -> 53.7 ms at bench scale)
+            # and suffice while the typical block footprint fits; pick
+            # by the voxel angular size at a 2 m viewing distance.
+            # Oversized footprints fall through to the (bit-equal,
+            # capped) overflow scatter either way.
+            vol = self._volume()
+            fp2m = fx * 8.0 * vol.cfg.voxel_size * 1.7320508 / 2.0
+            cw, ch = (16, 16) if fp2m <= 12.0 else (32, 16)
             res = splat_render_pallas(
-                self._volume(), cam, SE3.from_matrix(jnp.asarray(pose)),
-                max_depth,
+                vol, cam, SE3.from_matrix(jnp.asarray(pose)),
+                max_depth, cw=cw, ch=ch,
             )
         else:
             res = splat_render(

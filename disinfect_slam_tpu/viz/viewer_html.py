@@ -43,6 +43,7 @@ VIEWER_HTML = """<!DOCTYPE html>
   <label><input type="checkbox" id="follow"/> follow cam</label>
   <label>behind <input type="range" id="behind" min="0" max="3" step="0.1" value="1"/></label>
   <label>view <select id="mode"><option>normal</option><option>rgba</option></select></label>
+  <label>res <select id="scale"><option value="1">full</option><option value="2" selected>half</option></select></label>
   <label>bbox <input type="text" id="bbox" size="22" value="-2,2,-2,2,0,4"/></label>
   <button id="query">Query</button>
   <span id="qres"></span>
@@ -110,10 +111,15 @@ async function renderLoop() {
   if ((dirty || follow || playing) && !busy) {
     busy = true; dirty = false;
     const mode = document.getElementById("mode").value;
+    // half-res render + display upscale: the reference renders its own
+    // view at 640x360 every GUI frame (renderer_module.cc:104-109); at
+    // half res the splat render is ~interactive-rate and the <img>
+    // upscales to the same display size
+    const s = parseInt(document.getElementById("scale").value);
     const pose = currentPose().map(x => x.toPrecision(7)).join(",");
     const t0 = performance.now();
     try {
-      const r = await fetch(`/render?w=${W}&h=${H}&fx=${FX}&fmt=png&view=${mode}&pose=${pose}`);
+      const r = await fetch(`/render?w=${W/s}&h=${H/s}&fx=${FX/s}&fmt=png&view=${mode}&pose=${pose}`);
       if (r.ok) {
         const blob = await r.blob();
         const url = URL.createObjectURL(blob);
