@@ -53,6 +53,7 @@ class FusedOnlineStep:
         seg_model=None,
         seg_params=None,
         depth_factor: float = 1000.0,
+        split_dispatch: bool = False,
     ):
         self.cfg = cfg
         self.img_h, self.img_w = img_h, img_w
@@ -64,6 +65,15 @@ class FusedOnlineStep:
         self.volume = TSDFVolume.create(cfg)
         model, params = seg_model, seg_params
         self._seg_params = params
+        self.split_dispatch = bool(split_dispatch and model is not None)
+
+        def _seg(seg_p, rgb):
+            # rgb f32 [H, W, 3] in [0, 255] -> (ht, lt) f32 [H, W]
+            x = resize_linear(rgb, INFER_H, INFER_W) / 255.0
+            logits = model.apply(seg_p, x[None])[0]
+            probs = jax.nn.sigmoid(logits)
+            probs = resize_linear(probs, img_h, img_w)
+            return probs[..., 0], probs[..., 1]
 
         @partial(jax.jit, donate_argnums=0, static_argnames=("allocate",))
         def _step(vol, seg_p, rgb, depth, pose_mat, allocate=True):
@@ -77,11 +87,7 @@ class FusedOnlineStep:
                 depth = depth.astype(jnp.float32) / depth_factor
             # rgb f32 [H, W, 3] in [0, 255]; depth f32 [H, W] metres
             if model is not None:
-                x = resize_linear(rgb, INFER_H, INFER_W) / 255.0
-                logits = model.apply(seg_p, x[None])[0]
-                probs = jax.nn.sigmoid(logits)
-                probs = resize_linear(probs, img_h, img_w)
-                ht, lt = probs[..., 0], probs[..., 1]
+                ht, lt = _seg(seg_p, rgb)
             else:
                 ht = jnp.ones_like(depth)
                 lt = jnp.ones_like(depth)
@@ -91,7 +97,35 @@ class FusedOnlineStep:
                 allocate=allocate,
             )
 
+        # Split-dispatch mode: seg forward and fusion as TWO programs
+        # with a device-resident (ht, lt) handoff.  The one-dispatch
+        # form is usually right, but composing some seg architectures
+        # with the fusion program degrades the compiled convolutions
+        # (measured r5 on v5e: FastSeg 2.7 ms alone + integrate 16.8
+        # alone -> 62 ms fused in one program); two dispatches keep
+        # each program's layout assignment clean at the cost of one
+        # extra dispatch.
+        @jax.jit
+        def _seg_only(seg_p, rgb):
+            if rgb.dtype != jnp.float32:
+                rgb = rgb.astype(jnp.float32)
+            return _seg(seg_p, rgb)
+
+        @partial(jax.jit, donate_argnums=0, static_argnames=("allocate",))
+        def _fuse_only(vol, rgb, depth, ht, lt, pose_mat, allocate=True):
+            if rgb.dtype != jnp.float32:
+                rgb = rgb.astype(jnp.float32)
+            if depth.dtype == jnp.uint16:
+                depth = depth.astype(jnp.float32) / depth_factor
+            frame = FrameInput(rgb=rgb, depth=depth, ht=ht, lt=lt)
+            return integrate(
+                vol, frame, cam, SE3.from_matrix(pose_mat), max_depth,
+                allocate=allocate,
+            )
+
         self._step = _step
+        self._seg_only = _seg_only
+        self._fuse_only = _fuse_only
         self._tick = 0
 
     # ------------------------------------------------------------------
@@ -102,6 +136,12 @@ class FusedOnlineStep:
         N-th — see config.py for the fail-open latency argument)."""
         allocate = self._tick % max(self.cfg.alloc_every, 1) == 0
         self._tick += 1
+        if self.split_dispatch:
+            ht, lt = self._seg_only(self._seg_params, rgb)
+            self.volume = self._fuse_only(
+                self.volume, rgb, depth, ht, lt, pose_mat, allocate=allocate,
+            )
+            return
         self.volume = self._step(
             self.volume, self._seg_params, rgb, depth, pose_mat,
             allocate=allocate,

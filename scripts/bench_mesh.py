@@ -92,9 +92,13 @@ def main():
     # 4: bridge cadence — 2 m bbox around the camera at 5 Hz
     from disinfect_slam_tpu.ops.gather import BoundingCube, gather_voxels
 
-    eye = np.linalg.inv(frames[0][0])[:3, 3]
-    bbox = BoundingCube(eye[0] - 1, eye[0] + 1, eye[1] - 1, eye[1] + 1,
-                        eye[2] - 1, eye[2] + 1)
+    # center the box 1.5 m ahead of the camera — an eye-centered box sits
+    # in free space (the camera orbits OUTSIDE the geometry) and gathers
+    # 0 voxels
+    w2c = np.linalg.inv(frames[0][0])
+    ctr = w2c[:3, 3] + w2c[:3, 2] * 1.5
+    bbox = BoundingCube(ctr[0] - 1, ctr[0] + 1, ctr[1] - 1, ctr[1] + 1,
+                        ctr[2] - 1, ctr[2] + 1)
     gq = jax.jit(lambda v: gather_voxels(v, bbox))
     st = gq(vol)
     jax.block_until_ready(st.tsdf)
